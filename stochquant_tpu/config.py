@@ -1,0 +1,185 @@
+"""Typed run configuration.
+
+Replaces the reference's three config surfaces — 13 positional CLI args
+(``tauhost.c:31-43``), hand-edited preset dicts (``taumain.py:91-128``), and
+knobs hardcoded inside the kernel (``tau_kernel.cl:59,61,19-22``) — with one
+serializable dataclass that travels with the checkpoint (fixing SURVEY.md §5
+"config" and flaw F6, triplicated constants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from typing import Optional, Tuple
+
+
+class BoundaryCondition(enum.IntEnum):
+    """Lattice boundary condition for the Euclidean-time direction.
+
+    The reference hardcodes mode 1 (``tau_kernel.cl:59``); mode 0 there has a
+    sign bug at the right edge (flaw F3, ``tau_kernel.cl:96``) which is *not*
+    reproduced here.
+    """
+
+    PERIODIC = 0
+    FIXED_BG = 1   # ghost sites pinned to the background's asymptotic value
+    DIRICHLET = 2  # field fixed to 0 at the edges
+
+
+class Formulation(enum.IntEnum):
+    """What the state variable represents."""
+
+    DIRECT = 0       # evolve the full field x(t) with drift −δS/δx
+    BACKGROUND = 1   # evolve fluctuations f(t) around x_cl(t, ω) with the
+                     # linearized drift −V''(x_cl)·f and a Langevin-updated
+                     # collective coordinate ω (the reference's formulation,
+                     # tau_kernel.cl:111-117 + 103-110)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainConfig:
+    """1-D Euclidean-time quantum mechanics run (the reference's domain)."""
+
+    action: str = "harmonic"           # registry name, see actions/
+    n_sites: int = 100                 # N — lattice sites in Euclidean time
+    dt: float = 0.1                    # Δt — lattice spacing
+    dtau: float = 0.3                  # Δτ — initial Langevin step
+    n_chains: int = 1                  # batched independent chains (DP axis)
+    noise_amp: float = 1.0             # c — noise amplitude (1 = physical)
+    bc: BoundaryCondition = BoundaryCondition.FIXED_BG
+    formulation: Formulation = Formulation.BACKGROUND
+    loops: int = 1000                  # micro-steps per frame (kernel launch)
+    frames: int = 5000                 # macro-steps
+    fps: int = 1                       # stream observables every `fps` frames
+    seed: int = 0
+    dtype: str = "float32"             # TPU-native; fp64 only for CPU checks
+    clamp: float = 1000.0              # |f| clamp (tau_kernel.cl:61)
+    shrink: float = 0.95               # Δτ ← shrink·Δτ on divergence
+    grow_after: int = 10               # grow Δτ after this many stable frames
+    dtau_max: Optional[float] = None   # cap for adaptive growth (None = initial)
+    mesh_chain_axis: Optional[str] = None  # shard chains over this mesh axis
+
+    @property
+    def jdtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.dtype)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ChainConfig":
+        d = json.loads(s)
+        d["bc"] = BoundaryCondition(d["bc"])
+        d["formulation"] = Formulation(d["formulation"])
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """D-dimensional scalar field theory run (2-D / 4-D φ⁴)."""
+
+    action: str = "phi4"
+    shape: Tuple[int, ...] = (256, 256)    # lattice sites per dimension
+    spacing: float = 1.0                   # lattice spacing a (isotropic)
+    dtau: float = 0.01
+    n_chains: int = 1
+    noise_amp: float = 1.0
+    loops: int = 100
+    frames: int = 100
+    fps: int = 1
+    seed: int = 0
+    dtype: str = "float32"
+    clamp: float = 1000.0
+    shrink: float = 0.95
+    grow_after: int = 10
+    dtau_max: Optional[float] = None
+    mesh_axes: Optional[Tuple[Optional[str], ...]] = None  # per-lattice-dim
+    mesh_chain_axis: Optional[str] = None
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def jdtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.dtype)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "FieldConfig":
+        d = json.loads(s)
+        d["shape"] = tuple(d["shape"])
+        if d.get("mesh_axes") is not None:
+            d["mesh_axes"] = tuple(d["mesh_axes"])
+        return cls(**d)
+
+
+# Presets mirroring the reference launchers.  Linux launcher values:
+# taumain.py:91-128 (harmosc, double_well, entw=5000, loops=1000); Windows
+# launcher adds poeschl_teller / quartic presets (taumain_windows.py:101-139)
+# whose potentials the reference kernel never implemented (SURVEY.md K8) —
+# here they are real actions.
+PRESETS = {
+    "harmosc": ChainConfig(
+        action="harmonic",
+        n_sites=100,
+        dt=0.1,
+        dtau=0.3,
+        frames=5000,
+        loops=1000,
+        formulation=Formulation.BACKGROUND,
+        bc=BoundaryCondition.FIXED_BG,
+    ),
+    "double_well": ChainConfig(
+        action="double_well",
+        n_sites=200,
+        dt=0.02,
+        dtau=0.002,
+        frames=5000,
+        loops=1000,
+        formulation=Formulation.BACKGROUND,
+        bc=BoundaryCondition.FIXED_BG,
+    ),
+    "poeschl_teller": ChainConfig(
+        action="poeschl_teller",
+        n_sites=100,
+        dt=1.0,
+        dtau=0.1,
+        frames=100,
+        loops=10000,
+        formulation=Formulation.DIRECT,
+        bc=BoundaryCondition.PERIODIC,
+    ),
+    "quartic": ChainConfig(
+        action="anharmonic",
+        n_sites=50,
+        dt=1.0,
+        dtau=0.01,
+        frames=100,
+        loops=10000,
+        formulation=Formulation.DIRECT,
+        bc=BoundaryCondition.PERIODIC,
+    ),
+    "phi4_2d": FieldConfig(
+        action="phi4",
+        shape=(256, 256),
+        dtau=0.01,
+        frames=100,
+        loops=100,
+    ),
+    "phi4_4d": FieldConfig(
+        action="phi4",
+        shape=(32, 32, 32, 32),
+        dtau=0.005,
+        frames=100,
+        loops=100,
+    ),
+}

@@ -1,0 +1,330 @@
+"""Euler–Maruyama Langevin integrator for 1-D Euclidean-time chains.
+
+TPU-native redesign of the reference's kernel+host loop
+(``tau_kernel.cl:25-175`` driving, ``tauhost.c:479-560`` driven):
+
+* the inner ``loops`` micro-step loop is a ``lax.scan`` (functional state
+  threading replaces the double-buffer swap K7 and the intra-kernel global
+  barrier, flaw F1 — synchronous update is correct by construction);
+* one jitted *frame* = one reference kernel launch; a scan over frames
+  replaces the per-frame host round-trip of all field buffers (H7);
+* noise is counter-based (rng.py) instead of the racy shared LCG (F2);
+* the divergence detector (K5), running-mean observables (K6), collective-
+  coordinate update (K4) and adaptive-Δτ controller (H9) are carry state —
+  and all of them are *per chain*, so batched chains adapt independently;
+* rejected frames are rolled back exactly (the reference discards them by
+  not reading buffers back, tauhost.c:533-544).
+
+Update (interior site, background formulation — tau_kernel.cl:111-117):
+
+    f_i += Δτ·[ m·(f_{i+1}+f_{i−1}−2f_i)/Δt² − V''(x_cl(t_i,ω))·f_i ]
+           + c·√(2Δτ/Δt)·η_i
+
+and for the direct formulation the linearized force is replaced by the full
+−V'(x_i).  Both target exp(−S/ħ) as Δτ→0.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stochquant_tpu import rng
+from stochquant_tpu.actions.base import QMAction
+from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation
+
+__all__ = [
+    "ChainState",
+    "init_chain_state",
+    "make_frame_fn",
+    "run_frames",
+    "connected_correlator",
+]
+
+
+class ChainState(NamedTuple):
+    """Full resumable state of a batch of Langevin chains.
+
+    Fixes reference flaw F4: everything needed for statistically continuous
+    resume is here — field, means, counts, per-chain Δτ, ω, stability memory
+    and the global RNG step counter.
+    """
+
+    f: jax.Array         # (C, N) field (fluctuation in BACKGROUND mode)
+    omega: jax.Array     # (C,)  collective coordinate (kink center)
+    x_mean: jax.Array    # (C, N) running ⟨x_i⟩
+    xx0_mean: jax.Array  # (C, N) running ⟨x_i·x_mid⟩
+    x2_mean: jax.Array   # (C, N) running ⟨x_i²⟩
+    runs: jax.Array      # (C,)  uint32 — accepted micro-step samples
+    dtau: jax.Array      # (C,)  current Langevin step size
+    stab_cnt: jax.Array  # (C,)  int32 — consecutive stable frames
+    lrg_vl: jax.Array    # (C,)  running max |x| (divergence threshold, K5)
+    step: jax.Array      # ()    uint32 — global micro-step counter (RNG)
+
+
+def init_chain_state(cfg: ChainConfig, action: QMAction) -> ChainState:
+    """Cold start (reference H2, ``tauhost.c:84-102``): field seeded with
+    N(0, √(2Δτ)) noise; ω at the lattice midpoint T/2 plus noise, reflected
+    into [0, (N−1)Δt]."""
+    C, N = cfg.n_chains, cfg.n_sites
+    dtype = cfg.jdtype
+    z = rng.normal_for_shape(cfg.seed, rng.Stream.INIT, 0, (C, N)).astype(dtype)
+    f = jnp.sqrt(jnp.asarray(2.0 * cfg.dtau, dtype)) * z
+    half = 0.5 * cfg.n_sites * cfg.dt
+    chain_ids = jnp.arange(C, dtype=jnp.uint32)
+    z_om = rng.normal(cfg.seed, rng.Stream.INIT, chain_ids, jnp.uint32(0), jnp.uint32(1))
+    omega = jnp.asarray(half, dtype) + math.sqrt(cfg.dt) * z_om.astype(dtype)
+    omega = _reflect(omega, (N - 1) * cfg.dt)
+    zeros = jnp.zeros((C, N), dtype)
+    # Seed the divergence threshold with the initial |x| so the very first
+    # frame is not spuriously rejected (the reference starts lrgVl at 0 and
+    # burns its first frames re-arming, tauhost.c:533-544).
+    if cfg.formulation == Formulation.BACKGROUND:
+        t_grid = (jnp.arange(N) * cfg.dt).astype(dtype)
+        x0 = f + action.x_cl(t_grid[None, :], omega[:, None]).astype(dtype)
+    else:
+        x0 = f
+    lrg_vl = jnp.max(jnp.abs(x0), axis=-1)
+    return ChainState(
+        f=f,
+        omega=omega,
+        x_mean=zeros,
+        xx0_mean=zeros,
+        x2_mean=zeros,
+        runs=jnp.zeros((C,), jnp.uint32),
+        dtau=jnp.full((C,), cfg.dtau, dtype),
+        stab_cnt=jnp.zeros((C,), jnp.int32),
+        lrg_vl=lrg_vl,
+        step=jnp.uint32(2),  # steps 0/1 consumed by the cold-start draws
+    )
+
+
+def _reflect(om, upper):
+    """Reflect the collective coordinate into [0, upper]
+    (tau_kernel.cl:155-167)."""
+    om = jnp.where(om > upper, 2.0 * upper - om, om)
+    return jnp.where(om < 0, -om, om)
+
+
+def _neighbor_sum(f, left_ghost, right_ghost, bc: BoundaryCondition):
+    """f_{i+1} + f_{i−1} with ghost sites supplied by the BC (K3).
+
+    ``left_ghost``/``right_ghost`` are (C,) arrays used for FIXED_BG /
+    DIRICHLET; ignored for PERIODIC.
+    """
+    if bc == BoundaryCondition.PERIODIC:
+        return jnp.roll(f, 1, axis=-1) + jnp.roll(f, -1, axis=-1)
+    up = jnp.concatenate([f[:, 1:], right_ghost[:, None]], axis=-1)
+    down = jnp.concatenate([left_ghost[:, None], f[:, :-1]], axis=-1)
+    return up + down
+
+
+def make_frame_fn(action: QMAction, cfg: ChainConfig):
+    """Build ``frame(state) -> (state', metrics)``: one macro-step of
+    ``cfg.loops`` micro-steps with accept/reject + adaptive Δτ.
+
+    Pure and jittable; chains axis shards transparently (noise is keyed by
+    global chain/site ids, so any sharding yields bit-identical trajectories).
+    """
+    C, N = cfg.n_chains, cfg.n_sites
+    dt = cfg.dt
+    dtype = cfg.jdtype
+    mid = N // 2
+    t_grid = (jnp.arange(N) * dt).astype(dtype)  # (N,)
+    background = cfg.formulation == Formulation.BACKGROUND
+    inv_dt2 = jnp.asarray(action.mass / (dt * dt), dtype)
+    zm_const = jnp.asarray(action.zero_mode_const(), dtype)
+    has_zm = background and action.has_zero_mode
+    upper = jnp.asarray((N - 1) * dt, dtype)
+    c_amp = jnp.asarray(cfg.noise_amp, dtype)
+    clamp = jnp.asarray(cfg.clamp, dtype)
+    chain_ids = jnp.arange(C, dtype=jnp.uint32)
+    asym_l = jnp.asarray(action.boundary_asymptote(-1), dtype)
+    asym_r = jnp.asarray(action.boundary_asymptote(+1), dtype)
+    t_ghost_l = jnp.asarray(-dt, dtype)
+    t_ghost_r = jnp.asarray(N * dt, dtype)
+
+    def ghosts(omega):
+        """(C,) ghost-site field values for the configured BC."""
+        if cfg.bc == BoundaryCondition.PERIODIC:
+            z = jnp.zeros((C,), dtype)
+            return z, z
+        if cfg.bc == BoundaryCondition.DIRICHLET:
+            z = jnp.zeros((C,), dtype)
+            return z, z
+        # FIXED_BG: pin the *full field* at the asymptote; in background
+        # formulation the fluctuation ghost is asymptote − x_cl(t_ghost, ω)
+        # (tau_kernel.cl:74,92).
+        if background:
+            gl = asym_l - action.x_cl(t_ghost_l, omega).astype(dtype)
+            gr = asym_r - action.x_cl(t_ghost_r, omega).astype(dtype)
+        else:
+            gl = jnp.full((C,), asym_l, dtype)
+            gr = jnp.full((C,), asym_r, dtype)
+        return jnp.broadcast_to(gl, (C,)), jnp.broadcast_to(gr, (C,))
+
+    def drift(f, omega):
+        """Drift density −(1/Δt)·∂S/∂f (K2): m·∇²/Δt² − force term."""
+        gl, gr = ghosts(omega)
+        lap = (_neighbor_sum(f, gl, gr, cfg.bc) - 2.0 * f) * inv_dt2
+        if background:
+            curv = action.ddV(action.x_cl(t_grid[None, :], omega[:, None])).astype(dtype)
+            return lap - curv * f
+        return lap - action.dV(f).astype(dtype)
+
+    def full_x(f, omega):
+        """Reconstruct the physical field x = f + x_cl (K6's `f+clas`)."""
+        if background:
+            return f + action.x_cl(t_grid[None, :], omega[:, None]).astype(dtype)
+        return f
+
+    def frame(state: ChainState):
+        def micro_step(carry, _):
+            f, omega, xm, xxm, x2m, unstable, lrgvl, step = carry
+
+            eta = rng.normal_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, (C, N)
+            ).astype(dtype)
+            noise = c_amp * jnp.sqrt(2.0 * state.dtau[:, None] / dt) * eta
+
+            det = drift(f, omega) * state.dtau[:, None]
+            newf_raw = f + det + noise
+            # clamp + definitize non-finite values (tau_kernel.cl:119-133)
+            newf = jnp.clip(newf_raw, -clamp, clamp)
+            newf = jnp.where(jnp.isfinite(newf_raw), newf, clamp)
+            if cfg.bc == BoundaryCondition.DIRICHLET:
+                # field pinned to 0 at the edge *sites* (tau_kernel.cl:70-72)
+                newf = newf.at[:, 0].set(0.0).at[:, -1].set(0.0)
+
+            # divergence detector (K5, cleaned semantics): trip when the
+            # largest *deterministic* per-site change exceeds the historical
+            # max |x|, or anything went non-finite.
+            max_det = jnp.max(jnp.abs(det), axis=-1)
+            bad = ~jnp.all(jnp.isfinite(newf_raw), axis=-1)
+            tripped = (max_det > lrgvl) | bad
+
+            # observables sample the *pre-update* field with running count
+            # runs + j + 1 (tau_kernel.cl:144-145)
+            x = full_x(f, omega)
+            n = (
+                state.runs.astype(jnp.float32)
+                + (step - state.step).astype(jnp.float32)
+                + 1.0
+            ).astype(dtype)[:, None]
+            xm2 = xm + (x - xm) / n
+            xxm2 = xxm + (x * x[:, mid : mid + 1] - xxm) / n
+            x2m2 = x2m + (x * x - x2m) / n
+
+            lrgvl2 = jnp.maximum(
+                lrgvl, jnp.max(jnp.abs(full_x(newf, omega)), axis=-1)
+            )
+
+            if has_zm:
+                eta_om = rng.normal(
+                    cfg.seed, rng.Stream.COLLECTIVE, chain_ids, jnp.uint32(0), step
+                ).astype(dtype)
+                d_om = zm_const * c_amp * jnp.sqrt(2.0 * state.dtau) * eta_om
+                omega2 = _reflect(omega + d_om, upper)
+            else:
+                omega2 = omega
+
+            # freeze chains whose frame already diverged (the reference breaks
+            # all work-items out of the micro loop, tau_kernel.cl:169-171)
+            u = unstable[:, None]
+            keep = lambda new, old: jnp.where(u, old, new)
+            fz = keep(newf, f)
+            omega2 = jnp.where(unstable, omega, omega2)
+            xmz = keep(xm2, xm)
+            xxmz = keep(xxm2, xxm)
+            x2mz = keep(x2m2, x2m)
+            lrgvlz = jnp.where(unstable, lrgvl, lrgvl2)
+            unstable = unstable | tripped
+            return (fz, omega2, xmz, xxmz, x2mz, unstable, lrgvlz, step + 1), None
+
+        init = (
+            state.f,
+            state.omega,
+            state.x_mean,
+            state.xx0_mean,
+            state.x2_mean,
+            jnp.zeros((C,), bool),
+            state.lrg_vl,
+            state.step,
+        )
+        (f, omega, xm, xxm, x2m, unstable, lrgvl, step_end), _ = lax.scan(
+            micro_step, init, None, length=cfg.loops
+        )
+
+        accept = ~unstable  # (C,)
+        a1 = accept[:, None]
+        sel = lambda new, old: jnp.where(a1, new, old)
+        f = sel(f, state.f)
+        xm = sel(xm, state.x_mean)
+        xxm = sel(xxm, state.xx0_mean)
+        x2m = sel(x2m, state.x2_mean)
+        omega = jnp.where(accept, omega, state.omega)
+        lrgvl = jnp.where(accept, lrgvl, state.lrg_vl)
+        runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+
+        # adaptive Δτ (H9, tauhost.c:523-545) — per chain
+        grow = accept & (state.stab_cnt >= cfg.grow_after)
+        dtau = jnp.where(
+            grow,
+            state.dtau / cfg.shrink,
+            jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+        )
+        if cfg.dtau_max is not None:
+            dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, dtype))
+        stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
+
+        new_state = ChainState(
+            f=f,
+            omega=omega,
+            x_mean=xm,
+            xx0_mean=xxm,
+            x2_mean=x2m,
+            runs=runs,
+            dtau=dtau,
+            stab_cnt=stab_cnt,
+            lrg_vl=lrgvl,
+            step=step_end,  # RNG never reuses noise, even on rejection
+        )
+        metrics = {
+            "stable": accept,
+            "dtau": dtau,
+            "max_x": lrgvl,
+        }
+        return new_state, metrics
+
+    return frame
+
+
+@partial(jax.jit, static_argnames=("action", "cfg", "n_frames"))
+def run_frames(state: ChainState, action: QMAction, cfg: ChainConfig, n_frames: int):
+    """Scan ``n_frames`` macro-steps fully on device.
+
+    Returns (final_state, metrics) with metrics arrays stacked over frames —
+    the structured replacement for the stdout streaming protocol (H8).
+    """
+    frame = make_frame_fn(action, cfg)
+    return lax.scan(lambda s, _: frame(s), state, None, length=n_frames)
+
+
+def connected_correlator(state: ChainState) -> jax.Array:
+    """C_i = ⟨x_i·x_mid⟩ − ⟨x_i⟩·⟨x_mid⟩ per chain (tauhost.c:519-521)."""
+    mid = state.x_mean.shape[-1] // 2
+    return state.xx0_mean - state.x_mean * state.x_mean[:, mid : mid + 1]
+
+
+def reset_means(state: ChainState) -> ChainState:
+    """Zero the running observables (use after thermalization burn-in, so
+    equilibrium estimates are not contaminated by the cold start)."""
+    z = jnp.zeros_like(state.x_mean)
+    return state._replace(
+        x_mean=z, xx0_mean=z, x2_mean=z, runs=jnp.zeros_like(state.runs)
+    )

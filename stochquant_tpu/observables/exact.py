@@ -1,0 +1,88 @@
+"""Exact known answers for quadratic (Gaussian) lattice actions.
+
+The reference's only validation is a human eyeballing ``theoVal`` on a plot
+(``taumain.py:130,137``, SURVEY.md §4).  Here the harmonic-oscillator chain
+is solved *exactly* — including the O(Δτ) bias of the Euler–Maruyama scheme —
+turning "looks right" into machine-checkable regression gates.
+
+For S = ½ xᵀA x the Langevin drift is −Bx with B = A/Δt (density convention)
+and the EM update x' = (I − Δτ·B)x + √(2Δτ/Δt)·η has stationary covariance
+
+    Σ_EM = V·diag( 1 / (Δt·b_q·(1 − Δτ·b_q/2)) )·Vᵀ
+
+(b_q, V the eigensystem of B), which → A⁻¹ as Δτ→0.  Stability requires
+Δτ·b_max < 2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stochquant_tpu.config import BoundaryCondition
+
+
+def harmonic_drift_matrix(
+    n_sites: int,
+    dt: float,
+    k: float = 2.0,
+    mass: float = 1.0,
+    bc: BoundaryCondition = BoundaryCondition.PERIODIC,
+) -> np.ndarray:
+    """B such that drift(x) = −B·x for V = ½kx² (density convention,
+    matching integrators/langevin.py): B = −m·∇²/Δt² + k·I.
+
+    For DIRICHLET the returned matrix acts on the N−2 interior sites (edges
+    frozen at 0); for FIXED_BG (harmonic asymptote 0) ghosts are 0 and B acts
+    on all N sites.
+    """
+    inv = mass / (dt * dt)
+    n = n_sites - 2 if bc == BoundaryCondition.DIRICHLET else n_sites
+    B = np.diag(np.full(n, 2.0 * inv + k))
+    idx = np.arange(n - 1)
+    B[idx, idx + 1] = -inv
+    B[idx + 1, idx] = -inv
+    if bc == BoundaryCondition.PERIODIC:
+        B[0, n - 1] += -inv
+        B[n - 1, 0] += -inv
+    # non-periodic: edge sites couple to a ghost fixed at 0 (DIRICHLET edge
+    # freeze / harmonic FIXED_BG asymptote) — the diagonal already counts
+    # both neighbours, nothing further to add.
+    return B
+
+
+def em_stationary_cov(B: np.ndarray, dt: float, dtau: float) -> np.ndarray:
+    """Exact stationary covariance of the EM chain at finite Δτ."""
+    b, V = np.linalg.eigh(B)
+    if np.any(dtau * b >= 2.0):
+        raise ValueError(f"EM unstable: dtau*b_max = {dtau * np.max(b):.3f} >= 2")
+    var = 1.0 / (dt * b * (1.0 - 0.5 * dtau * b))
+    return (V * var) @ V.T
+
+
+def target_cov(B: np.ndarray, dt: float) -> np.ndarray:
+    """Δτ→0 covariance = A⁻¹ (the true path-integral two-point function)."""
+    b, V = np.linalg.eigh(B)
+    return (V * (1.0 / (dt * b))) @ V.T
+
+
+def harmonic_x2_continuum(k: float = 2.0, mass: float = 1.0) -> float:
+    """Continuum ground-state ⟨x²⟩ = 1/(2·m·ω₀), ω₀ = √(k/m) (ħ=1)."""
+    return 1.0 / (2.0 * mass * np.sqrt(k / mass))
+
+
+def free_field_x2(shape, spacing: float, m2: float, dtau: float = 0.0) -> float:
+    """⟨φ²⟩ for the free field on a periodic D-dim lattice, optionally with
+    the EM finite-Δτ bias.  b(p) = Σ_μ 2(1−cos p_μ)/a² + m², site measure a^D:
+
+        ⟨φ²⟩ = (1/V)·Σ_p 1/(a^D·b(p)·(1 − Δτ·b(p)/2)).
+    """
+    a = spacing
+    d = len(shape)
+    grids = np.meshgrid(
+        *[2.0 * np.pi * np.arange(n) / n for n in shape], indexing="ij"
+    )
+    b = m2 + sum(2.0 * (1.0 - np.cos(g)) / (a * a) for g in grids)
+    denom = a**d * b * (1.0 - 0.5 * dtau * b)
+    if np.any(denom <= 0):
+        raise ValueError("EM unstable for this dtau")
+    return float(np.mean(1.0 / denom))

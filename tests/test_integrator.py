@@ -1,0 +1,215 @@
+"""Langevin integrator tests: OU weak convergence, exact harmonic-oscillator
+covariance (incl. the finite-Δτ EM bias), determinism, adaptive Δτ, and
+accept/reject rollback."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stochquant_tpu import actions
+from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation
+from stochquant_tpu.integrators import langevin
+from stochquant_tpu.observables import exact
+
+
+def _run(cfg, n_frames, burn_frames=0):
+    act = actions.get(cfg.action)
+    state = langevin.init_chain_state(cfg, act)
+    if burn_frames:
+        state, _ = langevin.run_frames(state, act, cfg, burn_frames)
+        state = langevin.reset_means(state)
+    state, metrics = langevin.run_frames(state, act, cfg, n_frames)
+    return act, state, metrics
+
+
+def test_harmonic_x2_matches_exact_em_covariance():
+    """Config-1 anchor (BASELINE.json): N=64 harmonic chain; site-resolved
+    ⟨x_i²⟩ must match the *exact* EM stationary covariance at this Δτ."""
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=64,
+        dt=0.25,
+        dtau=0.02,
+        n_chains=256,
+        loops=100,
+        frames=1,  # frames passed explicitly below
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=123,
+        grow_after=10**9,  # freeze Δτ: the exact EM covariance assumes it
+    )
+    act, state, _ = _run(cfg, n_frames=60, burn_frames=20)
+    B = exact.harmonic_drift_matrix(cfg.n_sites, cfg.dt, k=2.0, bc=cfg.bc)
+    sigma = exact.em_stationary_cov(B, cfg.dt, cfg.dtau)
+    x2_theory = np.diag(sigma)  # uniform by translation invariance
+    x2_est = np.asarray(state.x2_mean, np.float64)  # (C, N)
+    mean = x2_est.mean(axis=0)
+    stderr = x2_est.std(axis=0) / np.sqrt(cfg.n_chains)
+    # 6-sigma site-wise gate plus a tight global-average gate
+    assert np.all(np.abs(mean - x2_theory) < 6 * stderr + 1e-3)
+    glob = mean.mean()
+    glob_err = x2_est.mean(axis=1).std() / np.sqrt(cfg.n_chains)
+    assert abs(glob - x2_theory.mean()) < 5 * glob_err
+
+
+def test_correlator_matches_exact_covariance():
+    """⟨x_i·x_mid⟩ − ⟨x_i⟩⟨x_mid⟩ vs the exact covariance row (the quantity
+    the reference streams as log|C(t)|, tauhost.c:519-521)."""
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=32,
+        dt=0.3,
+        dtau=0.02,
+        n_chains=512,
+        loops=100,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=7,
+        grow_after=10**9,  # freeze Δτ
+    )
+    act, state, _ = _run(cfg, n_frames=80, burn_frames=20)
+    B = exact.harmonic_drift_matrix(cfg.n_sites, cfg.dt, k=2.0, bc=cfg.bc)
+    sigma = exact.em_stationary_cov(B, cfg.dt, cfg.dtau)
+    mid = cfg.n_sites // 2
+    corr = np.asarray(langevin.connected_correlator(state), np.float64)
+    mean = corr.mean(axis=0)
+    stderr = corr.std(axis=0) / np.sqrt(cfg.n_chains)
+    assert np.all(np.abs(mean - sigma[:, mid]) < 6 * stderr + 2e-3)
+
+
+def test_dirichlet_edges_stay_zero():
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=16,
+        dt=0.2,
+        dtau=0.01,
+        n_chains=4,
+        loops=50,
+        bc=BoundaryCondition.DIRICHLET,
+        formulation=Formulation.DIRECT,
+    )
+    act = actions.get(cfg.action)
+    state = langevin.init_chain_state(cfg, act)
+    state = state._replace(f=state.f.at[:, 0].set(0.0).at[:, -1].set(0.0))
+    state, _ = langevin.run_frames(state, act, cfg, 3)
+    assert np.all(np.asarray(state.f[:, 0]) == 0.0)
+    assert np.all(np.asarray(state.f[:, -1]) == 0.0)
+
+
+def test_determinism_and_frame_composability():
+    """run(2k frames) must equal run(k); then run(k) more, bitwise — the
+    basis of checkpoint/resume correctness (fixes reference flaw F4)."""
+    cfg = ChainConfig(
+        action="double_well",
+        n_sites=24,
+        dt=0.1,
+        dtau=0.001,
+        n_chains=3,
+        loops=20,
+        seed=99,
+    )
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    s_2k, _ = langevin.run_frames(s0, act, cfg, 8)
+    s_k, _ = langevin.run_frames(s0, act, cfg, 4)
+    s_kk, _ = langevin.run_frames(s_k, act, cfg, 4)
+    for a, b in zip(s_2k, s_kk):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unstable_frame_rolls_back_and_shrinks_dtau():
+    """A wildly-too-large Δτ must reject the frame: state unchanged, Δτ
+    shrunk by the configured factor, runs not incremented (tauhost.c:533-544
+    semantics, but per chain)."""
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=32,
+        dt=0.1,
+        dtau=5.0,  # dtau*b_max ≈ 5*402 — hopelessly unstable
+        n_chains=2,
+        loops=10,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+    )
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    s1, metrics = langevin.run_frames(s0, act, cfg, 1)
+    assert not np.any(np.asarray(metrics["stable"]))
+    np.testing.assert_array_equal(np.asarray(s1.f), np.asarray(s0.f))
+    np.testing.assert_array_equal(np.asarray(s1.x_mean), np.asarray(s0.x_mean))
+    np.testing.assert_array_equal(np.asarray(s1.runs), np.asarray(s0.runs))
+    np.testing.assert_allclose(
+        np.asarray(s1.dtau), np.asarray(s0.dtau) * cfg.shrink, rtol=1e-6
+    )
+    # RNG still advances: a rejected frame never replays the same noise
+    assert int(s1.step) == int(s0.step) + cfg.loops
+
+
+def test_adaptive_dtau_recovers_stability():
+    """Start unstable; the controller must walk Δτ down until frames accept."""
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=16,
+        dt=0.25,
+        dtau=1.0,
+        n_chains=2,
+        loops=25,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=5,
+    )
+    act = actions.get(cfg.action)
+    state = langevin.init_chain_state(cfg, act)
+    state, metrics = langevin.run_frames(state, act, cfg, 200)
+    stable = np.asarray(metrics["stable"])  # (frames, C)
+    # The controller is a limit cycle by design: it walks Δτ down until
+    # frames accept, then probes growth every `grow_after` frames
+    # (tauhost.c:523-545).  Late-run acceptance must dominate.
+    assert stable[-50:].mean() > 0.8
+    assert np.all(np.asarray(state.dtau) < 1.0)
+    assert np.all(np.asarray(state.runs) > 0)
+
+
+def test_dtau_growth_after_stable_frames():
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=16,
+        dt=0.5,
+        dtau=1e-4,  # ultra-conservative: every frame stable → growth
+        n_chains=2,
+        loops=5,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        grow_after=3,
+    )
+    act = actions.get(cfg.action)
+    state = langevin.init_chain_state(cfg, act)
+    state, metrics = langevin.run_frames(state, act, cfg, 30)
+    assert np.all(np.asarray(state.dtau) > 1e-4)
+
+
+def test_zero_mode_updates_omega_for_double_well():
+    cfg = ChainConfig(
+        action="double_well",
+        n_sites=40,
+        dt=0.05,
+        dtau=0.0005,
+        n_chains=4,
+        loops=50,
+        seed=3,
+    )
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    s1, _ = langevin.run_frames(s0, act, cfg, 2)
+    # kink center random-walks (Parisi trick, tau_kernel.cl:103-110)
+    assert not np.allclose(np.asarray(s1.omega), np.asarray(s0.omega))
+    upper = (cfg.n_sites - 1) * cfg.dt
+    assert np.all((np.asarray(s1.omega) >= 0) & (np.asarray(s1.omega) <= upper))
+    # harmonic has zero-mode const 0 → omega frozen
+    cfg_h = ChainConfig(
+        action="harmonic", n_sites=40, dt=0.05, dtau=0.0005, n_chains=4, loops=50
+    )
+    act_h = actions.get("harmonic")
+    h0 = langevin.init_chain_state(cfg_h, act_h)
+    h1, _ = langevin.run_frames(h0, act_h, cfg_h, 2)
+    np.testing.assert_array_equal(np.asarray(h1.omega), np.asarray(h0.omega))
