@@ -1,6 +1,14 @@
 """Langevin integrators: 1-D chains (with collective coordinate), D-dim
 fields, and complex Langevin."""
 
+from stochquant_tpu.integrators.field import (  # noqa: F401
+    FieldState,
+    init_field_state,
+    make_field_frame_fn,
+    reset_field_means,
+    run_field_frames,
+    susceptibility,
+)
 from stochquant_tpu.integrators.langevin import (  # noqa: F401
     ChainState,
     connected_correlator,

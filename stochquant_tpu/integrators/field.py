@@ -1,0 +1,231 @@
+"""Euler–Maruyama Langevin integrator for D-dimensional scalar fields.
+
+The reference is strictly 1-D QM; this is the scale-out axis of the TPU
+build (BASELINE.json configs 3–4: 2-D 256² and 4-D 32⁴ φ⁴).  Same frame
+machinery as integrators/langevin.py — micro-step scan, per-chain adaptive
+Δτ with exact rollback, on-line observables — but over periodic D-dim
+lattices with the field-theory observable set (magnetization,
+susceptibility, action density, time-slice correlator).
+
+Update (site measure w = a^D):
+
+    φ += Δτ·( ∇²φ − V'(φ) ) + c·√(2Δτ/a^D)·η.
+
+The stencil is plain ``jnp.roll``: under a sharded-lattice `jax.sharding`
+layout XLA's SPMD partitioner lowers it to neighbour collective-permutes
+(halo exchange) automatically; parallel/halo.py provides the explicit
+shard_map/ppermute version of the same math for manual control.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stochquant_tpu import rng
+from stochquant_tpu.actions.phi4 import FieldAction
+from stochquant_tpu.config import FieldConfig
+
+__all__ = [
+    "FieldState",
+    "init_field_state",
+    "make_field_frame_fn",
+    "run_field_frames",
+    "susceptibility",
+    "reset_field_means",
+]
+
+
+class FieldState(NamedTuple):
+    phi: jax.Array        # (C, *shape)
+    mag_mean: jax.Array   # (C,) running ⟨M⟩,  M = (1/V)Σφ
+    mag2_mean: jax.Array  # (C,) running ⟨M²⟩
+    absmag_mean: jax.Array  # (C,) running ⟨|M|⟩
+    phi2_mean: jax.Array  # (C,) running ⟨φ²⟩ (site-averaged)
+    act_mean: jax.Array   # (C,) running ⟨s⟩ action density (site-averaged)
+    corr_mean: jax.Array  # (C, L0) running ⟨s̄(t)·s̄(0)⟩, s̄ = slice mean
+    runs: jax.Array       # (C,) uint32
+    dtau: jax.Array       # (C,)
+    stab_cnt: jax.Array   # (C,) int32
+    lrg_vl: jax.Array     # (C,)
+    step: jax.Array       # () uint32
+
+
+def init_field_state(cfg: FieldConfig) -> FieldState:
+    C = cfg.n_chains
+    dtype = cfg.jdtype
+    shape = (C,) + tuple(cfg.shape)
+    z = rng.normal_for_shape(cfg.seed, rng.Stream.INIT, 0, shape).astype(dtype)
+    phi = jnp.sqrt(jnp.asarray(2.0 * cfg.dtau, dtype)) * z
+    zc = jnp.zeros((C,), dtype)
+    return FieldState(
+        phi=phi,
+        mag_mean=zc,
+        mag2_mean=zc,
+        absmag_mean=zc,
+        phi2_mean=zc,
+        act_mean=zc,
+        corr_mean=jnp.zeros((C, cfg.shape[0]), dtype),
+        runs=jnp.zeros((C,), jnp.uint32),
+        dtau=jnp.full((C,), cfg.dtau, dtype),
+        stab_cnt=jnp.zeros((C,), jnp.int32),
+        lrg_vl=jnp.max(jnp.abs(phi), axis=tuple(range(1, phi.ndim))),
+        step=jnp.uint32(1),
+    )
+
+
+def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
+    C = cfg.n_chains
+    shape = tuple(cfg.shape)
+    ndim = len(shape)
+    dtype = cfg.jdtype
+    a = cfg.spacing
+    measure = a**ndim
+    c_amp = jnp.asarray(cfg.noise_amp, dtype)
+    clamp = jnp.asarray(cfg.clamp, dtype)
+    lat_axes = tuple(range(1, ndim + 1))
+    nonzero_axes = tuple(range(2, ndim + 1))  # lattice axes except dim 0
+
+    def frame(state: FieldState):
+        def micro_step(carry, _):
+            phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step = carry
+
+            eta = rng.normal_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, (C,) + shape
+            ).astype(dtype)
+            noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
+                (C,) + (1,) * ndim
+            ) * eta
+
+            det = action.drift(phi, a, ndim).astype(dtype) * state.dtau.reshape(
+                (C,) + (1,) * ndim
+            )
+            new_raw = phi + det + noise
+            newphi = jnp.clip(new_raw, -clamp, clamp)
+            newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+
+            max_det = jnp.max(jnp.abs(det), axis=lat_axes)
+            bad = ~jnp.all(jnp.isfinite(new_raw), axis=lat_axes)
+            tripped = (max_det > lrgvl) | bad
+
+            # observables sample the pre-update field
+            mag = jnp.mean(phi, axis=lat_axes)
+            phi2 = jnp.mean(phi * phi, axis=lat_axes)
+            act_d = jnp.mean(
+                action.action_density(phi, a, ndim).astype(dtype), axis=lat_axes
+            )
+            s_slice = jnp.mean(phi, axis=nonzero_axes)  # (C, L0)
+            corr = s_slice * s_slice[:, :1]
+
+            n = (
+                state.runs.astype(jnp.float32)
+                + (step - state.step).astype(jnp.float32)
+                + 1.0
+            ).astype(dtype)
+            mm2 = mm + (mag - mm) / n
+            m2m2 = m2m + (mag * mag - m2m) / n
+            amm2 = amm + (jnp.abs(mag) - amm) / n
+            p2m2 = p2m + (phi2 - p2m) / n
+            am2 = am + (act_d - am) / n
+            cm2 = cm + (corr - cm) / n[:, None]
+
+            lrgvl2 = jnp.maximum(lrgvl, jnp.max(jnp.abs(newphi), axis=lat_axes))
+
+            u = unstable.reshape((C,) + (1,) * ndim)
+            phi = jnp.where(u, phi, newphi)
+            keep = lambda new, old: jnp.where(unstable, old, new)
+            mm = keep(mm2, mm)
+            m2m = keep(m2m2, m2m)
+            amm = keep(amm2, amm)
+            p2m = keep(p2m2, p2m)
+            am = keep(am2, am)
+            cm = jnp.where(unstable[:, None], cm, cm2)
+            lrgvl = keep(lrgvl2, lrgvl)
+            unstable = unstable | tripped
+            return (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step + 1), None
+
+        init = (
+            state.phi,
+            state.mag_mean,
+            state.mag2_mean,
+            state.absmag_mean,
+            state.phi2_mean,
+            state.act_mean,
+            state.corr_mean,
+            jnp.zeros((C,), bool),
+            state.lrg_vl,
+            state.step,
+        )
+        (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step_end), _ = lax.scan(
+            micro_step, init, None, length=cfg.loops
+        )
+
+        accept = ~unstable
+        au = accept.reshape((C,) + (1,) * ndim)
+        phi = jnp.where(au, phi, state.phi)
+        sel = lambda new, old: jnp.where(accept, new, old)
+        mm = sel(mm, state.mag_mean)
+        m2m = sel(m2m, state.mag2_mean)
+        amm = sel(amm, state.absmag_mean)
+        p2m = sel(p2m, state.phi2_mean)
+        am = sel(am, state.act_mean)
+        cm = jnp.where(accept[:, None], cm, state.corr_mean)
+        lrgvl = sel(lrgvl, state.lrg_vl)
+        runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+
+        grow = accept & (state.stab_cnt >= cfg.grow_after)
+        dtau = jnp.where(
+            grow,
+            state.dtau / cfg.shrink,
+            jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+        )
+        if cfg.dtau_max is not None:
+            dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, dtype))
+        stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
+
+        new_state = FieldState(
+            phi=phi,
+            mag_mean=mm,
+            mag2_mean=m2m,
+            absmag_mean=amm,
+            phi2_mean=p2m,
+            act_mean=am,
+            corr_mean=cm,
+            runs=runs,
+            dtau=dtau,
+            stab_cnt=stab_cnt,
+            lrg_vl=lrgvl,
+            step=step_end,
+        )
+        metrics = {"stable": accept, "dtau": dtau, "max_phi": lrgvl}
+        return new_state, metrics
+
+    return frame
+
+
+@partial(jax.jit, static_argnames=("action", "cfg", "n_frames"))
+def run_field_frames(state: FieldState, action: FieldAction, cfg: FieldConfig, n_frames: int):
+    frame = make_field_frame_fn(action, cfg)
+    return lax.scan(lambda s, _: frame(s), state, None, length=n_frames)
+
+
+def susceptibility(state: FieldState, volume: int) -> jax.Array:
+    """χ = V·(⟨M²⟩ − ⟨|M|⟩²) per chain."""
+    return volume * (state.mag2_mean - state.absmag_mean**2)
+
+
+def reset_field_means(state: FieldState) -> FieldState:
+    zc = jnp.zeros_like(state.mag_mean)
+    return state._replace(
+        mag_mean=zc,
+        mag2_mean=zc,
+        absmag_mean=zc,
+        phi2_mean=zc,
+        act_mean=zc,
+        corr_mean=jnp.zeros_like(state.corr_mean),
+        runs=jnp.zeros_like(state.runs),
+    )

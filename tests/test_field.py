@@ -1,0 +1,90 @@
+"""D-dim field integrator tests: free-field exact ⟨φ²⟩ (with EM bias),
+determinism, and observable sanity."""
+
+import numpy as np
+
+from stochquant_tpu.actions import phi4
+from stochquant_tpu.config import FieldConfig
+from stochquant_tpu.integrators import field
+from stochquant_tpu.observables import exact
+
+
+def test_free_field_2d_phi2_matches_exact():
+    cfg = FieldConfig(
+        action="free_field",
+        shape=(16, 16),
+        spacing=1.0,
+        dtau=0.05,
+        n_chains=64,
+        loops=100,
+        seed=21,
+        grow_after=10**9,  # freeze Δτ for the exact comparison
+    )
+    act = phi4.get_field("free_field", m2=1.0)
+    state = field.init_field_state(cfg)
+    state, _ = field.run_field_frames(state, act, cfg, 20)  # burn-in
+    state = field.reset_field_means(state)
+    state, metrics = field.run_field_frames(state, act, cfg, 60)
+    assert np.all(np.asarray(metrics["stable"]))
+    theory = exact.free_field_x2(cfg.shape, cfg.spacing, 1.0, dtau=cfg.dtau)
+    est = np.asarray(state.phi2_mean, np.float64)
+    err = est.std() / np.sqrt(cfg.n_chains)
+    assert abs(est.mean() - theory) < 5 * err + 5e-4, (est.mean(), theory, err)
+
+
+def test_field_determinism():
+    cfg = FieldConfig(
+        action="phi4", shape=(8, 8, 8), dtau=0.01, n_chains=2, loops=10, seed=4
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    a, _ = field.run_field_frames(s0, act, cfg, 6)
+    b1, _ = field.run_field_frames(s0, act, cfg, 3)
+    b2, _ = field.run_field_frames(b1, act, cfg, 3)
+    for x, y in zip(a, b2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_broken_phase_magnetization():
+    """φ⁴ with m²<0 magnetizes: ⟨|M|⟩ well above the symmetric-phase value."""
+    cfg = FieldConfig(
+        action="phi4",
+        shape=(16, 16),
+        dtau=0.02,
+        n_chains=16,
+        loops=200,
+        seed=9,
+        grow_after=10**9,
+    )
+    act = phi4.get_field("phi4", m2=-2.0, lam=6.0)
+    state = field.init_field_state(cfg)
+    state, _ = field.run_field_frames(state, act, cfg, 30)
+    state = field.reset_field_means(state)
+    state, _ = field.run_field_frames(state, act, cfg, 30)
+    absmag = np.asarray(state.absmag_mean).mean()
+    # minima at phi^2 = -6 m2 / lam = 2 → |M| ≈ 1.41 up to fluctuations
+    assert absmag > 0.8, absmag
+    chi = np.asarray(field.susceptibility(state, 16 * 16))
+    assert np.all(np.isfinite(chi))
+
+
+def test_correlator_slice_shape_and_symmetry():
+    cfg = FieldConfig(
+        action="free_field",
+        shape=(12, 12),
+        dtau=0.05,
+        n_chains=32,
+        loops=100,
+        seed=2,
+        grow_after=10**9,
+    )
+    act = phi4.get_field("free_field", m2=0.5)
+    state = field.init_field_state(cfg)
+    state, _ = field.run_field_frames(state, act, cfg, 10)
+    state = field.reset_field_means(state)
+    state, _ = field.run_field_frames(state, act, cfg, 40)
+    corr = np.asarray(state.corr_mean, np.float64).mean(axis=0)
+    assert corr.shape == (12,)
+    assert corr[0] > 0
+    # periodic lattice: C(t) ≈ C(L−t)
+    np.testing.assert_allclose(corr[1:], corr[1:][::-1], rtol=0.5, atol=0.02)
