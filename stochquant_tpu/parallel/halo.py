@@ -1,0 +1,280 @@
+"""Explicit domain decomposition: shard_map + ring ``ppermute`` halo exchange.
+
+parallel/mesh.py's GSPMD path lets XLA partition the ``jnp.roll`` stencil
+automatically.  This module is the manually-scheduled equivalent (SURVEY.md
+§2.5 "ring / neighbor-exchange"): each shard owns a contiguous lattice block,
+exchanges 1-site-wide edge slices with its ring neighbours over ICI
+(`lax.ppermute` — stencil radius 1, the analog of ``tau_kernel.cl:114``'s
+neighbour reads), and updates its block locally.  The halo sends are issued
+before any local math that needs them, so XLA's latency-hiding scheduler
+overlaps the collective-permute with the interior drift computation.
+
+Bitwise-identical to the unsharded integrator (tests/test_halo.py): noise is
+keyed by global coordinates, halo values are exact copies, and per-chain
+reductions use max/psum trees that are exact (max) or tolerance-tested (sum).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from stochquant_tpu import rng
+from stochquant_tpu.actions.phi4 import FieldAction
+from stochquant_tpu.config import FieldConfig
+from stochquant_tpu.integrators.field import FieldState
+
+__all__ = ["halo_shifted", "make_halo_runner"]
+
+
+def halo_shifted(x, axis: int, mesh_axis: str | None):
+    """(x shifted −1, x shifted +1) along ``axis`` with periodic wraparound
+    across the shard ring.
+
+    Returns (up, down) where up[i] = x[i+1] and down[i] = x[i−1] in *global*
+    coordinates.  For an unsharded axis this is plain ``jnp.roll``; for a
+    sharded axis the wrap elements come from ring neighbours via
+    ``lax.ppermute`` (the SPMD halo exchange over ICI).
+    """
+    if mesh_axis is None:
+        return jnp.roll(x, -1, axis), jnp.roll(x, 1, axis)
+    n = lax.axis_size(mesh_axis)
+    if n == 1:
+        return jnp.roll(x, -1, axis), jnp.roll(x, 1, axis)
+    first = lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
+    # my right halo = left edge of my right neighbour (src i+1 → dst i);
+    # issue both sends up front so they overlap with local compute.
+    right_halo = lax.ppermute(first, mesh_axis, [((i + 1) % n, i) for i in range(n)])
+    left_halo = lax.ppermute(last, mesh_axis, [((i - 1) % n, i) for i in range(n)])
+    body_up = lax.slice_in_dim(x, 1, x.shape[axis], axis=axis)
+    body_down = lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)
+    up = jnp.concatenate([body_up, right_halo], axis=axis)
+    down = jnp.concatenate([left_halo, body_down], axis=axis)
+    return up, down
+
+
+def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
+    """Build ``run(state, n_frames) -> (state, metrics)`` executing the field
+    frame loop under shard_map with explicit halo exchange.
+
+    ``cfg.mesh_axes`` names the mesh axis for each lattice dimension (None =
+    unsharded); ``cfg.mesh_chain_axis`` optionally shards chains.  State must
+    be placed with ``parallel.shard_field_state`` using the same cfg.
+    """
+    if cfg.mesh_axes is None:
+        raise ValueError("cfg.mesh_axes required for the halo runner")
+    ndim = cfg.ndim
+    shape = tuple(cfg.shape)
+    ca = cfg.mesh_chain_axis
+    lat_axes_spec = tuple(cfg.mesh_axes)
+    dtype = cfg.jdtype
+    a = cfg.spacing
+    measure = a**ndim
+    inv_a2 = 1.0 / (a * a)
+    c_amp = jnp.asarray(cfg.noise_amp, dtype)
+    clamp = jnp.asarray(cfg.clamp, dtype)
+
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    local_shape = tuple(
+        s // (axis_sizes[ax] if ax else 1) for s, ax in zip(shape, lat_axes_spec)
+    )
+    for s, ls, ax in zip(shape, local_shape, lat_axes_spec):
+        if ax and ls * axis_sizes[ax] != s:
+            raise ValueError(f"lattice dim {s} not divisible by mesh axis {ax}")
+    c_local = cfg.n_chains // (axis_sizes[ca] if ca else 1)
+    volume = float(np.prod(shape))
+    lat_reduce = tuple(range(1, ndim + 1))
+    nonzero_reduce = tuple(range(2, ndim + 1))
+    lat_mesh_axes = tuple(ax for ax in lat_axes_spec if ax)
+
+    def psum_lat(v):
+        return lax.psum(v, lat_mesh_axes) if lat_mesh_axes else v
+
+    def pmax_lat(v):
+        return lax.pmax(v, lat_mesh_axes) if lat_mesh_axes else v
+
+    def local_offsets():
+        ch_off = (lax.axis_index(ca) * c_local) if ca else 0
+        lat_off = tuple(
+            (lax.axis_index(ax) * ls) if ax else 0
+            for ax, ls in zip(lat_axes_spec, local_shape)
+        )
+        return ch_off, lat_off
+
+    def laplacian(phi):
+        lap = jnp.zeros_like(phi)
+        for d in range(ndim):
+            up, down = halo_shifted(phi, d + 1, lat_axes_spec[d])
+            lap = lap + (up + down - 2.0 * phi)
+        return lap * inv_a2
+
+    def action_density_local(phi):
+        """Local block's action density using forward differences with halos."""
+        kin = jnp.zeros_like(phi)
+        for d in range(ndim):
+            up, _ = halo_shifted(phi, d + 1, lat_axes_spec[d])
+            diff = up - phi
+            kin = kin + 0.5 * diff * diff * inv_a2
+        return kin + action.V(phi)
+
+    state_spec = FieldState(
+        phi=P(ca, *lat_axes_spec),
+        mag_mean=P(ca), mag2_mean=P(ca), absmag_mean=P(ca),
+        phi2_mean=P(ca), act_mean=P(ca),
+        corr_mean=P(ca, lat_axes_spec[0]),
+        runs=P(ca), dtau=P(ca), stab_cnt=P(ca), lrg_vl=P(ca), step=P(),
+    )
+    metrics_spec = {"stable": P(None, ca), "dtau": P(None, ca), "max_phi": P(None, ca)}
+
+    def frame(state: FieldState):
+        ch_off, lat_off = local_offsets()
+
+        def micro_step(carry, _):
+            phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step = carry
+
+            eta = rng.normal_for_shape(
+                cfg.seed,
+                rng.Stream.FIELD,
+                step,
+                (c_local,) + local_shape,
+                global_lattice_shape=shape,
+                chain_offset=ch_off,
+                lattice_offsets=lat_off,
+            ).astype(dtype)
+            noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
+                (c_local,) + (1,) * ndim
+            ) * eta
+
+            det = (laplacian(phi) - action.dV(phi).astype(dtype)) * state.dtau.reshape(
+                (c_local,) + (1,) * ndim
+            )
+            new_raw = phi + det + noise
+            newphi = jnp.clip(new_raw, -clamp, clamp)
+            newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+
+            max_det = pmax_lat(jnp.max(jnp.abs(det), axis=lat_reduce))
+            # pmax over int-cast booleans: "any non-finite value anywhere"
+            anybad = pmax_lat(
+                (~jnp.all(jnp.isfinite(new_raw), axis=lat_reduce)).astype(jnp.int32)
+            ) > 0
+            tripped = (max_det > lrgvl) | anybad
+
+            mag = psum_lat(jnp.sum(phi, axis=lat_reduce)) / volume
+            phi2 = psum_lat(jnp.sum(phi * phi, axis=lat_reduce)) / volume
+            act_d = psum_lat(
+                jnp.sum(action_density_local(phi).astype(dtype), axis=lat_reduce)
+            ) / volume
+
+            # time-slice mean over non-0 dims: (C_loc, L0_loc)
+            n_per_slice = volume / shape[0]
+            s_slice = jnp.sum(phi, axis=nonzero_reduce)
+            if lat_mesh_axes:
+                other_axes = tuple(ax for ax in lat_axes_spec[1:] if ax)
+                if other_axes:
+                    s_slice = lax.psum(s_slice, other_axes)
+            s_slice = s_slice / n_per_slice
+            ax0 = lat_axes_spec[0]
+            if ax0:
+                contrib = jnp.where(
+                    lax.axis_index(ax0) == 0, s_slice[:, :1], jnp.zeros_like(s_slice[:, :1])
+                )
+                s0 = lax.psum(contrib, ax0)
+            else:
+                s0 = s_slice[:, :1]
+            corr = s_slice * s0
+
+            n = (
+                state.runs.astype(jnp.float32)
+                + (step - state.step).astype(jnp.float32)
+                + 1.0
+            ).astype(dtype)
+            mm2 = mm + (mag - mm) / n
+            m2m2 = m2m + (mag * mag - m2m) / n
+            amm2 = amm + (jnp.abs(mag) - amm) / n
+            p2m2 = p2m + (phi2 - p2m) / n
+            am2 = am + (act_d - am) / n
+            cm2 = cm + (corr - cm) / n[:, None]
+
+            lrgvl2 = jnp.maximum(
+                lrgvl, pmax_lat(jnp.max(jnp.abs(newphi), axis=lat_reduce))
+            )
+
+            u = unstable.reshape((c_local,) + (1,) * ndim)
+            phi = jnp.where(u, phi, newphi)
+            keep = lambda new, old: jnp.where(unstable, old, new)
+            mm = keep(mm2, mm)
+            m2m = keep(m2m2, m2m)
+            amm = keep(amm2, amm)
+            p2m = keep(p2m2, p2m)
+            am = keep(am2, am)
+            cm = jnp.where(unstable[:, None], cm, cm2)
+            lrgvl = jnp.where(unstable, lrgvl, lrgvl2)
+            unstable = unstable | tripped
+            return (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step + 1), None
+
+        init = (
+            state.phi, state.mag_mean, state.mag2_mean, state.absmag_mean,
+            state.phi2_mean, state.act_mean, state.corr_mean,
+            jnp.zeros((c_local,), bool), state.lrg_vl, state.step,
+        )
+        (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step_end), _ = lax.scan(
+            micro_step, init, None, length=cfg.loops
+        )
+
+        accept = ~unstable
+        au = accept.reshape((c_local,) + (1,) * ndim)
+        phi = jnp.where(au, phi, state.phi)
+        sel = lambda new, old: jnp.where(accept, new, old)
+        mm = sel(mm, state.mag_mean)
+        m2m = sel(m2m, state.mag2_mean)
+        amm = sel(amm, state.absmag_mean)
+        p2m = sel(p2m, state.phi2_mean)
+        am = sel(am, state.act_mean)
+        cm = jnp.where(accept[:, None], cm, state.corr_mean)
+        lrgvl = sel(lrgvl, state.lrg_vl)
+        runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+
+        grow = accept & (state.stab_cnt >= cfg.grow_after)
+        dtau = jnp.where(
+            grow,
+            state.dtau / cfg.shrink,
+            jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+        )
+        if cfg.dtau_max is not None:
+            dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, dtype))
+        stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
+
+        new_state = FieldState(
+            phi=phi, mag_mean=mm, mag2_mean=m2m, absmag_mean=amm,
+            phi2_mean=p2m, act_mean=am, corr_mean=cm,
+            runs=runs, dtau=dtau, stab_cnt=stab_cnt, lrg_vl=lrgvl, step=step_end,
+        )
+        metrics = {"stable": accept, "dtau": dtau, "max_phi": lrgvl}
+        return new_state, metrics
+
+    _cache = {}
+
+    def _runner(n_frames: int):
+        if n_frames not in _cache:
+            sharded = shard_map(
+                lambda s: lax.scan(lambda st, _: frame(st), s, None, length=n_frames),
+                mesh=mesh,
+                in_specs=(state_spec,),
+                out_specs=(state_spec, metrics_spec),
+                check_vma=False,
+            )
+            _cache[n_frames] = jax.jit(sharded)
+        return _cache[n_frames]
+
+    def run(state: FieldState, n_frames: int):
+        return _runner(n_frames)(state)
+
+    return run

@@ -1,0 +1,84 @@
+"""Explicit shard_map halo-exchange runner vs the single-device integrator:
+field trajectory bitwise, observables to float tolerance."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from stochquant_tpu.actions import phi4
+from stochquant_tpu.config import FieldConfig
+from stochquant_tpu.integrators import field
+from stochquant_tpu.parallel import make_mesh, shard_field_state
+from stochquant_tpu.parallel.halo import halo_shifted, make_halo_runner
+
+
+@pytest.mark.parametrize(
+    "mesh_axes,mesh_shape,chain_ax",
+    [
+        (("x", None), [("x", 4)], None),
+        (("x", "y"), [("x", 2), ("y", 2)], None),
+        (("x", "y"), [("chain", 2), ("x", 2), ("y", 2)], "chain"),
+    ],
+)
+def test_halo_runner_matches_unsharded(mesh_axes, mesh_shape, chain_ax):
+    cfg = FieldConfig(
+        action="phi4",
+        shape=(16, 16),
+        dtau=0.01,
+        n_chains=4,
+        loops=8,
+        seed=77,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    ref, ref_metrics = field.run_field_frames(s0, act, cfg, 3)
+
+    cfg_sh = dataclasses.replace(
+        cfg, mesh_axes=mesh_axes, mesh_chain_axis=chain_ax
+    )
+    mesh = make_mesh(mesh_shape)
+    runner = make_halo_runner(act, cfg_sh, mesh)
+    s0_sh = shard_field_state(s0, mesh, cfg_sh)
+    out, out_metrics = runner(s0_sh, 3)
+
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    np.testing.assert_array_equal(
+        np.asarray(ref_metrics["stable"]), np.asarray(out_metrics["stable"])
+    )
+    for name in ["mag_mean", "phi2_mean", "act_mean"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(out, name)),
+            rtol=1e-5,
+            atol=1e-7,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.corr_mean), np.asarray(out.corr_mean), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_halo_runner_4d():
+    cfg = FieldConfig(
+        action="free_field",
+        shape=(4, 4, 4, 4),
+        dtau=0.02,
+        n_chains=2,
+        loops=5,
+        seed=5,
+        mesh_axes=("x", None, "y", None),
+    )
+    act = phi4.get_field("free_field")
+    s0 = field.init_field_state(cfg)
+    cfg_ref = dataclasses.replace(cfg, mesh_axes=None)
+    ref, _ = field.run_field_frames(s0, act, cfg_ref, 2)
+
+    mesh = make_mesh([("x", 2), ("y", 2)])
+    runner = make_halo_runner(act, cfg, mesh)
+    s0_sh = shard_field_state(s0, mesh, cfg)
+    out, _ = runner(s0_sh, 2)
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    np.testing.assert_allclose(
+        np.asarray(ref.phi2_mean), np.asarray(out.phi2_mean), rtol=1e-5, atol=1e-7
+    )
