@@ -1,0 +1,327 @@
+"""Fused Pallas TPU kernel for batched 1-D Langevin chains.
+
+This is the TPU-native replacement for the reference's ``time_dev`` OpenCL
+kernel (``tau_kernel.cl:25-175``): one kernel launch runs the whole
+``loops`` micro-step frame — RNG (K9), EM update (K2), boundary handling
+(K3), collective-coordinate update (K4), divergence detection (K5) and
+running-mean observables (K6) — entirely in VMEM, with the double-buffer
+swap (K7) replaced by a functional ``fori_loop`` carry.
+
+Layout: chains on sublanes, Euclidean-time sites on lanes, padded to a
+multiple of 128; a grid dimension tiles large chain batches.  Noise uses
+the same Threefry counters as rng.py keyed by *global* (chain, site, step),
+so kernel trajectories are bit-compatible with the XLA integrator path
+(tests/test_chain_kernel.py) and invariant under chain-block tiling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stochquant_tpu import rng
+from stochquant_tpu.actions.base import QMAction
+from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation
+from stochquant_tpu.integrators.langevin import ChainState, _reflect
+
+__all__ = ["run_frames_pallas", "chain_frame_pallas"]
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
+    """Kernel body for one frame over a (cb, np_) chain block."""
+    N = cfg.n_sites
+    dt = cfg.dt
+    mid = N // 2
+    f32 = np.float32  # build-time constants must be host scalars, not 0-d jax arrays
+    inv_dt2 = f32(action.mass / (dt * dt))
+    c_amp = f32(cfg.noise_amp)
+    clamp = f32(cfg.clamp)
+    zm_const = f32(action.zero_mode_const())
+    background = cfg.formulation == Formulation.BACKGROUND
+    has_zm = background and action.has_zero_mode
+    upper = f32((N - 1) * dt)
+    asym_l = f32(action.boundary_asymptote(-1))
+    asym_r = f32(action.boundary_asymptote(+1))
+
+    def kernel(
+        scalars_ref,  # SMEM (3,): seed, step_base, chain_offset (uint32)
+        f_ref, om_ref, xm_ref, xxm_ref, x2m_ref, lrg_ref, dtau_ref, runs_ref,
+        fo_ref, omo_ref, xmo_ref, xxmo_ref, x2mo_ref, lrgo_ref, unst_ref,
+    ):
+        g = pl.program_id(0)
+        seed = scalars_ref[0]
+        step0 = scalars_ref[1]
+        chain0 = scalars_ref[2] + jnp.uint32(g * cb)
+
+        col = lax.broadcasted_iota(jnp.uint32, (cb, np_), 1)
+        colf = lax.broadcasted_iota(jnp.int32, (cb, np_), 1).astype(f32)
+        mask = col < jnp.uint32(N)
+        is_left = col == jnp.uint32(0)
+        is_right = col == jnp.uint32(N - 1)
+        chain_ids = lax.broadcasted_iota(jnp.uint32, (cb, np_), 0) + chain0
+        chain_col = lax.broadcasted_iota(jnp.uint32, (cb, 1), 0) + chain0
+        t_grid = colf * f32(dt)
+        k1_field = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(
+            chain_ids, jnp.uint32(8)
+        )
+        k1_om = jnp.uint32(rng.Stream.COLLECTIVE) ^ lax.shift_left(
+            chain_col, jnp.uint32(8)
+        )
+
+        dtau = dtau_ref[:]          # (cb, 1)
+        runs_f = runs_ref[:]        # (cb, 1) float32 count of prior samples
+        noise_amp = c_amp * jnp.sqrt(2.0 * dtau / f32(dt))
+        om_noise_amp = zm_const * c_amp * jnp.sqrt(2.0 * dtau)
+
+        def x_cl(om):
+            """Background field on the padded grid; (cb,1) om broadcasts."""
+            return action.x_cl(t_grid, om).astype(f32)
+
+        def ghost_vals(om):
+            if cfg.bc != BoundaryCondition.FIXED_BG:
+                z = jnp.zeros_like(om)
+                return z, z
+            if background:
+                gl = asym_l - action.x_cl(f32(-dt), om).astype(f32)
+                gr = asym_r - action.x_cl(f32(N * dt), om).astype(f32)
+            else:
+                gl = jnp.full_like(om, asym_l)
+                gr = jnp.full_like(om, asym_r)
+            return gl, gr
+
+        def neighbor_sum(f, om):
+            if cfg.bc == BoundaryCondition.PERIODIC:
+                # lane roll with the wraparound landing at col N−1/0; padded
+                # columns receive garbage that the mask discards, but the
+                # *edge* columns must read the true periodic partner.
+                up = pltpu.roll(f, np_ - 1, 1)
+                down = pltpu.roll(f, 1, 1)
+                f_first = jnp.broadcast_to(f[:, 0:1], (cb, np_))
+                f_last = jnp.broadcast_to(f[:, N - 1 : N], (cb, np_))
+                up = jnp.where(is_right, f_first, up)
+                down = jnp.where(is_left, f_last, down)
+                return up + down
+            gl, gr = ghost_vals(om)
+            up = jnp.where(is_right, jnp.broadcast_to(gr, (cb, np_)), pltpu.roll(f, np_ - 1, 1))
+            down = jnp.where(is_left, jnp.broadcast_to(gl, (cb, np_)), pltpu.roll(f, 1, 1))
+            return up + down
+
+        # State lives in the *output* VMEM refs, updated in place each
+        # micro-step: a carry-free loop keeps Mosaic's register pressure flat
+        # (array-valued fori_loop carries blow up vector allocation).
+        def body(j, _):
+            f = fo_ref[:]
+            om = omo_ref[:]
+            xm = xmo_ref[:]
+            xxm = xxmo_ref[:]
+            x2m = x2mo_ref[:]
+            lrg = lrgo_ref[:]
+            unst = unst_ref[:] > 0
+            step = step0 + j
+
+            b0, b1 = rng.threefry2x32(seed, k1_field, col, step)
+            u1 = rng.uniform_from_bits(b0)
+            u2 = rng.uniform_from_bits(b1)
+            eta = jnp.sqrt(f32(-2.0) * jnp.log(u1)) * jnp.cos(
+                f32(rng._TWO_PI) * u2
+            )
+            noise = noise_amp * eta
+
+            nbsum = neighbor_sum(f, om)
+            lap = (nbsum - 2.0 * f) * inv_dt2
+            if background:
+                curv = action.ddV(x_cl(om)).astype(f32)
+                drift = lap - curv * f
+            else:
+                drift = lap - action.dV(f).astype(f32)
+            det = drift * dtau
+            new_raw = f + det + noise
+            newf = jnp.clip(new_raw, -clamp, clamp)
+            newf = jnp.where(jnp.isfinite(new_raw), newf, clamp)
+            if cfg.bc == BoundaryCondition.DIRICHLET:
+                newf = jnp.where(is_left | is_right, f32(0.0), newf)
+            newf = jnp.where(mask, newf, f32(0.0))
+
+            absdet = jnp.where(mask, jnp.abs(det), f32(0.0))
+            max_det = jnp.max(absdet, axis=1, keepdims=True)
+            bad = jnp.sum(
+                jnp.where(mask & ~jnp.isfinite(new_raw), f32(1.0), f32(0.0)),
+                axis=1,
+                keepdims=True,
+            ) > 0.0
+            tripped = (max_det > lrg) | bad
+
+            if background:
+                bg = x_cl(om)
+                x = f + bg
+                x_new = newf + bg
+            else:
+                x = f
+                x_new = newf
+            n = runs_f + (j + 1).astype(f32)
+            x_mid = jnp.broadcast_to(x[:, mid : mid + 1], (cb, np_))
+            xm2 = jnp.where(mask, xm + (x - xm) / n, f32(0.0))
+            xxm2 = jnp.where(mask, xxm + (x * x_mid - xxm) / n, f32(0.0))
+            x2m2 = jnp.where(mask, x2m + (x * x - x2m) / n, f32(0.0))
+
+            absx_new = jnp.where(mask, jnp.abs(x_new), f32(0.0))
+            lrg2 = jnp.maximum(lrg, jnp.max(absx_new, axis=1, keepdims=True))
+
+            if has_zm:
+                ob0, ob1 = rng.threefry2x32(
+                    seed, k1_om, jnp.zeros((cb, 1), jnp.uint32), step
+                )
+                ou1 = rng.uniform_from_bits(ob0)
+                ou2 = rng.uniform_from_bits(ob1)
+                eta_om = jnp.sqrt(f32(-2.0) * jnp.log(ou1)) * jnp.cos(
+                    f32(rng._TWO_PI) * ou2
+                )
+                om2 = _reflect(om + om_noise_amp * eta_om, upper)
+            else:
+                om2 = om
+
+            fo_ref[:] = jnp.where(unst, f, newf)
+            omo_ref[:] = jnp.where(unst, om, om2)
+            xmo_ref[:] = jnp.where(unst, xm, xm2)
+            xxmo_ref[:] = jnp.where(unst, xxm, xxm2)
+            x2mo_ref[:] = jnp.where(unst, x2m, x2m2)
+            lrgo_ref[:] = jnp.where(unst, lrg, lrg2)
+            unst_ref[:] = (unst | tripped).astype(jnp.int32)
+            return 0
+
+        fo_ref[:] = f_ref[:]
+        omo_ref[:] = om_ref[:]
+        xmo_ref[:] = xm_ref[:]
+        xxmo_ref[:] = xxm_ref[:]
+        x2mo_ref[:] = x2m_ref[:]
+        lrgo_ref[:] = lrg_ref[:]
+        unst_ref[:] = jnp.zeros((cb, 1), jnp.int32)
+        lax.fori_loop(0, cfg.loops, body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _frame_call(action: QMAction, cfg: ChainConfig, cb: int, np_: int, interpret: bool):
+    kernel = _build_frame_kernel(action, cfg, cb, np_)
+    C = cfg.n_chains
+    grid = (C // cb,)
+    blk = lambda: pl.BlockSpec((cb, np_), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    col = lambda: pl.BlockSpec((cb, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # f
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),    # omega
+        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # x_mean
+        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # xx0_mean
+        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # x2_mean
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),    # lrg_vl
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),      # unstable
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[blk(), col(), blk(), blk(), blk(), col(), col(), col()],
+        out_specs=(blk(), col(), blk(), blk(), blk(), col(), col()),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )
+
+
+def _pad_sites(x, np_):
+    pad = np_ - x.shape[-1]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad)))
+
+
+def chain_frame_pallas(
+    state: ChainState, action: QMAction, cfg: ChainConfig, *, block_chains=None, interpret=False
+):
+    """One frame (cfg.loops micro-steps) through the fused kernel, plus the
+    XLA-side accept/reject + adaptive-Δτ epilogue (exactly the frame
+    semantics of integrators/langevin.py)."""
+    C, N = cfg.n_chains, cfg.n_sites
+    np_ = _round_up(N, 128)
+    cb = block_chains or min(C, 256)
+    if C % cb:
+        raise ValueError(f"n_chains={C} not divisible by chain block {cb}")
+    call = _frame_call(action, cfg, cb, np_, interpret)
+
+    scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
+    f, om, xm, xxm, x2m, lrg, unst = call(
+        scalars,
+        _pad_sites(state.f, np_),
+        state.omega[:, None],
+        _pad_sites(state.x_mean, np_),
+        _pad_sites(state.xx0_mean, np_),
+        _pad_sites(state.x2_mean, np_),
+        state.lrg_vl[:, None],
+        state.dtau[:, None],
+        state.runs.astype(jnp.float32)[:, None],
+    )
+    f, xm, xxm, x2m = (a[:, :N] for a in (f, xm, xxm, x2m))
+    om, lrg = om[:, 0], lrg[:, 0]
+    accept = unst[:, 0] == 0
+
+    a1 = accept[:, None]
+    sel = lambda new, old: jnp.where(a1, new, old)
+    f = sel(f, state.f)
+    xm = sel(xm, state.x_mean)
+    xxm = sel(xxm, state.xx0_mean)
+    x2m = sel(x2m, state.x2_mean)
+    om = jnp.where(accept, om, state.omega)
+    lrg = jnp.where(accept, lrg, state.lrg_vl)
+    runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+
+    grow = accept & (state.stab_cnt >= cfg.grow_after)
+    dtau = jnp.where(
+        grow,
+        state.dtau / cfg.shrink,
+        jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+    )
+    if cfg.dtau_max is not None:
+        dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, jnp.float32))
+    stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
+
+    new_state = ChainState(
+        f=f, omega=om, x_mean=xm, xx0_mean=xxm, x2_mean=x2m,
+        runs=runs, dtau=dtau, stab_cnt=stab_cnt, lrg_vl=lrg,
+        step=state.step + jnp.uint32(cfg.loops),
+    )
+    return new_state, {"stable": accept, "dtau": dtau, "max_x": lrg}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("action", "cfg", "n_frames", "block_chains", "interpret")
+)
+def run_frames_pallas(
+    state: ChainState,
+    action: QMAction,
+    cfg: ChainConfig,
+    n_frames: int,
+    block_chains=None,
+    interpret: bool = False,
+):
+    """Drop-in replacement for integrators.langevin.run_frames using the
+    fused kernel for the hot loop."""
+    def step(s, _):
+        return chain_frame_pallas(
+            s, action, cfg, block_chains=block_chains, interpret=interpret
+        )
+
+    return lax.scan(step, state, None, length=n_frames)

@@ -28,6 +28,7 @@ import enum
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -49,7 +50,7 @@ class Stream(enum.IntEnum):
 
 
 _ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
-_PARITY = jnp.uint32(0x1BD11BDA)
+_PARITY = np.uint32(0x1BD11BDA)  # host scalar: jnp scalars become captured consts in Pallas
 
 
 def _rotl(x, r):
@@ -87,7 +88,9 @@ def uniform_from_bits(bits):
     offset so the result is never 0 (safe under ``log``) and never 1.
     """
     top = lax.shift_right_logical(jnp.asarray(bits, jnp.uint32), jnp.uint32(8))
-    return top.astype(jnp.float32) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
+    # route through int32 (exact: top < 2^24) — Mosaic has no uint32→f32 cast
+    top_f = top.astype(jnp.int32).astype(jnp.float32)
+    return top_f * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
 
 
 _TWO_PI = 6.283185307179586

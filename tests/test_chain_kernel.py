@@ -1,0 +1,97 @@
+"""Pallas chain kernel (interpret mode on CPU) vs the XLA integrator:
+identical Threefry counters and op order → trajectories must agree."""
+
+import numpy as np
+import pytest
+
+from stochquant_tpu import actions
+from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation
+from stochquant_tpu.integrators import langevin
+from stochquant_tpu.kernels import chain_kernel
+
+
+CASES = {
+    "double_well_bg": ChainConfig(
+        action="double_well",
+        n_sites=128,  # no padding: strict comparison
+        dt=0.05,
+        dtau=0.001,
+        n_chains=8,
+        loops=20,
+        seed=11,
+    ),
+    "harmonic_periodic": ChainConfig(
+        action="harmonic",
+        n_sites=128,
+        dt=0.2,
+        dtau=0.01,
+        n_chains=8,
+        loops=20,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=12,
+    ),
+    "anharmonic_padded": ChainConfig(
+        action="anharmonic",
+        n_sites=100,  # padded to 128 in-kernel
+        dt=0.3,
+        dtau=0.005,
+        n_chains=8,
+        loops=15,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=13,
+    ),
+    "harmonic_dirichlet": ChainConfig(
+        action="harmonic",
+        n_sites=96,
+        dt=0.2,
+        dtau=0.01,
+        n_chains=8,
+        loops=10,
+        bc=BoundaryCondition.DIRICHLET,
+        formulation=Formulation.DIRECT,
+        seed=14,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_kernel_matches_xla_path(name):
+    cfg = CASES[name]
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    if cfg.bc == BoundaryCondition.DIRICHLET:
+        s0 = s0._replace(f=s0.f.at[:, 0].set(0.0).at[:, -1].set(0.0))
+    ref, ref_m = langevin.run_frames(s0, act, cfg, 3)
+    out, out_m = chain_kernel.run_frames_pallas(
+        s0, act, cfg, 3, block_chains=4, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_m["stable"]), np.asarray(out_m["stable"])
+    )
+    for field in ChainState_fields():
+        a, b = getattr(ref, field), getattr(out, field)
+        np.testing.assert_allclose(
+            np.asarray(a),
+            np.asarray(b),
+            rtol=2e-6,
+            atol=2e-6,
+            err_msg=f"{name}:{field}",
+        )
+
+
+def ChainState_fields():
+    return ["f", "omega", "x_mean", "xx0_mean", "x2_mean", "runs", "dtau", "lrg_vl"]
+
+
+def test_kernel_chain_block_invariance():
+    """Tiling the chain batch into different grid blocks must not change
+    results (noise is keyed by global chain id)."""
+    cfg = CASES["double_well_bg"]
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    a, _ = chain_kernel.run_frames_pallas(s0, act, cfg, 2, block_chains=8, interpret=True)
+    b, _ = chain_kernel.run_frames_pallas(s0, act, cfg, 2, block_chains=2, interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
