@@ -1,0 +1,95 @@
+"""Full-state checkpointing.
+
+The reference checkpoint drops the RNG state and ignores ω on resume
+(tauhost.c:122-124 — flaw F4), so resumed runs are not statistically
+continuous.  Here a checkpoint is the complete ``ChainState``/``FieldState``
+pytree plus the serialized config: resume-then-run is *bitwise* identical to
+an uninterrupted run (tests/test_checkpoint.py).
+
+Format: a single ``.npz`` with one entry per state leaf plus the config
+JSON; portable, mmap-friendly, no external deps.  Interop with the
+reference's "%a" format lives in io/reference_fmt.py / the C++ codec.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Union
+
+import jax
+import numpy as np
+
+from stochquant_tpu.config import ChainConfig, FieldConfig
+from stochquant_tpu.integrators.field import FieldState
+from stochquant_tpu.integrators.langevin import ChainState
+
+_KIND = {"chain": ChainState, "field": FieldState}
+
+
+def save(path, state: Union[ChainState, FieldState], cfg) -> None:
+    kind = "chain" if isinstance(state, ChainState) else "field"
+    payload = {f"state_{name}": np.asarray(leaf) for name, leaf in zip(state._fields, state)}
+    payload["meta"] = np.frombuffer(
+        json.dumps({"kind": kind, "config": cfg.to_json(), "version": 1}).encode(),
+        dtype=np.uint8,
+    )
+    with open(path, "wb") as fh:
+        np.savez(fh, **payload)
+
+
+def load(path):
+    """Returns (state, cfg)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        cls = _KIND[meta["kind"]]
+        leaves = [z[f"state_{name}"] for name in cls._fields]
+    cfg_cls = ChainConfig if meta["kind"] == "chain" else FieldConfig
+    cfg = cfg_cls.from_json(meta["config"])
+    state = cls(*[jax.numpy.asarray(a) for a in leaves])
+    return state, cfg
+
+
+def export_reference(path, state: ChainState, chain: int = 0) -> None:
+    """Write one chain of a ChainState in the reference's "%a" schema so the
+    original tauhost can resume from it (its reader re-randomizes ω and RNG
+    anyway — flaw F4)."""
+    from stochquant_tpu.io import reference_fmt
+    from stochquant_tpu.integrators.langevin import connected_correlator
+
+    corr = np.asarray(connected_correlator(state))[chain]
+    reference_fmt.write(
+        path,
+        xavg=corr,
+        xx0=np.asarray(state.xx0_mean)[chain],
+        x=np.asarray(state.x_mean)[chain],
+        f=np.asarray(state.f)[chain],
+        omega=float(np.asarray(state.omega)[chain]),
+        runs=int(np.asarray(state.runs)[chain]),
+        dtau=float(np.asarray(state.dtau)[chain]),
+    )
+
+
+def import_reference(path, cfg: ChainConfig) -> ChainState:
+    """Load a reference-format checkpoint into a (replicated) ChainState —
+    the cross-validation entry point for data produced by the original code.
+    Reference files carry no RNG state (flaw F4); the imported state starts a
+    fresh counter stream at ``step=0``."""
+    import jax.numpy as jnp
+
+    from stochquant_tpu.io import reference_fmt
+
+    d = reference_fmt.read(path, cfg.n_sites)
+    C = cfg.n_chains
+    rep = lambda a: jnp.broadcast_to(jnp.asarray(a, cfg.jdtype)[None, :], (C, cfg.n_sites))
+    return ChainState(
+        f=rep(d["f"]),
+        omega=jnp.full((C,), d["omega"], cfg.jdtype),
+        x_mean=rep(d["x"]),
+        xx0_mean=rep(d["xx0"]),
+        x2_mean=jnp.zeros((C, cfg.n_sites), cfg.jdtype),
+        runs=jnp.full((C,), d["runs"], jnp.uint32),
+        dtau=jnp.full((C,), min(d["dtau"], cfg.dtau), cfg.jdtype),  # tauhost.c:131-137 clamp
+        stab_cnt=jnp.zeros((C,), jnp.int32),
+        lrg_vl=jnp.max(jnp.abs(rep(d["f"])), axis=-1),
+        step=jnp.uint32(0),
+    )

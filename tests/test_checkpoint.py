@@ -1,0 +1,106 @@
+"""Checkpoint tests: strict resume (run 2k == run k, save, load, run k),
+codec round-trips, and C++-vs-Python reference-format parity."""
+
+import numpy as np
+import pytest
+
+from stochquant_tpu import actions, oracle
+from stochquant_tpu.config import ChainConfig, FieldConfig
+from stochquant_tpu.integrators import field as fieldmod
+from stochquant_tpu.integrators import langevin
+from stochquant_tpu.io import checkpoint, reference_fmt
+from stochquant_tpu.actions import phi4
+
+
+def test_chain_checkpoint_resume_bitwise(tmp_path):
+    cfg = ChainConfig(
+        action="double_well", n_sites=24, dt=0.1, dtau=0.0005, n_chains=3,
+        loops=20, seed=8,
+    )
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    full, _ = langevin.run_frames(s0, act, cfg, 6)
+
+    half, _ = langevin.run_frames(s0, act, cfg, 3)
+    p = tmp_path / "ck.npz"
+    checkpoint.save(p, half, cfg)
+    loaded, cfg2 = checkpoint.load(p)
+    assert cfg2 == cfg
+    resumed, _ = langevin.run_frames(loaded, act, cfg2, 3)
+    for name, a, b in zip(full._fields, full, resumed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_field_checkpoint_resume_bitwise(tmp_path):
+    cfg = FieldConfig(action="phi4", shape=(8, 8), dtau=0.01, n_chains=2, loops=10, seed=3)
+    act = phi4.get_field("phi4")
+    s0 = fieldmod.init_field_state(cfg)
+    full, _ = fieldmod.run_field_frames(s0, act, cfg, 4)
+    half, _ = fieldmod.run_field_frames(s0, act, cfg, 2)
+    p = tmp_path / "ck.npz"
+    checkpoint.save(p, half, cfg)
+    loaded, cfg2 = checkpoint.load(p)
+    resumed, _ = fieldmod.run_field_frames(loaded, act, cfg2, 2)
+    for name, a, b in zip(full._fields, full, resumed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_reference_fmt_roundtrip_python(tmp_path):
+    rng = np.random.default_rng(0)
+    N = 17
+    arrs = [rng.normal(size=N) for _ in range(4)]
+    p = tmp_path / "ref.txt"
+    reference_fmt.write(p, *arrs, omega=1.2345, runs=42000, dtau=3.25e-4)
+    d = reference_fmt.read(p, N)
+    for got, want in zip([d["xavg"], d["xx0"], d["x"], d["f"]], arrs):
+        np.testing.assert_array_equal(got, want)  # hex float: exact
+    assert d["omega"] == 1.2345
+    assert d["runs"] == 42000
+    np.testing.assert_allclose(d["dtau"], 3.25e-4, rtol=1e-15)
+
+
+def test_reference_fmt_cpp_python_parity(tmp_path):
+    """The native codec (C %a) and the Python codec (float.hex) must read
+    each other's files exactly."""
+    rng = np.random.default_rng(1)
+    N = 9
+    arrs = [rng.normal(size=N) for _ in range(4)]
+    p_c = tmp_path / "c.txt"
+    oracle.write_reference_checkpoint(p_c, *arrs, omega=0.7, runs=100, dtau=1e-3, width=30)
+    d_py = reference_fmt.read(p_c, N)
+    for got, want in zip([d_py["xavg"], d_py["xx0"], d_py["x"], d_py["f"]], arrs):
+        np.testing.assert_array_equal(got, want)
+
+    p_py = tmp_path / "py.txt"
+    reference_fmt.write(p_py, *arrs, omega=0.7, runs=100, dtau=1e-3)
+    d_c = oracle.read_reference_checkpoint(p_py, N)
+    for got, want in zip([d_c["xavg"], d_c["xx0"], d_c["x"], d_c["f"]], arrs):
+        np.testing.assert_array_equal(got, want)
+    assert d_c["omega"] == 0.7 and d_c["runs"] == 100
+
+
+def test_import_reference_into_chain_state(tmp_path):
+    cfg = ChainConfig(action="double_well", n_sites=12, dt=0.1, dtau=0.001, n_chains=2)
+    rng = np.random.default_rng(2)
+    arrs = [rng.normal(size=12) for _ in range(4)]
+    p = tmp_path / "ref.txt"
+    reference_fmt.write(p, *arrs, omega=0.55, runs=7, dtau=0.01)
+    st = checkpoint.import_reference(p, cfg)
+    assert st.f.shape == (2, 12)
+    np.testing.assert_allclose(np.asarray(st.f)[0], arrs[3], rtol=1e-6)
+    # dtau clamped to cfg value like tauhost.c:131-137
+    np.testing.assert_allclose(float(np.asarray(st.dtau)[0]), cfg.dtau, rtol=1e-6)
+    act = actions.get(cfg.action)
+    out, _ = langevin.run_frames(st, act, cfg, 1)  # must run
+    assert np.all(np.isfinite(np.asarray(out.f)))
+
+
+def test_export_reference_roundtrip(tmp_path):
+    cfg = ChainConfig(action="double_well", n_sites=16, dt=0.1, dtau=0.0005, n_chains=2, loops=10)
+    act = actions.get(cfg.action)
+    s, _ = langevin.run_frames(langevin.init_chain_state(cfg, act), act, cfg, 2)
+    p = tmp_path / "exp.txt"
+    checkpoint.export_reference(p, s, chain=1)
+    d = reference_fmt.read(p, 16)
+    np.testing.assert_allclose(d["f"], np.asarray(s.f)[1], rtol=1e-7)
+    assert d["runs"] == int(np.asarray(s.runs)[1])
