@@ -1,0 +1,110 @@
+"""Command-line runner — typed replacement for the reference's 13-positional
+argv CLI (``tauhost.c:31-43``) + hand-edited preset dicts (``taumain.py:91-128``).
+
+Examples:
+    python -m stochquant_tpu.cli run --preset double_well --frames 100
+    python -m stochquant_tpu.cli run --preset harmosc --chains 256 --out ck.npz
+    python -m stochquant_tpu.cli run --preset phi4_2d --frames 20
+    python -m stochquant_tpu.cli plot --follow run.jsonl        # live plot
+    python -m stochquant_tpu.cli reference-import --file V0_2e_0-8.txt --preset double_well
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from stochquant_tpu import metrics as metrics_mod
+from stochquant_tpu import runtime
+from stochquant_tpu.config import PRESETS, ChainConfig, FieldConfig
+
+
+def _apply_overrides(cfg, args):
+    updates = {}
+    if args.frames is not None:
+        updates["frames"] = args.frames
+    if args.loops is not None:
+        updates["loops"] = args.loops
+    if args.chains is not None:
+        updates["n_chains"] = args.chains
+    if args.dtau is not None:
+        updates["dtau"] = args.dtau
+    if args.seed is not None:
+        updates["seed"] = args.seed
+    if args.fps is not None:
+        updates["fps"] = args.fps
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def cmd_run(args):
+    if args.preset not in PRESETS:
+        sys.exit(f"unknown preset {args.preset!r}; known: {sorted(PRESETS)}")
+    cfg = _apply_overrides(PRESETS[args.preset], args)
+    sink = metrics_mod.MetricsSink(
+        stream=open(args.metrics, "w") if args.metrics else sys.stdout
+    )
+    common = dict(
+        burn_frames=args.burn,
+        sink=sink,
+        checkpoint_out=args.out,
+        checkpoint_in=args.resume,
+    )
+    if isinstance(cfg, ChainConfig):
+        runtime.run_chain(cfg, backend=args.backend, **common)
+    else:
+        runtime.run_field(cfg, **{k: v for k, v in common.items() if k != "backend"})
+
+
+def cmd_plot(args):
+    from stochquant_tpu import viz
+
+    viz.live_plot(args.follow)
+
+
+def cmd_reference_import(args):
+    from stochquant_tpu.io import checkpoint as ckpt
+
+    cfg = PRESETS[args.preset]
+    if not isinstance(cfg, ChainConfig):
+        sys.exit("reference-import only applies to chain presets")
+    state = ckpt.import_reference(args.file, cfg)
+    ckpt.save(args.out, state, cfg)
+    print(f"imported {args.file} -> {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="stochquant_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a preset simulation")
+    r.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    r.add_argument("--frames", type=int)
+    r.add_argument("--loops", type=int)
+    r.add_argument("--chains", type=int)
+    r.add_argument("--dtau", type=float)
+    r.add_argument("--seed", type=int)
+    r.add_argument("--fps", type=int, help="frames per metrics record")
+    r.add_argument("--burn", type=int, default=0, help="burn-in frames (means reset after)")
+    r.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    r.add_argument("--out", help="checkpoint output path (.npz)")
+    r.add_argument("--resume", help="checkpoint to resume from (.npz)")
+    r.add_argument("--metrics", help="write JSON-lines metrics here instead of stdout")
+    r.set_defaults(fn=cmd_run)
+
+    pl = sub.add_parser("plot", help="live-plot a metrics stream (matplotlib)")
+    pl.add_argument("--follow", required=True, help="metrics .jsonl file to tail")
+    pl.set_defaults(fn=cmd_plot)
+
+    ri = sub.add_parser("reference-import", help="convert a reference %a checkpoint")
+    ri.add_argument("--file", required=True)
+    ri.add_argument("--preset", required=True)
+    ri.add_argument("--out", default="imported.npz")
+    ri.set_defaults(fn=cmd_reference_import)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Complex Langevin known-answer tests: ⟨z²⟩ = 1/σ for the complex Gaussian,
+quadrature cross-check for the quartic model, drift-norm control."""
+
+import numpy as np
+import pytest
+
+from stochquant_tpu.actions import complex_actions
+from stochquant_tpu.integrators import complex_langevin as cl
+
+
+def _run(cfg, action, burn=20, measure=60):
+    s = cl.init_cl_state(cfg)
+    s, _ = cl.run_cl_frames(s, action, cfg, burn)
+    s = cl.reset_cl_means(s)
+    s, m = cl.run_cl_frames(s, action, cfg, measure)
+    return s, m
+
+
+def test_complex_gaussian_z2_matches_exact():
+    act = complex_actions.get_complex("complex_gaussian", sigma_re=1.0, sigma_im=0.5)
+    cfg = cl.ComplexLangevinConfig(
+        n_chains=4096, dtau=2e-3, loops=100, seed=9, grow_after=10**9
+    )
+    s, m = _run(cfg, act)
+    assert np.asarray(m["stable"]).all()
+    got = cl.z2_estimate(s)
+    want = 1.0 / act.sigma
+    re = np.asarray(s.z2r_mean, np.float64)
+    im = np.asarray(s.z2i_mean, np.float64)
+    err = np.hypot(re.std(), im.std()) / np.sqrt(cfg.n_chains)
+    # finite-Δτ bias ~ O(Δτ·|σ|) — include a small systematic allowance
+    assert abs(got - want) < 6 * err + 6 * cfg.dtau, (got, want, err)
+
+
+def test_complex_quartic_z2_matches_quadrature():
+    act = complex_actions.get_complex(
+        "complex_quartic", sigma_re=1.0, sigma_im=1.0, lam=1.0
+    )
+    # exact ⟨z²⟩ by quadrature over the real line with complex weight
+    x = np.linspace(-12, 12, 200001)
+    s_of_x = 0.5 * (1 + 1j) * x**2 + 0.25 * x**4
+    w = np.exp(-s_of_x)
+    want = np.trapezoid(x * x * w, x) / np.trapezoid(w, x)
+
+    cfg = cl.ComplexLangevinConfig(
+        action="complex_quartic",
+        n_chains=8192,
+        dtau=5e-4,
+        loops=200,
+        seed=4,
+        grow_after=10**9,
+    )
+    s, m = _run(cfg, act, burn=20, measure=80)
+    got = cl.z2_estimate(s)
+    re = np.asarray(s.z2r_mean, np.float64)
+    im = np.asarray(s.z2i_mean, np.float64)
+    err = np.hypot(re.std(), im.std()) / np.sqrt(cfg.n_chains)
+    assert abs(got - want) < 8 * err + 0.02, (got, want, err)
+
+
+def test_drift_norm_monitor_records_and_caps():
+    act = complex_actions.get_complex("complex_quartic", lam=5.0)
+    cfg = cl.ComplexLangevinConfig(
+        action="complex_quartic", n_chains=256, dtau=1e-2, loops=50, seed=2,
+        drift_cap=1.0,
+    )
+    s = cl.init_cl_state(cfg)
+    s, m = cl.run_cl_frames(s, act, cfg, 20)
+    assert np.all(np.asarray(s.drift_max) > 0)
+    assert np.all(np.isfinite(np.asarray(s.zr)))
+    assert np.all(np.isfinite(np.asarray(s.zi)))
+
+
+def test_cl_determinism():
+    act = complex_actions.get_complex("complex_gaussian")
+    cfg = cl.ComplexLangevinConfig(n_chains=16, dtau=1e-3, loops=10, seed=5)
+    a, _ = cl.run_cl_frames(cl.init_cl_state(cfg), act, cfg, 4)
+    b1, _ = cl.run_cl_frames(cl.init_cl_state(cfg), act, cfg, 2)
+    b2, _ = cl.run_cl_frames(b1, act, cfg, 2)
+    for x, y in zip(a, b2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

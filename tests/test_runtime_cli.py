@@ -1,0 +1,69 @@
+"""Runtime driver + CLI + metrics smoke tests (CPU, tiny configs)."""
+
+import json
+
+import numpy as np
+
+from stochquant_tpu import cli, metrics, runtime
+from stochquant_tpu.config import ChainConfig, FieldConfig
+
+
+def test_run_chain_with_metrics_and_checkpoint(tmp_path):
+    cfg = ChainConfig(
+        action="harmonic", n_sites=16, dt=0.2, dtau=1e-3, n_chains=4,
+        loops=10, frames=4, fps=2, seed=1,
+    )
+    mpath = tmp_path / "m.jsonl"
+    ck = tmp_path / "ck.npz"
+    with open(mpath, "w") as fh:
+        sink = metrics.MetricsSink(stream=fh)
+        res = runtime.run_chain(cfg, backend="xla", sink=sink, checkpoint_out=str(ck), burn_frames=1)
+    recs = [json.loads(l) for l in open(mpath)]
+    frames = [r for r in recs if r["type"] == "frame"]
+    assert len(frames) == 2  # 4 frames / fps=2
+    assert frames[-1]["percent"] == 100.0
+    assert "log_abs_corr" in frames[-1] and len(frames[-1]["log_abs_corr"]) == 16
+    assert recs[-1]["type"] == "summary" and recs[-1]["total_site_updates"] > 0
+    assert ck.exists()
+
+    # resume from checkpoint through the runtime
+    cfg2 = ChainConfig(**{**cfg.__dict__, "frames": 2})
+    res2 = runtime.run_chain(cfg2, backend="xla", checkpoint_in=str(ck),
+                             sink=metrics.MetricsSink())
+    assert int(np.asarray(res2.state.step)) > int(np.asarray(res.state.step)) - 1
+
+
+def test_run_field_smoke():
+    cfg = FieldConfig(
+        action="phi4", shape=(8, 8), dtau=0.01, n_chains=2, loops=5,
+        frames=2, seed=2,
+    )
+    res = runtime.run_field(cfg, sink=metrics.MetricsSink())
+    assert res.summary["total_site_updates"] == 2 * 64 * 5 * 2
+
+
+def test_cli_run_and_reference_import(tmp_path, capsys):
+    m = tmp_path / "run.jsonl"
+    ck = tmp_path / "out.npz"
+    cli.main([
+        "run", "--preset", "harmosc", "--frames", "2", "--loops", "5",
+        "--chains", "2", "--dtau", "1e-3", "--backend", "xla",
+        "--metrics", str(m), "--out", str(ck),
+    ])
+    assert ck.exists() and m.exists()
+
+    # export a reference-format file then import it via the CLI
+    from stochquant_tpu.io import checkpoint as ckpt
+    from stochquant_tpu.config import PRESETS
+
+    state, cfg = ckpt.load(ck)
+    ref = tmp_path / "ref.txt"
+    ckpt.export_reference(ref, state)
+    out = tmp_path / "imported.npz"
+    cli.main([
+        "reference-import", "--file", str(ref), "--preset", "harmosc",
+        "--out", str(out),
+    ])
+    assert out.exists()
+    st2, _ = ckpt.load(out)
+    assert st2.f.shape[1] == PRESETS["harmosc"].n_sites
