@@ -11,36 +11,51 @@ vs_baseline divides by the measured throughput of the C++ reference oracle
 (the exact reference algorithm, cc/oracle.cpp) on this host's CPU — the
 reference publishes no numbers and its OpenCL build cannot run here
 (BASELINE.md).  All diagnostics go to stderr.
+
+Robustness notes for this environment:
+- the TPU is reached through a tunnel whose remote-compile service can wedge
+  indefinitely → the measurement runs in a watchdogged subprocess with
+  retries;
+- ``block_until_ready`` does not reliably synchronize through the tunnel →
+  every timed call is followed by a host readback of a kernel output, and
+  the median over chained repetitions is reported.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-
-from stochquant_tpu import actions, oracle  # noqa: E402
-from stochquant_tpu.config import ChainConfig  # noqa: E402
-from stochquant_tpu.integrators import langevin  # noqa: E402
-from stochquant_tpu.kernels import chain_kernel  # noqa: E402
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def worker() -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    import numpy as np
+
+    from stochquant_tpu import actions, oracle
+    from stochquant_tpu.config import ChainConfig
+    from stochquant_tpu.integrators import langevin
+    from stochquant_tpu.kernels import chain_kernel
+
     on_tpu = jax.devices()[0].platform != "cpu"
     log(f"devices: {jax.devices()}")
 
     # Reference-derived workload (SURVEY.md §6): double well, N=200 sites,
     # loops=1000; Δτ pinned at the stability-adapted value the reference's
-    # controller converges to (its preset 0.002 is unstable at Δt=0.02 and
-    # gets walked down ×0.95 per rejected frame).
+    # controller converges to (its preset 0.002 is unstable at Δt=0.02).
     n_chains = 65536 if on_tpu else 512
     block = 64 if on_tpu else 32
+    n_frames = 3
+    reps = 4 if on_tpu else 1
     cfg = ChainConfig(
         action="double_well",
         n_sites=200,
@@ -56,35 +71,67 @@ def main():
 
     t0 = time.time()
     state, _ = chain_kernel.run_frames_pallas(
-        state, act, cfg, 1, block_chains=block, interpret=not on_tpu
-    )
-    jax.block_until_ready(state)
-    log(f"warmup (compile + 1 frame): {time.time() - t0:.1f}s")
-
-    n_frames = 3 if on_tpu else 1
-    t0 = time.time()
-    state, metrics = chain_kernel.run_frames_pallas(
         state, act, cfg, n_frames, block_chains=block, interpret=not on_tpu
     )
-    jax.block_until_ready(state)
-    elapsed = time.time() - t0
+    np.asarray(state.lrg_vl)  # force completion through the tunnel
+    log(f"warmup (compile + {n_frames} frames): {time.time() - t0:.1f}s")
+
+    times = []
+    for rep in range(reps):
+        t0 = time.time()
+        state, metrics = chain_kernel.run_frames_pallas(
+            state, act, cfg, n_frames, block_chains=block, interpret=not on_tpu
+        )
+        np.asarray(state.lrg_vl)  # host readback = real completion barrier
+        times.append(time.time() - t0)
+        log(f"rep {rep}: {times[-1]:.3f}s")
+    times.sort()
+    elapsed = times[len(times) // 2]
     updates = cfg.n_chains * cfg.n_sites * cfg.loops * n_frames
     mlups = updates / elapsed / 1e6
-    stable = float(metrics["stable"].mean())
-    log(f"{updates:.3g} site-updates in {elapsed:.3f}s -> {mlups:.0f} MLUPS "
-        f"(stable fraction {stable:.3f})")
+    stable = float(np.asarray(metrics["stable"]).mean())
+    log(f"{updates:.3g} site-updates in {elapsed:.3f}s (median of {reps}) "
+        f"-> {mlups:.0f} MLUPS (stable fraction {stable:.3f})")
 
-    # Reference baseline: the exact reference algorithm on this host's CPU.
-    t0 = time.time()
     ref = oracle.run_reference(200, 0.02, 2e-4, frames=5, loops=1000, seed=7)
     ref_mlups = ref.updates_per_sec / 1e6
-    log(f"oracle baseline: {ref_mlups:.1f} MLUPS (serial CPU, {time.time()-t0:.1f}s)")
+    log(f"oracle baseline: {ref_mlups:.1f} MLUPS (serial CPU)")
 
     print(json.dumps({
         "metric": "double_well_site_updates_per_sec_per_chip",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / ref_mlups, 2),
+    }))
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker()
+        return
+    attempts = 3
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                stdout=subprocess.PIPE,
+                timeout=420,
+            )
+            lines = [l for l in out.stdout.decode().splitlines() if l.strip()]
+            if out.returncode == 0 and lines:
+                print(lines[-1])
+                return
+            log(f"attempt {attempt}: worker exit {out.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"attempt {attempt}: worker timed out (TPU tunnel wedged?)")
+        time.sleep(90)
+    log("all attempts failed")
+    print(json.dumps({
+        "metric": "double_well_site_updates_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "MLUPS",
+        "vs_baseline": 0.0,
+        "error": "benchmark worker failed (TPU tunnel unavailable)",
     }))
 
 
