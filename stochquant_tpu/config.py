@@ -78,6 +78,13 @@ class ChainConfig:
         return cls(**d)
 
 
+class Sweep(enum.IntEnum):
+    """Site-update ordering for field lattices."""
+
+    SYNC = 0          # synchronous full-lattice update (reference semantics)
+    CHECKERBOARD = 1  # even/odd half-sweeps; odd sites see fresh even values
+
+
 @dataclasses.dataclass(frozen=True)
 class FieldConfig:
     """D-dimensional scalar field theory run (2-D / 4-D φ⁴)."""
@@ -85,6 +92,7 @@ class FieldConfig:
     action: str = "phi4"
     shape: Tuple[int, ...] = (256, 256)    # lattice sites per dimension
     spacing: float = 1.0                   # lattice spacing a (isotropic)
+    sweep: "Sweep" = Sweep.SYNC
     dtau: float = 0.01
     n_chains: int = 1
     noise_amp: float = 1.0
@@ -117,6 +125,7 @@ class FieldConfig:
     def from_json(cls, s: str) -> "FieldConfig":
         d = json.loads(s)
         d["shape"] = tuple(d["shape"])
+        d["sweep"] = Sweep(d.get("sweep", 0))
         if d.get("mesh_axes") is not None:
             d["mesh_axes"] = tuple(d["mesh_axes"])
         return cls(**d)

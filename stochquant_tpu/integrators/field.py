@@ -28,7 +28,16 @@ from jax import lax
 
 from stochquant_tpu import rng
 from stochquant_tpu.actions.phi4 import FieldAction
-from stochquant_tpu.config import FieldConfig
+from stochquant_tpu.config import FieldConfig, Sweep
+
+
+def checkerboard_mask(shape, ndim, dtype=bool):
+    """(1, *shape) mask, True on 'even' sites ((Σ coords) % 2 == 0)."""
+    full = (1,) + tuple(shape)
+    s = jnp.zeros(full, jnp.int32)
+    for d in range(1, ndim + 1):
+        s = s + lax.broadcasted_iota(jnp.int32, full, d)
+    return (s % 2 == 0).astype(dtype) if dtype is not bool else (s % 2 == 0)
 
 __all__ = [
     "FieldState",
@@ -89,27 +98,45 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
     clamp = jnp.asarray(cfg.clamp, dtype)
     lat_axes = tuple(range(1, ndim + 1))
     nonzero_axes = tuple(range(2, ndim + 1))  # lattice axes except dim 0
+    checkerboard = cfg.sweep == Sweep.CHECKERBOARD
+    even = checkerboard_mask(shape, ndim) if checkerboard else None
 
     def frame(state: FieldState):
-        def micro_step(carry, _):
+        dtau_b = lambda: state.dtau.reshape((C,) + (1,) * ndim)
+
+        def em_apply(phi, mask, noise):
+            """EM update applied on `mask` sites (None = all), reading the
+            current phi for the stencil; returns (new phi, |det|, finite)."""
+            det = action.drift(phi, a, ndim).astype(dtype) * dtau_b()
+            new_raw = phi + det + noise
+            newphi = jnp.clip(new_raw, -clamp, clamp)
+            newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+            if mask is not None:
+                newphi = jnp.where(mask, newphi, phi)
+                det = jnp.where(mask, det, 0.0)
+                fin = jnp.isfinite(new_raw) | ~mask
+            else:
+                fin = jnp.isfinite(new_raw)
+            return newphi, jnp.abs(det), fin
+
+        def micro_step(carry, eta):
             phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step = carry
 
-            eta = rng.normal_for_shape(
-                cfg.seed, rng.Stream.FIELD, step, (C,) + shape
-            ).astype(dtype)
             noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
                 (C,) + (1,) * ndim
             ) * eta
 
-            det = action.drift(phi, a, ndim).astype(dtype) * state.dtau.reshape(
-                (C,) + (1,) * ndim
-            )
-            new_raw = phi + det + noise
-            newphi = jnp.clip(new_raw, -clamp, clamp)
-            newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+            if checkerboard:
+                # even half-sweep, then odd sites see the fresh even values
+                phi_e, absdet_e, fin_e = em_apply(phi, even, noise)
+                newphi, absdet_o, fin_o = em_apply(phi_e, ~even, noise)
+                absdet = jnp.maximum(absdet_e, absdet_o)
+                fin = fin_e & fin_o
+            else:
+                newphi, absdet, fin = em_apply(phi, None, noise)
 
-            max_det = jnp.max(jnp.abs(det), axis=lat_axes)
-            bad = ~jnp.all(jnp.isfinite(new_raw), axis=lat_axes)
+            max_det = jnp.max(absdet, axis=lat_axes)
+            bad = ~jnp.all(fin, axis=lat_axes)
             tripped = (max_det > lrgvl) | bad
 
             # observables sample the pre-update field
@@ -146,7 +173,17 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             cm = jnp.where(unstable[:, None], cm, cm2)
             lrgvl = keep(lrgvl2, lrgvl)
             unstable = unstable | tripped
-            return (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step + 1), None
+            return (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step + 1)
+
+        def pair_step(carry, _):
+            # two micro-steps per Threefry draw (both Box–Muller outputs)
+            step = carry[-1]
+            e0, e1 = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, (C,) + shape
+            )
+            carry = micro_step(carry, e0.astype(dtype))
+            carry = micro_step(carry, e1.astype(dtype))
+            return carry, None
 
         init = (
             state.phi,
@@ -160,9 +197,13 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             state.lrg_vl,
             state.step,
         )
-        (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step_end), _ = lax.scan(
-            micro_step, init, None, length=cfg.loops
-        )
+        carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
+        if cfg.loops % 2:
+            e0, _ = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, carry[-1], (C,) + shape
+            )
+            carry = micro_step(carry, e0.astype(dtype))
+        phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step_end = carry
 
         accept = ~unstable
         au = accept.reshape((C,) + (1,) * ndim)

@@ -184,12 +184,9 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         return f
 
     def frame(state: ChainState):
-        def micro_step(carry, _):
-            f, omega, xm, xxm, x2m, unstable, lrgvl, step = carry
-
-            eta = rng.normal_for_shape(
-                cfg.seed, rng.Stream.FIELD, step, (C, N)
-            ).astype(dtype)
+        def substep(vals, step, eta, eta_om):
+            """One Euler–Maruyama micro-step given its noise field."""
+            f, omega, xm, xxm, x2m, unstable, lrgvl = vals
             noise = c_amp * jnp.sqrt(2.0 * state.dtau[:, None] / dt) * eta
 
             det = drift(f, omega) * state.dtau[:, None]
@@ -225,9 +222,6 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             )
 
             if has_zm:
-                eta_om = rng.normal(
-                    cfg.seed, rng.Stream.COLLECTIVE, chain_ids, jnp.uint32(0), step
-                ).astype(dtype)
                 d_om = zm_const * c_amp * jnp.sqrt(2.0 * state.dtau) * eta_om
                 omega2 = _reflect(omega + d_om, upper)
             else:
@@ -244,7 +238,30 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             x2mz = keep(x2m2, x2m)
             lrgvlz = jnp.where(unstable, lrgvl, lrgvl2)
             unstable = unstable | tripped
-            return (fz, omega2, xmz, xxmz, x2mz, unstable, lrgvlz, step + 1), None
+            return (fz, omega2, xmz, xxmz, x2mz, unstable, lrgvlz)
+
+        def om_noise_pair(step):
+            if not has_zm:
+                return None, None
+            k1 = jnp.uint32(rng.Stream.COLLECTIVE) ^ lax.shift_left(
+                chain_ids, jnp.uint32(8)
+            )
+            z0, z1 = rng.normal_pair(
+                jnp.uint32(cfg.seed), k1, jnp.zeros_like(chain_ids), step
+            )
+            return z0.astype(dtype), z1.astype(dtype)
+
+        def pair_step(carry, _):
+            """Two micro-steps per iteration, sharing one Threefry draw (both
+            Box–Muller outputs are used — halves RNG cost)."""
+            *vals, step = carry
+            eta0, eta1 = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, (C, N)
+            )
+            zo0, zo1 = om_noise_pair(step)
+            vals = substep(tuple(vals), step, eta0.astype(dtype), zo0)
+            vals = substep(vals, step + 1, eta1.astype(dtype), zo1)
+            return (*vals, step + 2), None
 
         init = (
             state.f,
@@ -256,9 +273,16 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             state.lrg_vl,
             state.step,
         )
-        (f, omega, xm, xxm, x2m, unstable, lrgvl, step_end), _ = lax.scan(
-            micro_step, init, None, length=cfg.loops
-        )
+        carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
+        if cfg.loops % 2:
+            *vals, step = carry
+            eta0, _ = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, (C, N)
+            )
+            zo0, _ = om_noise_pair(step)
+            vals = substep(tuple(vals), step, eta0.astype(dtype), zo0)
+            carry = (*vals, step + 1)
+        f, omega, xm, xxm, x2m, unstable, lrgvl, step_end = carry
 
         accept = ~unstable  # (C,)
         a1 = accept[:, None]

@@ -120,7 +120,10 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
         # State lives in the *output* VMEM refs, updated in place each
         # micro-step: a carry-free loop keeps Mosaic's register pressure flat
         # (array-valued fori_loop carries blow up vector allocation).
-        def body(j, _):
+        # Micro-steps run in pairs sharing one Threefry draw — both
+        # Box–Muller outputs are consumed (mirrors langevin.py's pair_step,
+        # halving RNG + transcendental cost).
+        def substep(step, eta, eta_om):
             f = fo_ref[:]
             om = omo_ref[:]
             xm = xmo_ref[:]
@@ -128,14 +131,7 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             x2m = x2mo_ref[:]
             lrg = lrgo_ref[:]
             unst = unst_ref[:] > 0
-            step = step0 + j
 
-            b0, b1 = rng.threefry2x32(seed, k1_field, col, step)
-            u1 = rng.uniform_from_bits(b0)
-            u2 = rng.uniform_from_bits(b1)
-            eta = jnp.sqrt(f32(-2.0) * jnp.log(u1)) * jnp.cos(
-                f32(rng._TWO_PI) * u2
-            )
             noise = noise_amp * eta
 
             nbsum = neighbor_sum(f, om)
@@ -169,7 +165,8 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             else:
                 x = f
                 x_new = newf
-            n = runs_f + (j + 1).astype(f32)
+            # cast via int32 (Mosaic lacks uint32→f32); offsets are tiny
+            n = runs_f + ((step - step0) + 1).astype(jnp.int32).astype(f32)
             x_mid = jnp.broadcast_to(x[:, mid : mid + 1], (cb, np_))
             xm2 = jnp.where(mask, xm + (x - xm) / n, f32(0.0))
             xxm2 = jnp.where(mask, xxm + (x * x_mid - xxm) / n, f32(0.0))
@@ -179,14 +176,6 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             lrg2 = jnp.maximum(lrg, jnp.max(absx_new, axis=1, keepdims=True))
 
             if has_zm:
-                ob0, ob1 = rng.threefry2x32(
-                    seed, k1_om, jnp.zeros((cb, 1), jnp.uint32), step
-                )
-                ou1 = rng.uniform_from_bits(ob0)
-                ou2 = rng.uniform_from_bits(ob1)
-                eta_om = jnp.sqrt(f32(-2.0) * jnp.log(ou1)) * jnp.cos(
-                    f32(rng._TWO_PI) * ou2
-                )
                 om2 = _reflect(om + om_noise_amp * eta_om, upper)
             else:
                 om2 = om
@@ -198,6 +187,26 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             x2mo_ref[:] = jnp.where(unst, x2m, x2m2)
             lrgo_ref[:] = jnp.where(unst, lrg, lrg2)
             unst_ref[:] = (unst | tripped).astype(jnp.int32)
+
+        def normal_pair(k1, counter, step):
+            b0, b1 = rng.threefry2x32(seed, k1, counter, step)
+            u1 = rng.uniform_from_bits(b0)
+            u2 = rng.uniform_from_bits(b1)
+            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+            theta = f32(rng._TWO_PI) * u2
+            return r * jnp.cos(theta), r * jnp.sin(theta)
+
+        def om_noise_pair(step):
+            if not has_zm:
+                return None, None
+            return normal_pair(k1_om, jnp.zeros((cb, 1), jnp.uint32), step)
+
+        def pair_body(k, _):
+            step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
+            z0, z1 = normal_pair(k1_field, col, step)
+            zo0, zo1 = om_noise_pair(step)
+            substep(step, z0, zo0)
+            substep(step + 1, z1, zo1)
             return 0
 
         fo_ref[:] = f_ref[:]
@@ -207,7 +216,12 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
         x2mo_ref[:] = x2m_ref[:]
         lrgo_ref[:] = lrg_ref[:]
         unst_ref[:] = jnp.zeros((cb, 1), jnp.int32)
-        lax.fori_loop(0, cfg.loops, body, 0, unroll=False)
+        lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
+        if cfg.loops % 2:
+            step = step0 + jnp.uint32(cfg.loops - 1)
+            z0, _ = normal_pair(k1_field, col, step)
+            zo0, _ = om_noise_pair(step)
+            substep(step, z0, zo0)
 
     return kernel
 

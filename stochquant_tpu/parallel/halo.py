@@ -28,7 +28,7 @@ from jax import shard_map
 
 from stochquant_tpu import rng
 from stochquant_tpu.actions.phi4 import FieldAction
-from stochquant_tpu.config import FieldConfig
+from stochquant_tpu.config import FieldConfig, Sweep
 from stochquant_tpu.integrators.field import FieldState
 
 __all__ = ["halo_shifted", "make_halo_runner"]
@@ -134,13 +134,39 @@ def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
     )
     metrics_spec = {"stable": P(None, ca), "dtau": P(None, ca), "max_phi": P(None, ca)}
 
+    checkerboard = cfg.sweep == Sweep.CHECKERBOARD
+
+    def local_even_mask(lat_off):
+        """'Even' sites of the *global* checkerboard on this shard's block."""
+        full = (1,) + local_shape
+        s = jnp.zeros(full, jnp.int32)
+        for d in range(1, ndim + 1):
+            s = s + lax.broadcasted_iota(jnp.int32, full, d) + jnp.asarray(
+                lat_off[d - 1], jnp.int32
+            )
+        return s % 2 == 0
+
     def frame(state: FieldState):
         ch_off, lat_off = local_offsets()
+        even = local_even_mask(lat_off) if checkerboard else None
 
-        def micro_step(carry, _):
-            phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step = carry
+        def em_apply(phi, mask, noise):
+            det = (laplacian(phi) - action.dV(phi).astype(dtype)) * state.dtau.reshape(
+                (c_local,) + (1,) * ndim
+            )
+            new_raw = phi + det + noise
+            newphi = jnp.clip(new_raw, -clamp, clamp)
+            newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+            if mask is not None:
+                newphi = jnp.where(mask, newphi, phi)
+                det = jnp.where(mask, det, 0.0)
+                fin = jnp.isfinite(new_raw) | ~mask
+            else:
+                fin = jnp.isfinite(new_raw)
+            return newphi, jnp.abs(det), fin
 
-            eta = rng.normal_for_shape(
+        def noise_pair(step):
+            return rng.normal_pair_for_shape(
                 cfg.seed,
                 rng.Stream.FIELD,
                 step,
@@ -148,22 +174,28 @@ def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
                 global_lattice_shape=shape,
                 chain_offset=ch_off,
                 lattice_offsets=lat_off,
-            ).astype(dtype)
+            )
+
+        def micro_step(carry, eta):
+            phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step = carry
+
             noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
                 (c_local,) + (1,) * ndim
             ) * eta
 
-            det = (laplacian(phi) - action.dV(phi).astype(dtype)) * state.dtau.reshape(
-                (c_local,) + (1,) * ndim
-            )
-            new_raw = phi + det + noise
-            newphi = jnp.clip(new_raw, -clamp, clamp)
-            newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+            if checkerboard:
+                # second half-sweep re-exchanges halos of the fresh even sites
+                phi_e, absdet_e, fin_e = em_apply(phi, even, noise)
+                newphi, absdet_o, fin_o = em_apply(phi_e, ~even, noise)
+                absdet = jnp.maximum(absdet_e, absdet_o)
+                fin = fin_e & fin_o
+            else:
+                newphi, absdet, fin = em_apply(phi, None, noise)
 
-            max_det = pmax_lat(jnp.max(jnp.abs(det), axis=lat_reduce))
+            max_det = pmax_lat(jnp.max(absdet, axis=lat_reduce))
             # pmax over int-cast booleans: "any non-finite value anywhere"
             anybad = pmax_lat(
-                (~jnp.all(jnp.isfinite(new_raw), axis=lat_reduce)).astype(jnp.int32)
+                (~jnp.all(fin, axis=lat_reduce)).astype(jnp.int32)
             ) > 0
             tripped = (max_det > lrgvl) | anybad
 
@@ -218,16 +250,24 @@ def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
             cm = jnp.where(unstable[:, None], cm, cm2)
             lrgvl = jnp.where(unstable, lrgvl, lrgvl2)
             unstable = unstable | tripped
-            return (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step + 1), None
+            return (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step + 1)
+
+        def pair_step(carry, _):
+            e0, e1 = noise_pair(carry[-1])
+            carry = micro_step(carry, e0.astype(dtype))
+            carry = micro_step(carry, e1.astype(dtype))
+            return carry, None
 
         init = (
             state.phi, state.mag_mean, state.mag2_mean, state.absmag_mean,
             state.phi2_mean, state.act_mean, state.corr_mean,
             jnp.zeros((c_local,), bool), state.lrg_vl, state.step,
         )
-        (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step_end), _ = lax.scan(
-            micro_step, init, None, length=cfg.loops
-        )
+        carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
+        if cfg.loops % 2:
+            e0, _ = noise_pair(carry[-1])
+            carry = micro_step(carry, e0.astype(dtype))
+        phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step_end = carry
 
         accept = ~unstable
         au = accept.reshape((c_local,) + (1,) * ndim)

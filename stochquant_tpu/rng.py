@@ -151,6 +151,21 @@ def global_site_index(local_shape, global_shape, offsets=None):
     return ids
 
 
+def _ids_for_shape(shape, global_lattice_shape, chain_offset, lattice_offsets):
+    chains = shape[0]
+    local_lattice = shape[1:]
+    if global_lattice_shape is None:
+        global_lattice_shape = local_lattice
+    site_ids = global_site_index(local_lattice, global_lattice_shape, lattice_offsets)
+    site_ids = jnp.broadcast_to(site_ids[None], (chains,) + local_lattice)
+    chain_shape = (chains,) + (1,) * len(local_lattice)
+    chain_ids = (
+        lax.broadcasted_iota(jnp.uint32, chain_shape, 0) + jnp.uint32(chain_offset)
+    )
+    chain_ids = jnp.broadcast_to(chain_ids, site_ids.shape)
+    return chain_ids, site_ids
+
+
 def normal_for_shape(
     seed,
     stream,
@@ -166,15 +181,29 @@ def normal_for_shape(
     shard's ``chain_offset`` / per-dimension ``lattice_offsets``; every shard
     then generates exactly its slice of the one global noise field.
     """
-    chains = shape[0]
-    local_lattice = shape[1:]
-    if global_lattice_shape is None:
-        global_lattice_shape = local_lattice
-    site_ids = global_site_index(local_lattice, global_lattice_shape, lattice_offsets)
-    site_ids = jnp.broadcast_to(site_ids[None], (chains,) + local_lattice)
-    chain_shape = (chains,) + (1,) * len(local_lattice)
-    chain_ids = (
-        lax.broadcasted_iota(jnp.uint32, chain_shape, 0) + jnp.uint32(chain_offset)
+    chain_ids, site_ids = _ids_for_shape(
+        shape, global_lattice_shape, chain_offset, lattice_offsets
     )
-    chain_ids = jnp.broadcast_to(chain_ids, site_ids.shape)
     return normal(seed, stream, chain_ids, site_ids, step)
+
+
+def normal_pair_for_shape(
+    seed,
+    stream,
+    step,
+    shape,
+    global_lattice_shape=None,
+    chain_offset=0,
+    lattice_offsets=None,
+):
+    """Both Box–Muller outputs per counter (site, ``step``): the noise fields
+    for micro-steps ``step`` and ``step+1`` from ONE Threefry evaluation —
+    half the RNG/transcendental cost of two ``normal_for_shape`` calls.
+    Layout-invariant for the same reason as ``normal_for_shape``.
+    """
+    chain_ids, site_ids = _ids_for_shape(
+        shape, global_lattice_shape, chain_offset, lattice_offsets
+    )
+    k0 = jnp.uint32(seed)
+    k1 = jnp.uint32(stream) ^ lax.shift_left(chain_ids, jnp.uint32(8))
+    return normal_pair(k0, k1, site_ids, jnp.asarray(step, jnp.uint32))

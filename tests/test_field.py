@@ -88,3 +88,50 @@ def test_correlator_slice_shape_and_symmetry():
     assert corr[0] > 0
     # periodic lattice: C(t) ≈ C(L−t)
     np.testing.assert_allclose(corr[1:], corr[1:][::-1], rtol=0.5, atol=0.02)
+
+
+def test_checkerboard_free_field_stationary():
+    """Checkerboard (Gauss–Seidel-colored) EM still targets exp(−S): for
+    small Δτ the free-field ⟨φ²⟩ matches the Δτ→0 propagator sum within a
+    small O(Δτ) allowance."""
+    import dataclasses
+
+    from stochquant_tpu.config import Sweep
+
+    cfg = FieldConfig(
+        action="free_field",
+        shape=(16, 16),
+        dtau=0.01,
+        n_chains=64,
+        loops=200,
+        seed=6,
+        grow_after=10**9,
+        sweep=Sweep.CHECKERBOARD,
+    )
+    act = phi4.get_field("free_field", m2=1.0)
+    state = field.init_field_state(cfg)
+    state, _ = field.run_field_frames(state, act, cfg, 15)
+    state = field.reset_field_means(state)
+    state, m = field.run_field_frames(state, act, cfg, 45)
+    assert np.all(np.asarray(m["stable"]))
+    theory0 = exact.free_field_x2(cfg.shape, cfg.spacing, 1.0, dtau=0.0)
+    est = np.asarray(state.phi2_mean, np.float64)
+    err = est.std() / np.sqrt(cfg.n_chains)
+    # O(Δτ) bias allowance: |bias| ≲ Δτ·b_max/2 · ⟨φ²⟩ ≈ 0.045·theory
+    assert abs(est.mean() - theory0) < 5 * err + 0.08 * theory0, (est.mean(), theory0)
+
+
+def test_checkerboard_updates_all_sites():
+    import dataclasses
+
+    from stochquant_tpu.config import Sweep
+
+    cfg = FieldConfig(
+        action="phi4", shape=(8, 8), dtau=0.005, n_chains=2, loops=4, seed=7,
+        sweep=Sweep.CHECKERBOARD,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    s1, _ = field.run_field_frames(s0, act, cfg, 1)
+    moved = np.asarray(s1.phi) != np.asarray(s0.phi)
+    assert moved.all()  # every site got its own noise kick

@@ -82,3 +82,31 @@ def test_halo_runner_4d():
     np.testing.assert_allclose(
         np.asarray(ref.phi2_mean), np.asarray(out.phi2_mean), rtol=1e-5, atol=1e-7
     )
+
+
+def test_halo_runner_checkerboard_matches_unsharded():
+    from stochquant_tpu.config import Sweep
+
+    cfg = FieldConfig(
+        action="phi4",
+        shape=(16, 16),
+        dtau=0.005,
+        n_chains=2,
+        loops=6,
+        seed=19,
+        sweep=Sweep.CHECKERBOARD,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    ref, _ = field.run_field_frames(s0, act, cfg, 2)
+
+    cfg_sh = dataclasses.replace(cfg, mesh_axes=("x", "y"))
+    mesh = make_mesh([("x", 2), ("y", 2)])
+    runner = make_halo_runner(act, cfg_sh, mesh)
+    s0_sh = shard_field_state(s0, mesh, cfg_sh)
+    out, _ = runner(s0_sh, 2)
+    # the doubled stencil pass gives XLA different FMA-fusion choices per
+    # shard shape → 1-ulp float drift; the integer noise path stays exact
+    np.testing.assert_allclose(
+        np.asarray(ref.phi), np.asarray(out.phi), rtol=3e-5, atol=3e-6
+    )
