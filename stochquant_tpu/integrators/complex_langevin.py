@@ -208,6 +208,174 @@ def run_cl_frames(state: CLState, action: ComplexAction, cfg: ComplexLangevinCon
     return lax.scan(lambda s, _: frame(s), state, None, length=n_frames)
 
 
+@dataclasses.dataclass(frozen=True)
+class ComplexChainConfig:
+    """Complex Langevin for a 1-D Euclidean-time chain with a holomorphic
+    site potential: S = Σ_i Δt[ (m/2)((z_{i+1}−z_i)/Δt)² + V(z_i) ],
+    periodic BCs.  The complexified field z(t) = x(t) + i·y(t) evolves with
+    drift m∇²z/Δt² − V'(z) and real noise √(2Δτ/Δt)·η on the real part."""
+
+    action: str = "complex_gaussian"
+    n_sites: int = 32
+    dt: float = 0.25
+    mass: float = 1.0
+    n_chains: int = 256
+    dtau: float = 1e-3
+    loops: int = 100
+    frames: int = 100
+    seed: int = 0
+    noise_amp: float = 1.0
+    drift_cap: float = 10.0
+    clamp: float = 100.0
+    shrink: float = 0.95
+    grow_after: int = 10
+    dtau_max: Optional[float] = None
+
+
+class ComplexChainState(NamedTuple):
+    zr: jax.Array         # (C, N)
+    zi: jax.Array         # (C, N)
+    z2r_mean: jax.Array   # (C, N) running Re⟨z_i²⟩
+    z2i_mean: jax.Array   # (C, N) running Im⟨z_i²⟩
+    drift_max: jax.Array  # (C,)
+    runs: jax.Array
+    dtau: jax.Array
+    stab_cnt: jax.Array
+    step: jax.Array
+
+
+def init_ccl_state(cfg: ComplexChainConfig) -> ComplexChainState:
+    C, N = cfg.n_chains, cfg.n_sites
+    z = rng.normal_for_shape(cfg.seed, rng.Stream.INIT, 0, (C, N))
+    zeros = jnp.zeros((C, N), jnp.float32)
+    return ComplexChainState(
+        zr=jnp.sqrt(jnp.float32(2.0 * cfg.dtau)) * z,
+        zi=zeros,
+        z2r_mean=zeros,
+        z2i_mean=zeros,
+        drift_max=jnp.zeros((C,), jnp.float32),
+        runs=jnp.zeros((C,), jnp.uint32),
+        dtau=jnp.full((C,), cfg.dtau, jnp.float32),
+        stab_cnt=jnp.zeros((C,), jnp.int32),
+        step=jnp.uint32(1),
+    )
+
+
+def make_ccl_frame_fn(action: ComplexAction, cfg: ComplexChainConfig):
+    C, N = cfg.n_chains, cfg.n_sites
+    c_amp = jnp.float32(cfg.noise_amp)
+    cap = jnp.float32(cfg.drift_cap)
+    clamp = jnp.float32(cfg.clamp)
+    inv_dt2 = jnp.float32(cfg.mass / (cfg.dt * cfg.dt))
+
+    def lap(z):
+        return (jnp.roll(z, 1, -1) + jnp.roll(z, -1, -1) - 2.0 * z) * inv_dt2
+
+    def frame(state: ComplexChainState):
+        def substep(carry, step, eta):
+            zr, zi, z2r, z2i, dmax, unstable = carry
+
+            z = (zr + 1j * zi).astype(jnp.complex64)
+            ds = action.dS(z)  # holomorphic site-potential derivative
+            drift_r = lap(zr) - jnp.real(ds).astype(jnp.float32)
+            drift_i = lap(zi) - jnp.imag(ds).astype(jnp.float32)
+            dnorm = jnp.max(
+                jnp.sqrt(drift_r * drift_r + drift_i * drift_i), axis=-1
+            )  # (C,)
+
+            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, 1e-30))
+            dtau_eff = (state.dtau * scale)[:, None]
+
+            zr2 = zr + dtau_eff * drift_r + c_amp * jnp.sqrt(
+                2.0 * dtau_eff / cfg.dt
+            ) * eta
+            zi2 = zi + dtau_eff * drift_i
+
+            mod = jnp.sqrt(zr2 * zr2 + zi2 * zi2)
+            bad = jnp.any(~jnp.isfinite(mod) | (mod > clamp), axis=-1)
+
+            n = (
+                state.runs.astype(jnp.float32)
+                + (step - state.step).astype(jnp.float32)
+                + 1.0
+            )[:, None]
+            re_z2 = zr * zr - zi * zi
+            im_z2 = 2.0 * zr * zi
+            z2r_n = z2r + (re_z2 - z2r) / n
+            z2i_n = z2i + (im_z2 - z2i) / n
+            dmax_n = jnp.maximum(dmax, dnorm)
+
+            u = unstable[:, None]
+            keep = lambda new, old: jnp.where(u, old, new)
+            zr = keep(zr2, zr)
+            zi = keep(zi2, zi)
+            z2r = keep(z2r_n, z2r)
+            z2i = keep(z2i_n, z2i)
+            dmax = jnp.where(unstable, dmax, dmax_n)
+            unstable = unstable | bad
+            return (zr, zi, z2r, z2i, dmax, unstable)
+
+        def pair_step(carry, _):
+            *vals, step = carry
+            e0, e1 = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, (C, N)
+            )
+            vals = substep(tuple(vals), step, e0)
+            vals = substep(vals, step + 1, e1)
+            return (*vals, step + 2), None
+
+        init = (
+            state.zr, state.zi, state.z2r_mean, state.z2i_mean,
+            state.drift_max, jnp.zeros((C,), bool), state.step,
+        )
+        carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
+        if cfg.loops % 2:
+            *vals, step = carry
+            e0, _ = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, (C, N)
+            )
+            vals = substep(tuple(vals), step, e0)
+            carry = (*vals, step + 1)
+        zr, zi, z2r, z2i, dmax, unstable, step_end = carry
+
+        accept = ~unstable
+        a1 = accept[:, None]
+        sel2 = lambda new, old: jnp.where(a1, new, old)
+        sel1 = lambda new, old: jnp.where(accept, new, old)
+        new_state = ComplexChainState(
+            zr=sel2(zr, state.zr),
+            zi=sel2(zi, state.zi),
+            z2r_mean=sel2(z2r, state.z2r_mean),
+            z2i_mean=sel2(z2i, state.z2i_mean),
+            drift_max=sel1(dmax, state.drift_max),
+            runs=state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0)),
+            dtau=_adapt_dtau(state, accept, cfg),
+            stab_cnt=jnp.where(
+                accept,
+                jnp.where(state.stab_cnt >= cfg.grow_after, 0, state.stab_cnt + 1),
+                0,
+            ),
+            step=step_end,
+        )
+        metrics = {"stable": accept, "dtau": new_state.dtau, "drift_max": dmax}
+        return new_state, metrics
+
+    return frame
+
+
+@partial(jax.jit, static_argnames=("action", "cfg", "n_frames"))
+def run_ccl_frames(
+    state: ComplexChainState, action: ComplexAction, cfg: ComplexChainConfig, n_frames: int
+):
+    frame = make_ccl_frame_fn(action, cfg)
+    return lax.scan(lambda s, _: frame(s), state, None, length=n_frames)
+
+
+def reset_ccl_means(state: ComplexChainState) -> ComplexChainState:
+    z = jnp.zeros_like(state.z2r_mean)
+    return state._replace(z2r_mean=z, z2i_mean=z, runs=jnp.zeros_like(state.runs))
+
+
 def z2_estimate(state: CLState):
     """Ensemble ⟨z²⟩ as a complex number (mean over chains)."""
     import numpy as np

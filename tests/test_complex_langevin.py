@@ -79,3 +79,44 @@ def test_cl_determinism():
     b2, _ = cl.run_cl_frames(b1, act, cfg, 2)
     for x, y in zip(a, b2):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_complex_chain_gaussian_matches_exact_propagator():
+    """1-D complex-Langevin chain with complex mass term: site-resolved
+    ⟨z_i²⟩ must match the complex lattice propagator
+    (1/N)·Σ_q 1/(Δt·(2m(1−cos q)/Δt² + σ))."""
+    sigma = 1.0 + 0.5j
+    act = complex_actions.get_complex("complex_gaussian", sigma_re=1.0, sigma_im=0.5)
+    cfg = cl.ComplexChainConfig(
+        n_sites=16, dt=0.4, n_chains=1024, dtau=2e-3, loops=100, seed=12,
+        grow_after=10**9,
+    )
+    s = cl.init_ccl_state(cfg)
+    s, _ = cl.run_ccl_frames(s, act, cfg, 30)
+    s = cl.reset_ccl_means(s)
+    s, m = cl.run_ccl_frames(s, act, cfg, 80)
+    assert np.asarray(m["stable"]).all()
+
+    q = 2 * np.pi * np.arange(cfg.n_sites) / cfg.n_sites
+    b = 2 * cfg.mass * (1 - np.cos(q)) / cfg.dt**2 + sigma
+    want = np.mean(1.0 / (cfg.dt * b))
+
+    re = np.asarray(s.z2r_mean, np.float64)
+    im = np.asarray(s.z2i_mean, np.float64)
+    got = complex(re.mean(), im.mean())
+    err = np.hypot(re.mean(axis=1).std(), im.mean(axis=1).std()) / np.sqrt(cfg.n_chains)
+    # finite-dtau bias allowance ~ dtau * b_max/2 * |G|
+    assert abs(got - want) < 6 * err + 0.03 * abs(want), (got, want, err)
+
+
+def test_complex_chain_determinism():
+    act = complex_actions.get_complex("complex_quartic")
+    cfg = cl.ComplexChainConfig(
+        action="complex_quartic", n_sites=8, dt=0.5, n_chains=4, dtau=5e-4,
+        loops=11, seed=3,
+    )
+    a, _ = cl.run_ccl_frames(cl.init_ccl_state(cfg), act, cfg, 4)
+    b1, _ = cl.run_ccl_frames(cl.init_ccl_state(cfg), act, cfg, 2)
+    b2, _ = cl.run_ccl_frames(b1, act, cfg, 2)
+    for x, y in zip(a, b2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
