@@ -20,6 +20,21 @@ from stochquant_tpu import runtime
 from stochquant_tpu.config import PRESETS, ChainConfig, FieldConfig
 
 
+def _complex_presets():
+    from stochquant_tpu.integrators.complex_langevin import (
+        ComplexChainConfig,
+        ComplexLangevinConfig,
+    )
+
+    return {
+        "complex_gaussian": ComplexLangevinConfig(action="complex_gaussian"),
+        "complex_quartic": ComplexLangevinConfig(
+            action="complex_quartic", dtau=5e-4, loops=200
+        ),
+        "complex_chain": ComplexChainConfig(action="complex_gaussian"),
+    }
+
+
 def _apply_overrides(cfg, args):
     updates = {}
     if args.frames is not None:
@@ -38,22 +53,44 @@ def _apply_overrides(cfg, args):
 
 
 def cmd_run(args):
-    if args.preset not in PRESETS:
-        sys.exit(f"unknown preset {args.preset!r}; known: {sorted(PRESETS)}")
-    cfg = _apply_overrides(PRESETS[args.preset], args)
+    presets = {**PRESETS, **_complex_presets()}
+    if args.preset not in presets:
+        sys.exit(f"unknown preset {args.preset!r}; known: {sorted(presets)}")
+    cfg = _apply_overrides(presets[args.preset], args)
     sink = metrics_mod.MetricsSink(
         stream=open(args.metrics, "w") if args.metrics else sys.stdout
     )
-    common = dict(
-        burn_frames=args.burn,
-        sink=sink,
-        checkpoint_out=args.out,
-        checkpoint_in=args.resume,
-    )
-    if isinstance(cfg, ChainConfig):
-        runtime.run_chain(cfg, backend=args.backend, **common)
-    else:
-        runtime.run_field(cfg, **{k: v for k, v in common.items() if k != "backend"})
+    prof = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        prof = True
+    try:
+        if isinstance(cfg, ChainConfig):
+            runtime.run_chain(
+                cfg,
+                backend=args.backend,
+                burn_frames=args.burn,
+                sink=sink,
+                checkpoint_out=args.out,
+                checkpoint_in=args.resume,
+            )
+        elif isinstance(cfg, FieldConfig):
+            runtime.run_field(
+                cfg,
+                burn_frames=args.burn,
+                sink=sink,
+                checkpoint_out=args.out,
+                checkpoint_in=args.resume,
+            )
+        else:
+            runtime.run_complex(cfg, burn_frames=args.burn, sink=sink)
+    finally:
+        if prof:
+            import jax
+
+            jax.profiler.stop_trace()
 
 
 def cmd_plot(args):
@@ -78,7 +115,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="run a preset simulation")
-    r.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    r.add_argument("--preset", required=True)
     r.add_argument("--frames", type=int)
     r.add_argument("--loops", type=int)
     r.add_argument("--chains", type=int)
@@ -90,6 +127,7 @@ def main(argv=None):
     r.add_argument("--out", help="checkpoint output path (.npz)")
     r.add_argument("--resume", help="checkpoint to resume from (.npz)")
     r.add_argument("--metrics", help="write JSON-lines metrics here instead of stdout")
+    r.add_argument("--profile", help="capture a jax.profiler trace into this directory")
     r.set_defaults(fn=cmd_run)
 
     pl = sub.add_parser("plot", help="live-plot a metrics stream (matplotlib)")

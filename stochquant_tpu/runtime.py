@@ -106,6 +106,55 @@ def run_chain(
     return RunResult(state=state, cfg=cfg, summary=summary)
 
 
+def run_complex(
+    cfg,
+    *,
+    burn_frames: int = 0,
+    sink: Optional[metrics_mod.MetricsSink] = None,
+) -> RunResult:
+    """Run a complex-Langevin ensemble (0-D ``ComplexLangevinConfig`` or
+    1-D chain ``ComplexChainConfig``)."""
+    from stochquant_tpu.actions.complex_actions import get_complex
+    from stochquant_tpu.integrators import complex_langevin as cl
+
+    act = get_complex(cfg.action)
+    sink = sink or metrics_mod.MetricsSink()
+    chain = isinstance(cfg, cl.ComplexChainConfig)
+    if chain:
+        state = cl.init_ccl_state(cfg)
+        run_n = lambda s, n: cl.run_ccl_frames(s, act, cfg, n)
+        sites = cfg.n_sites
+    else:
+        state = cl.init_cl_state(cfg)
+        run_n = lambda s, n: cl.run_cl_frames(s, act, cfg, n)
+        sites = 1
+    if burn_frames:
+        state, _ = run_n(state, burn_frames)
+        state = (cl.reset_ccl_means if chain else cl.reset_cl_means)(state)
+
+    updates_per_frame = cfg.n_chains * sites * cfg.loops
+    frames_done = 0
+    while frames_done < cfg.frames:
+        state, m = run_n(state, 1)
+        frames_done += 1
+        obs = {
+            "re_z2": float(np.asarray(state.z2r_mean).mean()),
+            "im_z2": float(np.asarray(state.z2i_mean).mean()),
+            "drift_max": float(np.asarray(m["drift_max"]).max()),
+        }
+        sink.frame(
+            frames_done - 1,
+            cfg.frames,
+            updates_per_frame,
+            np.asarray(m["dtau"]),
+            float(np.asarray(m["stable"]).mean()),
+            observables=obs,
+        )
+    summary = sink.summary()
+    sink.emit(summary)
+    return RunResult(state=state, cfg=cfg, summary=summary)
+
+
 def run_field(
     cfg: FieldConfig,
     *,

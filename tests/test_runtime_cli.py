@@ -67,3 +67,24 @@ def test_cli_run_and_reference_import(tmp_path, capsys):
     assert out.exists()
     st2, _ = ckpt.load(out)
     assert st2.f.shape[1] == PRESETS["harmosc"].n_sites
+
+
+def test_cli_complex_preset(tmp_path):
+    m = tmp_path / "cl.jsonl"
+    cli.main([
+        "run", "--preset", "complex_gaussian", "--frames", "2", "--loops", "5",
+        "--chains", "8", "--metrics", str(m),
+    ])
+    recs = [json.loads(l) for l in open(m)]
+    frames = [r for r in recs if r["type"] == "frame"]
+    assert frames and "re_z2" in frames[-1]
+
+
+def test_cli_complex_chain_preset(tmp_path):
+    m = tmp_path / "ccl.jsonl"
+    cli.main([
+        "run", "--preset", "complex_chain", "--frames", "2", "--loops", "4",
+        "--chains", "4", "--metrics", str(m),
+    ])
+    recs = [json.loads(l) for l in open(m)]
+    assert any(r["type"] == "summary" for r in recs)
