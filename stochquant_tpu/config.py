@@ -28,6 +28,14 @@ class BoundaryCondition(enum.IntEnum):
     DIRICHLET = 2  # field fixed to 0 at the edges
 
 
+class Scheme(enum.IntEnum):
+    """Langevin time-integration scheme."""
+
+    EM = 0    # Euler–Maruyama (the reference's scheme): O(Δτ) stationary bias
+    HEUN = 1  # stochastic Heun (predictor-corrector): O(Δτ²) bias — larger
+              # steps at equal accuracy, ~2x drift evaluations per step
+
+
 class Formulation(enum.IntEnum):
     """What the state variable represents."""
 
@@ -50,6 +58,7 @@ class ChainConfig:
     noise_amp: float = 1.0             # c — noise amplitude (1 = physical)
     bc: BoundaryCondition = BoundaryCondition.FIXED_BG
     formulation: Formulation = Formulation.BACKGROUND
+    scheme: "Scheme" = Scheme.EM
     loops: int = 1000                  # micro-steps per frame (kernel launch)
     frames: int = 5000                 # macro-steps
     fps: int = 1                       # stream observables every `fps` frames
@@ -75,6 +84,7 @@ class ChainConfig:
         d = json.loads(s)
         d["bc"] = BoundaryCondition(d["bc"])
         d["formulation"] = Formulation(d["formulation"])
+        d["scheme"] = Scheme(d.get("scheme", 0))
         return cls(**d)
 
 

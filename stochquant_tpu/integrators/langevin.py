@@ -36,7 +36,7 @@ from jax import lax
 
 from stochquant_tpu import rng
 from stochquant_tpu.actions.base import QMAction
-from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation
+from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation, Scheme
 
 __all__ = [
     "ChainState",
@@ -189,7 +189,15 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             f, omega, xm, xxm, x2m, unstable, lrgvl = vals
             noise = c_amp * jnp.sqrt(2.0 * state.dtau[:, None] / dt) * eta
 
-            det = drift(f, omega) * state.dtau[:, None]
+            if cfg.scheme == Scheme.HEUN:
+                # stochastic Heun: predictor with the same noise realization,
+                # corrector averages the drift → O(Δτ²) stationary bias
+                f1 = drift(f, omega)
+                f_pred = f + state.dtau[:, None] * f1 + noise
+                f2 = drift(f_pred, omega)
+                det = 0.5 * state.dtau[:, None] * (f1 + f2)
+            else:
+                det = drift(f, omega) * state.dtau[:, None]
             newf_raw = f + det + noise
             # clamp + definitize non-finite values (tau_kernel.cl:119-133)
             newf = jnp.clip(newf_raw, -clamp, clamp)

@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from stochquant_tpu import rng
 from stochquant_tpu.actions.base import QMAction
-from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation
+from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation, Scheme
 from stochquant_tpu.integrators.langevin import ChainState, _reflect
 
 __all__ = ["run_frames_pallas", "chain_frame_pallas"]
@@ -50,6 +50,7 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
     zm_const = f32(action.zero_mode_const())
     background = cfg.formulation == Formulation.BACKGROUND
     has_zm = background and action.has_zero_mode
+    heun = cfg.scheme == Scheme.HEUN
     upper = f32((N - 1) * dt)
     asym_l = f32(action.boundary_asymptote(-1))
     asym_r = f32(action.boundary_asymptote(+1))
@@ -134,14 +135,18 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
 
             noise = noise_amp * eta
 
-            nbsum = neighbor_sum(f, om)
-            lap = (nbsum - 2.0 * f) * inv_dt2
-            if background:
-                curv = action.ddV(x_cl(om)).astype(f32)
-                drift = lap - curv * f
+            def drift_fn(ff):
+                lap = (neighbor_sum(ff, om) - 2.0 * ff) * inv_dt2
+                if background:
+                    return lap - action.ddV(x_cl(om)).astype(f32) * ff
+                return lap - action.dV(ff).astype(f32)
+
+            if heun:
+                f1d = drift_fn(f)
+                f_pred = f + dtau * f1d + noise
+                det = 0.5 * dtau * (f1d + drift_fn(f_pred))
             else:
-                drift = lap - action.dV(f).astype(f32)
-            det = drift * dtau
+                det = drift_fn(f) * dtau
             new_raw = f + det + noise
             newf = jnp.clip(new_raw, -clamp, clamp)
             newf = jnp.where(jnp.isfinite(new_raw), newf, clamp)

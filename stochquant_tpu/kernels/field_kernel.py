@@ -68,8 +68,8 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
                 + lax.broadcasted_iota(jnp.int32, (1, L0, L1), 2)
             )
             even = par % 2 == 0
-        dtau = dtau_ref[0, 0]
-        runs_f = runs_ref[0, 0]
+        dtau = dtau_ref[i, 0]
+        runs_f = runs_ref[i, 0]
         namp = c_amp * jnp.sqrt(2.0 * dtau / measure)
 
         def roll(x, shift, axis):
@@ -103,8 +103,8 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
 
         def substep(step, eta):
             phi = phio_ref[:]
-            unst = unst_ref[0, 0] > 0
-            lrg = lrgo_ref[0, 0]
+            unst = unst_ref[i, 0] > 0
+            lrg = lrgo_ref[i, 0]
 
             noise = namp * eta
             if checkerboard:
@@ -127,21 +127,21 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
 
             n = runs_f + ((step - step0) + 1).astype(jnp.int32).astype(jnp.float32)
             keep = lambda new, old: jnp.where(unst, old, new)
-            mm_ref[0, 0] = keep(mm_ref[0, 0] + (mag - mm_ref[0, 0]) / n, mm_ref[0, 0])
-            m2_ref[0, 0] = keep(m2_ref[0, 0] + (mag * mag - m2_ref[0, 0]) / n, m2_ref[0, 0])
-            amm_ref[0, 0] = keep(
-                amm_ref[0, 0] + (jnp.abs(mag) - amm_ref[0, 0]) / n, amm_ref[0, 0]
+            mm_ref[i, 0] = keep(mm_ref[i, 0] + (mag - mm_ref[i, 0]) / n, mm_ref[i, 0])
+            m2_ref[i, 0] = keep(m2_ref[i, 0] + (mag * mag - m2_ref[i, 0]) / n, m2_ref[i, 0])
+            amm_ref[i, 0] = keep(
+                amm_ref[i, 0] + (jnp.abs(mag) - amm_ref[i, 0]) / n, amm_ref[i, 0]
             )
-            p2_ref[0, 0] = keep(p2_ref[0, 0] + (phi2 - p2_ref[0, 0]) / n, p2_ref[0, 0])
-            am_ref[0, 0] = keep(am_ref[0, 0] + (act_d - am_ref[0, 0]) / n, am_ref[0, 0])
+            p2_ref[i, 0] = keep(p2_ref[i, 0] + (phi2 - p2_ref[i, 0]) / n, p2_ref[i, 0])
+            am_ref[i, 0] = keep(am_ref[i, 0] + (act_d - am_ref[i, 0]) / n, am_ref[i, 0])
             corro_ref[:] = jnp.where(
                 unst, corro_ref[:], corro_ref[:] + (corr - corro_ref[:]) / n
             )
 
             lrg2 = jnp.maximum(lrg, jnp.max(jnp.abs(newphi)))
             phio_ref[:] = jnp.where(unst, phi, newphi)
-            lrgo_ref[0, 0] = jnp.where(unst, lrg, lrg2)
-            unst_ref[0, 0] = jnp.where(unst | tripped, 1, 0)
+            lrgo_ref[i, 0] = jnp.where(unst, lrg, lrg2)
+            unst_ref[i, 0] = jnp.where(unst | tripped, 1, 0)
 
         def normal_pair(step):
             b0, b1 = rng.threefry2x32(seed, k1, site, step)
@@ -160,13 +160,13 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
 
         phio_ref[:] = phi_ref[:]
         corro_ref[:] = corr_ref[:]
-        lrgo_ref[0, 0] = lrg_ref[0, 0]
-        unst_ref[0, 0] = 0
-        mm_ref[0, 0] = mm_in[0, 0]
-        m2_ref[0, 0] = m2_in[0, 0]
-        amm_ref[0, 0] = amm_in[0, 0]
-        p2_ref[0, 0] = p2_in[0, 0]
-        am_ref[0, 0] = am_in[0, 0]
+        lrgo_ref[i, 0] = lrg_ref[i, 0]
+        unst_ref[i, 0] = 0
+        mm_ref[i, 0] = mm_in[i, 0]
+        m2_ref[i, 0] = m2_in[i, 0]
+        amm_ref[i, 0] = amm_in[i, 0]
+        p2_ref[i, 0] = p2_in[i, 0]
+        am_ref[i, 0] = am_in[i, 0]
         lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
         if cfg.loops % 2:
             step = step0 + jnp.uint32(cfg.loops - 1)
@@ -185,7 +185,10 @@ def _frame_call(action: FieldAction, cfg: FieldConfig, interpret: bool):
     lat = pl.BlockSpec((1, L0, L1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     lat_o = pl.BlockSpec((1, L0, L1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
     corr = pl.BlockSpec((1, L0, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
-    sca = lambda: pl.BlockSpec((1, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+    # per-chain scalars: full-array (C,1) blocks in SMEM (full blocks are
+    # always legal; SMEM supports the scalar loads/stores each program does
+    # on its own row)
+    sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((C, L0, L1), jnp.float32),  # phi
         jax.ShapeDtypeStruct((C, 1), jnp.float32),       # mag mean

@@ -59,6 +59,25 @@ def em_stationary_cov(B: np.ndarray, dt: float, dtau: float) -> np.ndarray:
     return (V * var) @ V.T
 
 
+def heun_stationary_cov(B: np.ndarray, dt: float, dtau: float) -> np.ndarray:
+    """Exact stationary covariance of the stochastic-Heun chain.
+
+    Per mode (z = Δτ·b): the update is x' = a·x + c·η with a = 1 − z + z²/2
+    and c = (1 − z/2)·√(2Δτ/Δt), giving
+
+        Var = (1/(Δt·b)) · (1 − z/2) / (1 − z/2 + z²/4)
+
+    → (Δt·b)⁻¹·(1 − z²/4 + O(z³)): second-order accurate, vs EM's O(z).
+    Stability requires z < 2 (same as EM).
+    """
+    b, V = np.linalg.eigh(B)
+    z = dtau * b
+    if np.any(z >= 2.0):
+        raise ValueError(f"Heun unstable: dtau*b_max = {z.max():.3f} >= 2")
+    var = (1.0 - 0.5 * z) / ((1.0 - 0.5 * z + 0.25 * z * z) * dt * b)
+    return (V * var) @ V.T
+
+
 def target_cov(B: np.ndarray, dt: float) -> np.ndarray:
     """Δτ→0 covariance = A⁻¹ (the true path-integral two-point function)."""
     b, V = np.linalg.eigh(B)

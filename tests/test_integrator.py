@@ -213,3 +213,68 @@ def test_zero_mode_updates_omega_for_double_well():
     h0 = langevin.init_chain_state(cfg_h, act_h)
     h1, _ = langevin.run_frames(h0, act_h, cfg_h, 2)
     np.testing.assert_array_equal(np.asarray(h1.omega), np.asarray(h0.omega))
+
+
+def test_heun_x2_matches_exact_heun_covariance():
+    """Stochastic Heun at a LARGE step (Δτ·b_max ≈ 1.3): site ⟨x²⟩ matches
+    the exact Heun stationary covariance, and its bias vs the true Δτ→0
+    covariance is far smaller than EM's at the same step."""
+    from stochquant_tpu.config import Scheme
+
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=32,
+        dt=0.25,
+        dtau=0.02,
+        n_chains=384,
+        loops=100,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=77,
+        grow_after=10**9,
+        scheme=Scheme.HEUN,
+    )
+    act, state, _ = _run(cfg, n_frames=60, burn_frames=20)
+    B = exact.harmonic_drift_matrix(cfg.n_sites, cfg.dt, k=2.0, bc=cfg.bc)
+    sig_heun = exact.heun_stationary_cov(B, cfg.dt, cfg.dtau)
+    sig_em = exact.em_stationary_cov(B, cfg.dt, cfg.dtau)
+    sig_true = exact.target_cov(B, cfg.dt)
+    x2 = np.asarray(state.x2_mean, np.float64)
+    mean = x2.mean(axis=0)
+    stderr = x2.std(axis=0) / np.sqrt(cfg.n_chains)
+    assert np.all(np.abs(mean - np.diag(sig_heun)) < 6 * stderr + 1e-3)
+    # scheme-accuracy ordering: Heun bias << EM bias at this step size
+    em_bias = abs(np.diag(sig_em).mean() - np.diag(sig_true).mean())
+    heun_bias = abs(np.diag(sig_heun).mean() - np.diag(sig_true).mean())
+    assert heun_bias < 0.5 * em_bias, (heun_bias, em_bias)
+    # and the measurement resolves the difference from the EM value
+    assert abs(mean.mean() - np.diag(sig_em).mean()) > abs(
+        mean.mean() - np.diag(sig_heun).mean()
+    )
+
+
+def test_heun_kernel_matches_xla():
+    from stochquant_tpu.config import Scheme
+    from stochquant_tpu.kernels import chain_kernel
+
+    cfg = ChainConfig(
+        action="anharmonic",
+        n_sites=128,
+        dt=0.3,
+        dtau=0.005,
+        n_chains=4,
+        loops=11,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=31,
+        scheme=Scheme.HEUN,
+    )
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    ref, _ = langevin.run_frames(s0, act, cfg, 2)
+    out, _ = chain_kernel.run_frames_pallas(s0, act, cfg, 2, block_chains=4, interpret=True)
+    for name in ["f", "x_mean", "x2_mean", "dtau"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out, name)),
+            rtol=2e-6, atol=2e-6, err_msg=name,
+        )
