@@ -59,6 +59,9 @@ class ChainConfig:
     bc: BoundaryCondition = BoundaryCondition.FIXED_BG
     formulation: Formulation = Formulation.BACKGROUND
     scheme: "Scheme" = Scheme.EM
+    accumulate_spectrum: bool = False  # per-step |rfft(x)|² running mean →
+                                       # translation-averaged correlator
+                                       # (XLA path only; no FFT in Pallas)
     loops: int = 1000                  # micro-steps per frame (kernel launch)
     frames: int = 5000                 # macro-steps
     fps: int = 1                       # stream observables every `fps` frames

@@ -64,6 +64,9 @@ class ChainState(NamedTuple):
     dtau: jax.Array      # (C,)  current Langevin step size
     stab_cnt: jax.Array  # (C,)  int32 — consecutive stable frames
     lrg_vl: jax.Array    # (C,)  running max |x| (divergence threshold, K5)
+    spec_mean: jax.Array  # (C, N//2+1) running ⟨|x̂_k|²⟩ power spectrum — the
+                          # translation-averaged two-point function via iFFT
+                          # (zeros unless cfg.accumulate_spectrum)
     step: jax.Array      # ()    uint32 — global micro-step counter (RNG)
 
 
@@ -100,6 +103,7 @@ def init_chain_state(cfg: ChainConfig, action: QMAction) -> ChainState:
         dtau=jnp.full((C,), cfg.dtau, dtype),
         stab_cnt=jnp.zeros((C,), jnp.int32),
         lrg_vl=lrg_vl,
+        spec_mean=jnp.zeros((C, N // 2 + 1), dtype),
         step=jnp.uint32(2),  # steps 0/1 consumed by the cold-start draws
     )
 
@@ -186,7 +190,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
     def frame(state: ChainState):
         def substep(vals, step, eta, eta_om):
             """One Euler–Maruyama micro-step given its noise field."""
-            f, omega, xm, xxm, x2m, unstable, lrgvl = vals
+            f, omega, xm, xxm, x2m, spec, unstable, lrgvl = vals
             noise = c_amp * jnp.sqrt(2.0 * state.dtau[:, None] / dt) * eta
 
             if cfg.scheme == Scheme.HEUN:
@@ -224,6 +228,11 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             xm2 = xm + (x - xm) / n
             xxm2 = xxm + (x * x[:, mid : mid + 1] - xxm) / n
             x2m2 = x2m + (x * x - x2m) / n
+            if cfg.accumulate_spectrum:
+                power = jnp.abs(jnp.fft.rfft(x, axis=-1)).astype(dtype) ** 2
+                spec2 = spec + (power - spec) / n
+            else:
+                spec2 = spec
 
             lrgvl2 = jnp.maximum(
                 lrgvl, jnp.max(jnp.abs(full_x(newf, omega)), axis=-1)
@@ -244,9 +253,10 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             xmz = keep(xm2, xm)
             xxmz = keep(xxm2, xxm)
             x2mz = keep(x2m2, x2m)
+            specz = jnp.where(u, spec, spec2)
             lrgvlz = jnp.where(unstable, lrgvl, lrgvl2)
             unstable = unstable | tripped
-            return (fz, omega2, xmz, xxmz, x2mz, unstable, lrgvlz)
+            return (fz, omega2, xmz, xxmz, x2mz, specz, unstable, lrgvlz)
 
         def om_noise_pair(step):
             if not has_zm:
@@ -277,6 +287,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             state.x_mean,
             state.xx0_mean,
             state.x2_mean,
+            state.spec_mean,
             jnp.zeros((C,), bool),
             state.lrg_vl,
             state.step,
@@ -290,7 +301,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             zo0, _ = om_noise_pair(step)
             vals = substep(tuple(vals), step, eta0.astype(dtype), zo0)
             carry = (*vals, step + 1)
-        f, omega, xm, xxm, x2m, unstable, lrgvl, step_end = carry
+        f, omega, xm, xxm, x2m, spec, unstable, lrgvl, step_end = carry
 
         accept = ~unstable  # (C,)
         a1 = accept[:, None]
@@ -299,6 +310,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         xm = sel(xm, state.x_mean)
         xxm = sel(xxm, state.xx0_mean)
         x2m = sel(x2m, state.x2_mean)
+        spec = jnp.where(a1, spec, state.spec_mean)
         omega = jnp.where(accept, omega, state.omega)
         lrgvl = jnp.where(accept, lrgvl, state.lrg_vl)
         runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
@@ -324,6 +336,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             dtau=dtau,
             stab_cnt=stab_cnt,
             lrg_vl=lrgvl,
+            spec_mean=spec,
             step=step_end,  # RNG never reuses noise, even on rejection
         )
         metrics = {
@@ -358,5 +371,19 @@ def reset_means(state: ChainState) -> ChainState:
     equilibrium estimates are not contaminated by the cold start)."""
     z = jnp.zeros_like(state.x_mean)
     return state._replace(
-        x_mean=z, xx0_mean=z, x2_mean=z, runs=jnp.zeros_like(state.runs)
+        x_mean=z,
+        xx0_mean=z,
+        x2_mean=z,
+        spec_mean=jnp.zeros_like(state.spec_mean),
+        runs=jnp.zeros_like(state.runs),
     )
+
+
+def translation_averaged_correlator(state: ChainState) -> jax.Array:
+    """⟨x(t)·x(t+Δ)⟩ averaged over all t (per chain) from the accumulated
+    power spectrum — every site pair contributes, giving far better
+    statistics than the reference's single-midpoint column
+    (requires cfg.accumulate_spectrum).  Connected part: subtract
+    ⟨x⟩ₜ-bar² outside if the mean is nonzero."""
+    n = state.x_mean.shape[-1]
+    return jnp.fft.irfft(state.spec_mean, n=n, axis=-1) / n

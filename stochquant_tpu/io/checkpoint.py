@@ -91,5 +91,6 @@ def import_reference(path, cfg: ChainConfig) -> ChainState:
         dtau=jnp.full((C,), min(d["dtau"], cfg.dtau), cfg.jdtype),  # tauhost.c:131-137 clamp
         stab_cnt=jnp.zeros((C,), jnp.int32),
         lrg_vl=jnp.max(jnp.abs(rep(d["f"])), axis=-1),
+        spec_mean=jnp.zeros((C, cfg.n_sites // 2 + 1), cfg.jdtype),
         step=jnp.uint32(0),
     )

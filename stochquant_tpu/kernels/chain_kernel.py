@@ -274,6 +274,11 @@ def chain_frame_pallas(
     """One frame (cfg.loops micro-steps) through the fused kernel, plus the
     XLA-side accept/reject + adaptive-Δτ epilogue (exactly the frame
     semantics of integrators/langevin.py)."""
+    if cfg.accumulate_spectrum:
+        raise ValueError(
+            "accumulate_spectrum requires the XLA path (no FFT in Pallas); "
+            "use integrators.langevin.run_frames"
+        )
     C, N = cfg.n_chains, cfg.n_sites
     np_ = _round_up(N, 128)
     cb = block_chains or min(C, 256)
@@ -320,6 +325,7 @@ def chain_frame_pallas(
     new_state = ChainState(
         f=f, omega=om, x_mean=xm, xx0_mean=xxm, x2_mean=x2m,
         runs=runs, dtau=dtau, stab_cnt=stab_cnt, lrg_vl=lrg,
+        spec_mean=state.spec_mean,
         step=state.step + jnp.uint32(cfg.loops),
     )
     return new_state, {"stable": accept, "dtau": dtau, "max_x": lrg}

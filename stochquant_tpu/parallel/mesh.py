@@ -44,7 +44,7 @@ def chain_state_sharding(mesh: Mesh, chain_axis: Optional[str]) -> ChainState:
     rep = NamedSharding(mesh, P())
     return ChainState(
         f=mat, omega=row, x_mean=mat, xx0_mean=mat, x2_mean=mat,
-        runs=row, dtau=row, stab_cnt=row, lrg_vl=row, step=rep,
+        runs=row, dtau=row, stab_cnt=row, lrg_vl=row, spec_mean=mat, step=rep,
     )
 
 
