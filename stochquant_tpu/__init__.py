@@ -19,7 +19,10 @@ from stochquant_tpu.config import (  # noqa: F401
     BoundaryCondition,
     ChainConfig,
     FieldConfig,
+    Formulation,
     PRESETS,
+    Scheme,
+    Sweep,
 )
 
 __version__ = "0.1.0"

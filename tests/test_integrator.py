@@ -307,3 +307,30 @@ def test_translation_averaged_correlator_matches_exact():
     # sanity: translation averaging beats the single-midpoint estimator
     single = np.asarray(langevin.connected_correlator(state), np.float64)
     assert corr.std(axis=0).mean() < single.std(axis=0).mean()
+
+
+def test_float64_dtype_on_cpu():
+    """dtype is config (fp64 for CPU validation runs — reference parity with
+    its double precision, SURVEY.md F5); fp64 tracks the exact covariance
+    with a tighter tolerance than fp32 roundoff would allow."""
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=16,
+        dt=0.4,
+        dtau=0.01,
+        n_chains=128,
+        loops=100,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=9,
+        grow_after=10**9,
+        dtype="float64",
+    )
+    act, state, _ = _run(cfg, n_frames=40, burn_frames=10)
+    assert state.f.dtype == jnp.float64
+    B = exact.harmonic_drift_matrix(cfg.n_sites, cfg.dt, k=2.0, bc=cfg.bc)
+    sigma = exact.em_stationary_cov(B, cfg.dt, cfg.dtau)
+    x2 = np.asarray(state.x2_mean)
+    mean = x2.mean(axis=0)
+    stderr = x2.std(axis=0) / np.sqrt(cfg.n_chains)
+    assert np.all(np.abs(mean - np.diag(sigma)) < 6 * stderr + 1e-3)
