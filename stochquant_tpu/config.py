@@ -62,6 +62,11 @@ class ChainConfig:
     accumulate_spectrum: bool = False  # per-step |rfft(x)|² running mean →
                                        # translation-averaged correlator
                                        # (XLA path only; no FFT in Pallas)
+    ghost_override: Optional[Tuple[float, float]] = None
+    # FIXED_BG ghost values (left, right) for the *full field*; overrides the
+    # action's asymptotes.  The reference's BC mode 1 pins ±η for every
+    # potential — including the harmonic oscillator (tau_kernel.cl:247-256,
+    # boundary() ignores `pot`) — so set (−0.8, 0.8) for exact parity there.
     loops: int = 1000                  # micro-steps per frame (kernel launch)
     frames: int = 5000                 # macro-steps
     fps: int = 1                       # stream observables every `fps` frames
@@ -88,6 +93,8 @@ class ChainConfig:
         d["bc"] = BoundaryCondition(d["bc"])
         d["formulation"] = Formulation(d["formulation"])
         d["scheme"] = Scheme(d.get("scheme", 0))
+        if d.get("ghost_override") is not None:
+            d["ghost_override"] = tuple(d["ghost_override"])
         return cls(**d)
 
 

@@ -148,8 +148,12 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
     c_amp = jnp.asarray(cfg.noise_amp, dtype)
     clamp = jnp.asarray(cfg.clamp, dtype)
     chain_ids = jnp.arange(C, dtype=jnp.uint32)
-    asym_l = jnp.asarray(action.boundary_asymptote(-1), dtype)
-    asym_r = jnp.asarray(action.boundary_asymptote(+1), dtype)
+    if cfg.ghost_override is not None:
+        asym_l = jnp.asarray(cfg.ghost_override[0], dtype)
+        asym_r = jnp.asarray(cfg.ghost_override[1], dtype)
+    else:
+        asym_l = jnp.asarray(action.boundary_asymptote(-1), dtype)
+        asym_r = jnp.asarray(action.boundary_asymptote(+1), dtype)
     t_ghost_l = jnp.asarray(-dt, dtype)
     t_ghost_r = jnp.asarray(N * dt, dtype)
 

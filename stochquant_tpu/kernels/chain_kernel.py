@@ -52,8 +52,11 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
     has_zm = background and action.has_zero_mode
     heun = cfg.scheme == Scheme.HEUN
     upper = f32((N - 1) * dt)
-    asym_l = f32(action.boundary_asymptote(-1))
-    asym_r = f32(action.boundary_asymptote(+1))
+    if cfg.ghost_override is not None:
+        asym_l, asym_r = f32(cfg.ghost_override[0]), f32(cfg.ghost_override[1])
+    else:
+        asym_l = f32(action.boundary_asymptote(-1))
+        asym_r = f32(action.boundary_asymptote(+1))
 
     def kernel(
         scalars_ref,  # SMEM (3,): seed, step_base, chain_offset (uint32)

@@ -81,3 +81,48 @@ def test_framework_matches_oracle_double_well_x2():
     got_prof = np.abs(mean)
     edge = slice(0, 8)  # asymptotic region: x → −η
     assert np.all(np.abs(got_prof[edge] - ref_prof[edge]) < 10 * stderr[edge] + 0.08)
+
+
+@pytest.mark.slow
+def test_framework_matches_oracle_harmonic_fixed_bg():
+    """Exact-semantics cross-validation with the reference's quirky BC mode 1
+    for the harmonic oscillator: ghosts pinned at ±η = ±0.8 regardless of the
+    potential (tau_kernel.cl:247-256).  With ghost_override the framework
+    reproduces the same stationary Gaussian; compare the site-resolved mean
+    profile ⟨x(t)⟩ (pulled toward −0.8/+0.8 at the edges) and ⟨x²(t)⟩."""
+    N, dt, dtau = 32, 0.25, 2e-3
+    ref = oracle.run_reference(N, dt, dtau, frames=12, loops=5000, pot_id=0, seed=21)
+    assert ref.runs > 0
+
+    from stochquant_tpu.config import Formulation
+
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=N,
+        dt=dt,
+        dtau=dtau,
+        n_chains=128,
+        loops=1000,
+        seed=6,
+        grow_after=10**9,
+        formulation=Formulation.BACKGROUND,  # x_cl=0 → field IS x, like the ref
+        ghost_override=(-0.8, 0.8),
+    )
+    act = actions.get(cfg.action)
+    st = langevin.init_chain_state(cfg, act)
+    st, _ = langevin.run_frames(st, act, cfg, 10)
+    st = langevin.reset_means(st)
+    st, m = langevin.run_frames(st, act, cfg, 25)
+    assert np.all(np.asarray(m["stable"])[-1])
+
+    ours_mean = np.asarray(st.x_mean, np.float64)
+    mean = ours_mean.mean(axis=0)
+    stderr = ours_mean.std(axis=0) / np.sqrt(cfg.n_chains)
+    # the oracle is a single long chain: its own error is larger; use a
+    # combined loose gate dominated by our cross-chain error
+    assert np.all(np.abs(mean - ref.x_mean) < 10 * stderr + 0.05), (
+        mean[:4], ref.x_mean[:4]
+    )
+    # edge pull toward the pinned ghosts is clearly visible in both
+    assert mean[0] < -0.05 and ref.x_mean[0] < -0.05
+    assert mean[-1] > 0.05 and ref.x_mean[-1] > 0.05
