@@ -62,6 +62,12 @@ class ChainConfig:
     accumulate_spectrum: bool = False  # per-step |rfft(x)|² running mean →
                                        # translation-averaged correlator
                                        # (XLA path only; no FFT in Pallas)
+    rng_impl: str = "threefry"
+    # "threefry": counter-based, layout-invariant, bit-reproducible across
+    #   any sharding/blocking (the default contract).
+    # "hardware": pltpu.prng_random_bits in the fused kernel — faster, still
+    #   deterministic for a fixed (seed, chain blocking), but trajectories
+    #   differ from the threefry path and are not layout-invariant.
     ghost_override: Optional[Tuple[float, float]] = None
     # FIXED_BG ghost values (left, right) for the *full field*; overrides the
     # action's asymptotes.  The reference's BC mode 1 pins ±η for every

@@ -17,7 +17,6 @@ so kernel trajectories are bit-compatible with the XLA integrator path
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -196,13 +195,29 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             lrgo_ref[:] = jnp.where(unst, lrg, lrg2)
             unst_ref[:] = (unst | tripped).astype(jnp.int32)
 
-        def normal_pair(k1, counter, step):
-            b0, b1 = rng.threefry2x32(seed, k1, counter, step)
+        hw_rng = cfg.rng_impl == "hardware"
+        if hw_rng:
+            # one seed per (program, frame): deterministic for a fixed chain
+            # blocking; rejected frames reseed (step0 advances regardless).
+            # The TPU PRNG takes at most 2 seed words — hash the chain-block
+            # id into the first.
+            pltpu.prng_seed(seed + chain0 * jnp.uint32(2654435761), step0)
+
+        def _box_muller(b0, b1):
             u1 = rng.uniform_from_bits(b0)
             u2 = rng.uniform_from_bits(b1)
             r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
             theta = f32(rng._TWO_PI) * u2
             return r * jnp.cos(theta), r * jnp.sin(theta)
+
+        def normal_pair(k1, counter, step):
+            if hw_rng:
+                shape = counter.shape
+                b0 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+                b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            else:
+                b0, b1 = rng.threefry2x32(seed, k1, counter, step)
+            return _box_muller(b0, b1)
 
         def om_noise_pair(step):
             if not has_zm:

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from stochquant_tpu.config import ChainConfig, FieldConfig
+from stochquant_tpu.config import FieldConfig
 from stochquant_tpu.integrators.field import FieldState
 from stochquant_tpu.integrators.langevin import ChainState
 

@@ -10,7 +10,6 @@ any number of plot clients tail it (``cli.py plot --follow run.jsonl``).
 from __future__ import annotations
 
 import json
-import time
 
 
 def live_plot(path: str, poll_s: float = 0.5):

@@ -95,3 +95,51 @@ def test_kernel_chain_block_invariance():
     b, _ = chain_kernel.run_frames_pallas(s0, act, cfg, 2, block_chains=2, interpret=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_hardware_rng_statistics():
+    """Hardware-PRNG fast path: trajectories differ from the Threefry
+    contract by design, but the stationary ⟨x²⟩ must still match the exact
+    EM covariance (validates the generated distribution end to end).
+
+    TPU-only: pltpu.prng_seed has no CPU interpret lowering in this JAX."""
+    import dataclasses
+
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("hardware PRNG path requires a TPU")
+
+    from stochquant_tpu.config import BoundaryCondition, Formulation
+    from stochquant_tpu.observables import exact
+
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=128,
+        dt=0.25,
+        dtau=0.02,
+        n_chains=64,
+        loops=100,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=3,
+        grow_after=10**9,
+        rng_impl="hardware",
+    )
+    act = actions.get(cfg.action)
+    s = langevin.init_chain_state(cfg, act)
+    s, _ = chain_kernel.run_frames_pallas(s, act, cfg, 15, block_chains=32)
+    s = langevin.reset_means(s)
+    s, m = chain_kernel.run_frames_pallas(s, act, cfg, 40, block_chains=32)
+    assert np.asarray(m["stable"])[-1].all()
+    B = exact.harmonic_drift_matrix(cfg.n_sites, cfg.dt, k=2.0, bc=cfg.bc)
+    sigma = exact.em_stationary_cov(B, cfg.dt, cfg.dtau)
+    x2 = np.asarray(s.x2_mean, np.float64)
+    mean = x2.mean()
+    err = x2.mean(axis=1).std() / np.sqrt(cfg.n_chains)
+    assert abs(mean - np.diag(sigma).mean()) < 6 * err + 2e-3, (mean, np.diag(sigma).mean())
+    # reproducible for the same config+blocking
+    s2 = langevin.init_chain_state(cfg, act)
+    a, _ = chain_kernel.run_frames_pallas(s2, act, cfg, 2, block_chains=32)
+    b, _ = chain_kernel.run_frames_pallas(s2, act, cfg, 2, block_chains=32)
+    np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))

@@ -46,7 +46,7 @@ from stochquant_tpu.parallel.mesh import chain_state_sharding
 specs = langevin.ChainState(
     f=P("chain"), omega=P("chain"), x_mean=P("chain"), xx0_mean=P("chain"),
     x2_mean=P("chain"), runs=P("chain"), dtau=P("chain"), stab_cnt=P("chain"),
-    lrg_vl=P("chain"), step=P(),
+    lrg_vl=P("chain"), spec_mean=P("chain"), step=P(),
 )
 # make_array_from_process_local_data takes each process's OWN shard of the
 # chain axis
