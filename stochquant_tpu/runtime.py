@@ -162,6 +162,7 @@ def run_field(
     sink: Optional[metrics_mod.MetricsSink] = None,
     checkpoint_out: Optional[str] = None,
     checkpoint_in: Optional[str] = None,
+    checkpoint_every: int = 0,
     mesh=None,
 ) -> RunResult:
     """Run a D-dim field ensemble; with ``mesh`` + cfg.mesh_axes uses the
@@ -213,6 +214,8 @@ def run_field(
             float(np.asarray(m["stable"])[-n:].mean()),
             observables=obs,
         )
+        if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
+            ckpt_mod.save(checkpoint_out, state, cfg)
 
     if checkpoint_out:
         ckpt_mod.save(checkpoint_out, state, cfg)
