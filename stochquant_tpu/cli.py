@@ -21,6 +21,7 @@ from stochquant_tpu.config import PRESETS, ChainConfig, FieldConfig
 
 
 def _complex_presets():
+    from stochquant_tpu.integrators.complex_field import ComplexFieldConfig
     from stochquant_tpu.integrators.complex_langevin import (
         ComplexChainConfig,
         ComplexLangevinConfig,
@@ -32,6 +33,9 @@ def _complex_presets():
             action="complex_quartic", dtau=5e-4, loops=200
         ),
         "complex_chain": ComplexChainConfig(action="complex_gaussian"),
+        "complex_field_2d": ComplexFieldConfig(
+            action="complex_gaussian", shape=(32, 32), n_chains=64
+        ),
     }
 
 
@@ -85,7 +89,13 @@ def cmd_run(args):
                 checkpoint_in=args.resume,
             )
         else:
-            runtime.run_complex(cfg, burn_frames=args.burn, sink=sink)
+            runtime.run_complex(
+                cfg,
+                burn_frames=args.burn,
+                sink=sink,
+                checkpoint_out=args.out,
+                checkpoint_in=args.resume,
+            )
     finally:
         if prof:
             import jax

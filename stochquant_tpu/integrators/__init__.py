@@ -9,6 +9,13 @@ from stochquant_tpu.integrators.field import (  # noqa: F401
     run_field_frames,
     susceptibility,
 )
+from stochquant_tpu.integrators.complex_field import (  # noqa: F401
+    ComplexFieldConfig,
+    ComplexFieldState,
+    init_cfield_state,
+    reset_cfield_means,
+    run_cfield_frames,
+)
 from stochquant_tpu.integrators.langevin import (  # noqa: F401
     ChainState,
     connected_correlator,

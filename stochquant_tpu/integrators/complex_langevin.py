@@ -59,6 +59,19 @@ class ComplexLangevinConfig:
     dtau_max: Optional[float] = None
     action_params: tuple = ()   # ((name, value), ...) for the registry
 
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ComplexLangevinConfig":
+        import json
+
+        d = json.loads(s)
+        d["action_params"] = tuple(tuple(p) for p in d.get("action_params", ()))
+        return cls(**d)
+
 
 class CLState(NamedTuple):
     zr: jax.Array        # (C,) Re z
@@ -230,6 +243,17 @@ class ComplexChainConfig:
     shrink: float = 0.95
     grow_after: int = 10
     dtau_max: Optional[float] = None
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ComplexChainConfig":
+        import json
+
+        return cls(**json.loads(s))
 
 
 class ComplexChainState(NamedTuple):

@@ -20,14 +20,29 @@ import jax
 import numpy as np
 
 from stochquant_tpu.config import ChainConfig, FieldConfig
+from stochquant_tpu.integrators.complex_field import ComplexFieldConfig, ComplexFieldState
+from stochquant_tpu.integrators.complex_langevin import (
+    CLState,
+    ComplexChainConfig,
+    ComplexChainState,
+    ComplexLangevinConfig,
+)
 from stochquant_tpu.integrators.field import FieldState
 from stochquant_tpu.integrators.langevin import ChainState
 
-_KIND = {"chain": ChainState, "field": FieldState}
+# kind tag -> (state class, config class); tags are stable on-disk identifiers
+_KIND = {
+    "chain": (ChainState, ChainConfig),
+    "field": (FieldState, FieldConfig),
+    "complex0d": (CLState, ComplexLangevinConfig),
+    "complex_chain": (ComplexChainState, ComplexChainConfig),
+    "complex_field": (ComplexFieldState, ComplexFieldConfig),
+}
+_STATE_KIND = {cls: kind for kind, (cls, _) in _KIND.items()}
 
 
 def save(path, state: Union[ChainState, FieldState], cfg) -> None:
-    kind = "chain" if isinstance(state, ChainState) else "field"
+    kind = _STATE_KIND[type(state)]
     payload = {f"state_{name}": np.asarray(leaf) for name, leaf in zip(state._fields, state)}
     payload["meta"] = np.frombuffer(
         json.dumps({"kind": kind, "config": cfg.to_json(), "version": 1}).encode(),
@@ -41,9 +56,8 @@ def load(path):
     """Returns (state, cfg)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
-        cls = _KIND[meta["kind"]]
+        cls, cfg_cls = _KIND[meta["kind"]]
         leaves = [z[f"state_{name}"] for name in cls._fields]
-    cfg_cls = ChainConfig if meta["kind"] == "chain" else FieldConfig
     cfg = cfg_cls.from_json(meta["config"])
     state = cls(*[jax.numpy.asarray(a) for a in leaves])
     return state, cfg

@@ -111,26 +111,38 @@ def run_complex(
     *,
     burn_frames: int = 0,
     sink: Optional[metrics_mod.MetricsSink] = None,
+    checkpoint_out: Optional[str] = None,
+    checkpoint_in: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> RunResult:
-    """Run a complex-Langevin ensemble (0-D ``ComplexLangevinConfig`` or
-    1-D chain ``ComplexChainConfig``)."""
+    """Run a complex-Langevin ensemble (0-D ``ComplexLangevinConfig``,
+    1-D chain ``ComplexChainConfig``, or D-dim ``ComplexFieldConfig``)."""
     from stochquant_tpu.actions.complex_actions import get_complex
+    from stochquant_tpu.integrators import complex_field as cfi
     from stochquant_tpu.integrators import complex_langevin as cl
 
-    act = get_complex(cfg.action)
+    act = get_complex(cfg.action, **dict(getattr(cfg, "action_params", ())))
     sink = sink or metrics_mod.MetricsSink()
-    chain = isinstance(cfg, cl.ComplexChainConfig)
-    if chain:
+    if isinstance(cfg, cfi.ComplexFieldConfig):
+        state = cfi.init_cfield_state(cfg)
+        run_n = lambda s, n: cfi.run_cfield_frames(s, act, cfg, n)
+        reset = cfi.reset_cfield_means
+        sites = int(np.prod(cfg.shape))
+    elif isinstance(cfg, cl.ComplexChainConfig):
         state = cl.init_ccl_state(cfg)
         run_n = lambda s, n: cl.run_ccl_frames(s, act, cfg, n)
+        reset = cl.reset_ccl_means
         sites = cfg.n_sites
     else:
         state = cl.init_cl_state(cfg)
         run_n = lambda s, n: cl.run_cl_frames(s, act, cfg, n)
+        reset = cl.reset_cl_means
         sites = 1
+    if checkpoint_in:
+        state, _ = ckpt_mod.load(checkpoint_in)
     if burn_frames:
         state, _ = run_n(state, burn_frames)
-        state = (cl.reset_ccl_means if chain else cl.reset_cl_means)(state)
+        state = reset(state)
 
     updates_per_frame = cfg.n_chains * sites * cfg.loops
     frames_done = 0
@@ -150,6 +162,10 @@ def run_complex(
             float(np.asarray(m["stable"]).mean()),
             observables=obs,
         )
+        if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
+            ckpt_mod.save(checkpoint_out, state, cfg)
+    if checkpoint_out:
+        ckpt_mod.save(checkpoint_out, state, cfg)
     summary = sink.summary()
     sink.emit(summary)
     return RunResult(state=state, cfg=cfg, summary=summary)

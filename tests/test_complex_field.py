@@ -1,0 +1,92 @@
+"""Complex Langevin on D-dim field lattices: exact complex free-field
+propagator gate, drift-norm control, determinism/resume."""
+
+import numpy as np
+
+from stochquant_tpu.actions import complex_actions
+from stochquant_tpu.integrators import complex_field as cf
+
+
+def test_complex_gaussian_field_2d_matches_exact_propagator():
+    sigma = 1.0 + 0.5j
+    act = complex_actions.get_complex("complex_gaussian", sigma_re=1.0, sigma_im=0.5)
+    cfg = cf.ComplexFieldConfig(
+        shape=(8, 8), spacing=0.7, n_chains=512, dtau=2e-3, loops=100,
+        seed=11, grow_after=10**9,
+    )
+    s = cf.init_cfield_state(cfg)
+    s, _ = cf.run_cfield_frames(s, act, cfg, 30)
+    s = cf.reset_cfield_means(s)
+    s, m = cf.run_cfield_frames(s, act, cfg, 80)
+    assert np.asarray(m["stable"]).all()
+
+    want = cf.exact_gaussian_z2(cfg.shape, cfg.spacing, sigma)
+    re = np.asarray(s.z2r_mean, np.float64)
+    im = np.asarray(s.z2i_mean, np.float64)
+    got = complex(re.mean(), im.mean())
+    err = np.hypot(re.std(), im.std()) / np.sqrt(cfg.n_chains)
+    assert abs(got - want) < 6 * err + 0.05 * abs(want), (got, want, err)
+
+
+def test_complex_field_3d_free_limit_is_real():
+    """With sigma_im=0 the process must stay on the real manifold (zi stays
+    0 — no imaginary drift is generated) and reproduce the real propagator."""
+    act = complex_actions.get_complex("complex_gaussian", sigma_re=2.0, sigma_im=0.0)
+    cfg = cf.ComplexFieldConfig(
+        shape=(4, 4, 4), n_chains=128, dtau=2e-3, loops=60, seed=3,
+        grow_after=10**9,
+    )
+    s = cf.init_cfield_state(cfg)
+    s, m = cf.run_cfield_frames(s, act, cfg, 40)
+    assert np.asarray(m["stable"]).all()
+    np.testing.assert_array_equal(np.asarray(s.zi), 0.0)
+    assert np.all(np.asarray(s.zim_mean) == 0.0)
+
+    s = cf.reset_cfield_means(s)
+    s, _ = cf.run_cfield_frames(s, act, cfg, 60)
+    want = cf.exact_gaussian_z2(cfg.shape, cfg.spacing, 2.0).real
+    re = np.asarray(s.z2r_mean, np.float64)
+    err = re.std() / np.sqrt(cfg.n_chains)
+    assert abs(re.mean() - want) < 6 * err + 0.05 * want, (re.mean(), want, err)
+
+
+def test_complex_field_drift_cap_keeps_finite():
+    act = complex_actions.get_complex(
+        "complex_quartic", sigma_re=1.0, sigma_im=1.0, lam=5.0
+    )
+    cfg = cf.ComplexFieldConfig(
+        action="complex_quartic", shape=(8, 8), n_chains=64, dtau=5e-3,
+        loops=50, seed=7, drift_cap=1.0,
+    )
+    s = cf.init_cfield_state(cfg)
+    s, _ = cf.run_cfield_frames(s, act, cfg, 20)
+    assert np.all(np.isfinite(np.asarray(s.zr)))
+    assert np.all(np.isfinite(np.asarray(s.zi)))
+    assert np.all(np.asarray(s.drift_max) > 0)
+
+
+def test_complex_field_checkpoint_bitwise_resume(tmp_path):
+    from stochquant_tpu.io import checkpoint
+
+    act = complex_actions.get_complex("complex_gaussian")
+    cfg = cf.ComplexFieldConfig(shape=(4, 4), n_chains=8, dtau=1e-3, loops=10, seed=6)
+    full, _ = cf.run_cfield_frames(cf.init_cfield_state(cfg), act, cfg, 4)
+
+    half, _ = cf.run_cfield_frames(cf.init_cfield_state(cfg), act, cfg, 2)
+    p = tmp_path / "cf.npz"
+    checkpoint.save(p, half, cfg)
+    loaded, loaded_cfg = checkpoint.load(p)
+    assert loaded_cfg == cfg
+    resumed, _ = cf.run_cfield_frames(loaded, act, loaded_cfg, 2)
+    for x, y in zip(full, resumed):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_complex_field_determinism_and_split_run():
+    act = complex_actions.get_complex("complex_gaussian")
+    cfg = cf.ComplexFieldConfig(shape=(4, 4), n_chains=8, dtau=1e-3, loops=9, seed=5)
+    a, _ = cf.run_cfield_frames(cf.init_cfield_state(cfg), act, cfg, 4)
+    b1, _ = cf.run_cfield_frames(cf.init_cfield_state(cfg), act, cfg, 2)
+    b2, _ = cf.run_cfield_frames(b1, act, cfg, 2)
+    for x, y in zip(a, b2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
