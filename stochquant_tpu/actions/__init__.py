@@ -24,6 +24,13 @@ from stochquant_tpu.actions.complex_actions import (  # noqa: F401
     complex_names,
     get_complex,
 )
+from stochquant_tpu.actions.gauge import (  # noqa: F401
+    GaugeAction,
+    SU2Wilson,
+    U1Wilson,
+    gauge_names,
+    get_gauge,
+)
 
 # potID ↔ name mapping of the reference CLI (tauhost.c:35, tau_kernel.cl:215-246
 # for 0/3; taumain_windows.py:101-139 declare 1/2).

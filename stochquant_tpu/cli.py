@@ -39,6 +39,18 @@ def _complex_presets():
     }
 
 
+def _gauge_presets():
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+
+    return {
+        "u1_2d": GaugeConfig(group="u1", beta=1.0, shape=(16, 16), n_chains=64),
+        "su2_2d": GaugeConfig(group="su2", beta=2.0, shape=(16, 16), n_chains=64),
+        "su2_4d": GaugeConfig(
+            group="su2", beta=2.2, shape=(8, 8, 8, 8), n_chains=8, dtau=1e-3
+        ),
+    }
+
+
 def _apply_overrides(cfg, args):
     updates = {}
     if args.frames is not None:
@@ -57,7 +69,7 @@ def _apply_overrides(cfg, args):
 
 
 def cmd_run(args):
-    presets = {**PRESETS, **_complex_presets()}
+    presets = {**PRESETS, **_complex_presets(), **_gauge_presets()}
     if args.preset not in presets:
         sys.exit(f"unknown preset {args.preset!r}; known: {sorted(presets)}")
     cfg = _apply_overrides(presets[args.preset], args)
@@ -89,7 +101,12 @@ def cmd_run(args):
                 checkpoint_in=args.resume,
             )
         else:
-            runtime.run_complex(
+            from stochquant_tpu.integrators.gauge import GaugeConfig
+
+            runner = (
+                runtime.run_gauge if isinstance(cfg, GaugeConfig) else runtime.run_complex
+            )
+            runner(
                 cfg,
                 burn_frames=args.burn,
                 sink=sink,

@@ -16,6 +16,13 @@ from stochquant_tpu.integrators.complex_field import (  # noqa: F401
     reset_cfield_means,
     run_cfield_frames,
 )
+from stochquant_tpu.integrators.gauge import (  # noqa: F401
+    GaugeConfig,
+    GaugeState,
+    init_gauge_state,
+    reset_gauge_means,
+    run_gauge_frames,
+)
 from stochquant_tpu.integrators.langevin import (  # noqa: F401
     ChainState,
     connected_correlator,

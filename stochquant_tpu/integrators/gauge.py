@@ -1,0 +1,264 @@
+"""Langevin integrator for lattice gauge fields (U(1) / SU(2) Wilson).
+
+Stochastic quantization of gauge theory à la Parisi–Wu, on the same frame
+machinery as the scalar integrators (micro-step scan inside one jitted
+frame, per-chain drift-norm step control, frame-level accept/reject with
+adaptive base Δτ, on-line running-mean observables — the TPU generalization
+of the reference's divergence-detector + adaptive-Δτ loop,
+``tauhost.c:523-545``).
+
+Update per micro-step (generators T_a = σ_a/2, ⟨η_aη_b⟩ = 2δ_ab):
+
+    U(1):   θ ← wrap( θ + Δτ_eff·F(θ) + √(2Δτ_eff)·η )
+    SU(2):  U ← exp(i ω⃗·σ/2) U,  ω⃗ = Δτ_eff·f⃗ + √(2Δτ_eff)·η⃗
+
+with Δτ_eff = Δτ·min(1, d₀/max‖drift‖).  Compact variables can't run away,
+so instability here means non-finite values only (drift spikes are handled
+by the step control).
+
+Observables: running mean plaquette ⟨(1/N)ReTr U_p⟩ per chain (the 2-D
+exact values I₁/I₀ and I₂/I₁ gate the tests), plus max drift norm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from stochquant_tpu import rng
+from stochquant_tpu.actions import gauge as gauge_mod
+
+__all__ = [
+    "GaugeConfig",
+    "GaugeState",
+    "init_gauge_state",
+    "make_gauge_frame_fn",
+    "run_gauge_frames",
+    "reset_gauge_means",
+    "exact_plaquette_2d",
+]
+
+_PI = np.float32(np.pi)
+_TWO_PI = np.float32(2.0 * np.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class GaugeConfig:
+    """Wilson-action gauge run on a periodic D-dim lattice."""
+
+    group: str = "u1"                    # gauge registry name: "u1" | "su2"
+    beta: float = 1.0
+    shape: Tuple[int, ...] = (16, 16)
+    n_chains: int = 64
+    dtau: float = 2e-3
+    loops: int = 100
+    frames: int = 100
+    seed: int = 0
+    drift_cap: float = 20.0
+    shrink: float = 0.95
+    grow_after: int = 10
+    dtau_max: Optional[float] = None
+    hot_start: bool = False              # random links instead of identity
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "GaugeConfig":
+        import json
+
+        d = json.loads(s)
+        d["shape"] = tuple(d["shape"])
+        return cls(**d)
+
+
+class GaugeState(NamedTuple):
+    links: jax.Array       # (C, D, *L) u1 angles | (C, 4, D, *L) su2 quats
+    plaq_mean: jax.Array   # (C,) running ⟨(1/N)ReTr U_p⟩
+    drift_max: jax.Array   # (C,) max drift norm seen
+    runs: jax.Array        # (C,) uint32
+    dtau: jax.Array        # (C,)
+    stab_cnt: jax.Array    # (C,) int32
+    step: jax.Array        # () uint32
+
+
+def _state_shape(cfg: GaugeConfig):
+    D = cfg.ndim
+    if cfg.group == "su2":
+        return (cfg.n_chains, 4, D) + tuple(cfg.shape)
+    return (cfg.n_chains, D) + tuple(cfg.shape)
+
+
+def init_gauge_state(cfg: GaugeConfig, action=None) -> GaugeState:
+    action = action or gauge_mod.get_gauge(cfg.group, beta=cfg.beta)
+    C = cfg.n_chains
+    links = action.init_links(_state_shape(cfg))
+    if cfg.hot_start:
+        if cfg.group == "u1":
+            u = rng.normal_for_shape(cfg.seed, rng.Stream.INIT, 0, links.shape)
+            links = _PI * jnp.tanh(u)  # spread over (−π, π)
+        else:
+            # random algebra kick from the identity
+            w = rng.normal_for_shape(
+                cfg.seed, rng.Stream.INIT, 0, (C, 3) + links.shape[2:]
+            )
+            links = action.apply_update(links, 1.0 * w)
+    zeros = jnp.zeros((C,), jnp.float32)
+    return GaugeState(
+        links=links,
+        plaq_mean=zeros,
+        drift_max=zeros,
+        runs=jnp.zeros((C,), jnp.uint32),
+        dtau=jnp.full((C,), cfg.dtau, jnp.float32),
+        stab_cnt=jnp.zeros((C,), jnp.int32),
+        step=jnp.uint32(1),
+    )
+
+
+def _wrap_angle(t):
+    """Wrap into (−π, π] — a no-op for the compact dynamics (the action is
+    2π-periodic) that keeps the angles well-conditioned."""
+    return t - _TWO_PI * jnp.round(t / _TWO_PI)
+
+
+def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
+    C = cfg.n_chains
+    ndim = cfg.ndim
+    su2 = isinstance(action, gauge_mod.SU2Wilson)
+    cap = jnp.float32(cfg.drift_cap)
+    noise_shape = (
+        (C, 3, ndim) + tuple(cfg.shape) if su2 else (C, ndim) + tuple(cfg.shape)
+    )
+    red_axes = tuple(range(1, len(noise_shape)))
+
+    def frame(state: GaugeState):
+        def substep(carry, step, eta):
+            links, pm, dmax, unstable = carry
+
+            f = action.drift(links, ndim)
+            if su2:
+                dnorm = jnp.max(
+                    jnp.sqrt(jnp.sum(f * f, axis=1)),
+                    axis=tuple(range(1, f.ndim - 1)),
+                )
+            else:
+                dnorm = jnp.max(jnp.abs(f), axis=red_axes)
+
+            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, 1e-30))
+            dtau_eff = (state.dtau * scale).reshape((C,) + (1,) * (f.ndim - 1))
+            omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
+
+            if su2:
+                new_links = action.apply_update(links, omega)
+            else:
+                new_links = _wrap_angle(links + omega)
+
+            bad = ~jnp.all(
+                jnp.isfinite(new_links), axis=tuple(range(1, new_links.ndim))
+            )
+
+            # observable samples the pre-update links (same convention as
+            # the scalar integrators / the reference's running means)
+            plaq = action.mean_plaquette(links, ndim)
+            n = (
+                state.runs.astype(jnp.float32)
+                + (step - state.step).astype(jnp.float32)
+                + 1.0
+            )
+            pm_n = pm + (plaq - pm) / n
+            dmax_n = jnp.maximum(dmax, dnorm)
+
+            u = unstable.reshape((C,) + (1,) * (new_links.ndim - 1))
+            links = jnp.where(u, links, new_links)
+            keep = lambda new, old: jnp.where(unstable, old, new)
+            pm = keep(pm_n, pm)
+            dmax = keep(dmax_n, dmax)
+            unstable = unstable | bad
+            return (links, pm, dmax, unstable)
+
+        def pair_step(carry, _):
+            *vals, step = carry
+            e0, e1 = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, noise_shape
+            )
+            vals = substep(tuple(vals), step, e0)
+            vals = substep(vals, step + 1, e1)
+            return (*vals, step + 2), None
+
+        init = (
+            state.links, state.plaq_mean, state.drift_max,
+            jnp.zeros((C,), bool), state.step,
+        )
+        carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
+        if cfg.loops % 2:
+            *vals, step = carry
+            e0, _ = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, noise_shape
+            )
+            vals = substep(tuple(vals), step, e0)
+            carry = (*vals, step + 1)
+        links, pm, dmax, unstable, step_end = carry
+
+        accept = ~unstable
+        au = accept.reshape((C,) + (1,) * (links.ndim - 1))
+        sel = lambda new, old: jnp.where(accept, new, old)
+        grow = accept & (state.stab_cnt >= cfg.grow_after)
+        dtau = jnp.where(
+            grow,
+            state.dtau / cfg.shrink,
+            jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+        )
+        if cfg.dtau_max is not None:
+            dtau = jnp.minimum(dtau, jnp.float32(cfg.dtau_max))
+        new_state = GaugeState(
+            links=jnp.where(au, links, state.links),
+            plaq_mean=sel(pm, state.plaq_mean),
+            drift_max=sel(dmax, state.drift_max),
+            runs=state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0)),
+            dtau=dtau,
+            stab_cnt=jnp.where(
+                accept,
+                jnp.where(state.stab_cnt >= cfg.grow_after, 0, state.stab_cnt + 1),
+                0,
+            ),
+            step=step_end,
+        )
+        metrics = {"stable": accept, "dtau": dtau, "drift_max": dmax}
+        return new_state, metrics
+
+    return frame
+
+
+@partial(jax.jit, static_argnames=("action", "cfg", "n_frames"))
+def run_gauge_frames(state: GaugeState, action, cfg: GaugeConfig, n_frames: int):
+    frame = make_gauge_frame_fn(action, cfg)
+    return lax.scan(lambda s, _: frame(s), state, None, length=n_frames)
+
+
+def reset_gauge_means(state: GaugeState) -> GaugeState:
+    z = jnp.zeros_like(state.plaq_mean)
+    return state._replace(plaq_mean=z, runs=jnp.zeros_like(state.runs))
+
+
+def exact_plaquette_2d(group: str, beta: float) -> float:
+    """Exact 2-D mean plaquette (infinite-volume character expansion):
+    I₁(β)/I₀(β) for U(1), I₂(β)/I₁(β) for SU(2)."""
+    from scipy.special import iv
+
+    if group == "u1":
+        return float(iv(1, beta) / iv(0, beta))
+    if group == "su2":
+        return float(iv(2, beta) / iv(1, beta))
+    raise KeyError(group)

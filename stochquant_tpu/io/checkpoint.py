@@ -28,6 +28,7 @@ from stochquant_tpu.integrators.complex_langevin import (
     ComplexLangevinConfig,
 )
 from stochquant_tpu.integrators.field import FieldState
+from stochquant_tpu.integrators.gauge import GaugeConfig, GaugeState
 from stochquant_tpu.integrators.langevin import ChainState
 
 # kind tag -> (state class, config class); tags are stable on-disk identifiers
@@ -37,6 +38,7 @@ _KIND = {
     "complex0d": (CLState, ComplexLangevinConfig),
     "complex_chain": (ComplexChainState, ComplexChainConfig),
     "complex_field": (ComplexFieldState, ComplexFieldConfig),
+    "gauge": (GaugeState, GaugeConfig),
 }
 _STATE_KIND = {cls: kind for kind, (cls, _) in _KIND.items()}
 

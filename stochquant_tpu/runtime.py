@@ -171,6 +171,63 @@ def run_complex(
     return RunResult(state=state, cfg=cfg, summary=summary)
 
 
+def run_gauge(
+    cfg,
+    *,
+    burn_frames: int = 0,
+    sink: Optional[metrics_mod.MetricsSink] = None,
+    checkpoint_out: Optional[str] = None,
+    checkpoint_in: Optional[str] = None,
+    checkpoint_every: int = 0,
+) -> RunResult:
+    """Run a lattice-gauge Langevin ensemble (``GaugeConfig``)."""
+    from stochquant_tpu.actions.gauge import get_gauge
+    from stochquant_tpu.integrators import gauge as gauge_mod
+
+    act = get_gauge(cfg.group, beta=cfg.beta)
+    sink = sink or metrics_mod.MetricsSink()
+    if checkpoint_in:
+        state, _ = ckpt_mod.load(checkpoint_in)
+    else:
+        state = gauge_mod.init_gauge_state(cfg, act)
+    run_n = lambda s, n: gauge_mod.run_gauge_frames(s, act, cfg, n)
+
+    if burn_frames:
+        state, _ = run_n(state, burn_frames)
+        state = gauge_mod.reset_gauge_means(state)
+
+    n_links = cfg.ndim * int(np.prod(cfg.shape))
+    updates_per_frame = cfg.n_chains * n_links * cfg.loops
+    frames_done = 0
+    while frames_done < cfg.frames:
+        state, m = run_n(state, 1)
+        frames_done += 1
+        obs = {
+            "plaquette": float(np.asarray(state.plaq_mean).mean()),
+            "plaquette_exact_2d": (
+                gauge_mod.exact_plaquette_2d(cfg.group, cfg.beta)
+                if cfg.ndim == 2
+                else None
+            ),
+            "drift_max": float(np.asarray(m["drift_max"]).max()),
+        }
+        sink.frame(
+            frames_done - 1,
+            cfg.frames,
+            updates_per_frame,
+            np.asarray(m["dtau"]),
+            float(np.asarray(m["stable"]).mean()),
+            observables=obs,
+        )
+        if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
+            ckpt_mod.save(checkpoint_out, state, cfg)
+    if checkpoint_out:
+        ckpt_mod.save(checkpoint_out, state, cfg)
+    summary = sink.summary()
+    sink.emit(summary)
+    return RunResult(state=state, cfg=cfg, summary=summary)
+
+
 def run_field(
     cfg: FieldConfig,
     *,

@@ -1,0 +1,145 @@
+"""Gauge-sector gates: drift = −∂S/∂θ vs autodiff, exact 2-D plaquette
+values (I₁/I₀ for U(1), I₂/I₁ for SU(2)), group-manifold invariants,
+determinism/resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stochquant_tpu.actions import gauge as ga
+from stochquant_tpu.integrators import gauge as gi
+
+
+def test_u1_drift_matches_autodiff():
+    act = ga.get_gauge("u1", beta=1.3)
+    ndim = 2
+    key = jax.random.PRNGKey(0)
+    theta = jax.random.uniform(key, (3, ndim, 5, 6), minval=-3.0, maxval=3.0)
+    want = -jax.grad(lambda t: jnp.sum(act.action(t, ndim)))(theta)
+    got = act.drift(theta, ndim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_u1_drift_matches_autodiff_3d():
+    act = ga.get_gauge("u1", beta=0.7)
+    ndim = 3
+    theta = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, ndim, 4, 4, 4), minval=-3.0, maxval=3.0
+    )
+    want = -jax.grad(lambda t: jnp.sum(act.action(t, ndim)))(theta)
+    got = act.drift(theta, ndim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_su2_quaternion_algebra():
+    # (i σ1)(i σ2) = -σ1σ2 = -iσ3 → vector part (0,0,-1)
+    a = (jnp.zeros(()), jnp.ones(()), jnp.zeros(()), jnp.zeros(()))
+    b = (jnp.zeros(()), jnp.zeros(()), jnp.ones(()), jnp.zeros(()))
+    w = ga.qmul(a, b)
+    np.testing.assert_allclose(
+        [float(c) for c in w], [0.0, 0.0, 0.0, -1.0], atol=1e-7
+    )
+    # U·U† = 1 for a random unit quaternion
+    v = np.random.default_rng(0).normal(size=4)
+    v /= np.linalg.norm(v)
+    q = tuple(jnp.asarray(x, jnp.float32) for x in v)
+    ident = ga.qmul(q, ga.qconj(q))
+    np.testing.assert_allclose(
+        [float(c) for c in ident], [1.0, 0.0, 0.0, 0.0], atol=1e-6
+    )
+
+
+def test_su2_drift_matches_autodiff_through_group_exp():
+    """d/ds S(exp(i s T_a) U)|_0 must equal −drift_a: checks the staple sum,
+    the quaternion products, and the generator normalization at once."""
+    act = ga.get_gauge("su2", beta=1.1)
+    ndim = 2
+    cfg = gi.GaugeConfig(group="su2", beta=1.1, shape=(4, 4), n_chains=2, seed=8,
+                         hot_start=True)
+    links = gi.init_gauge_state(cfg, act).links  # random SU(2) field
+
+    def S_of_kick(omega):
+        return jnp.sum(act.action(act.apply_update(links, omega), ndim))
+
+    zero = jnp.zeros((2, 3, ndim, 4, 4))
+    want = -jax.grad(S_of_kick)(zero)
+    got = act.drift(links, ndim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_u1_2d_plaquette_matches_bessel():
+    beta = 1.0
+    cfg = gi.GaugeConfig(
+        group="u1", beta=beta, shape=(8, 8), n_chains=256, dtau=2e-3,
+        loops=100, seed=5, grow_after=10**9,
+    )
+    act = ga.get_gauge("u1", beta=beta)
+    s = gi.init_gauge_state(cfg, act)
+    s, _ = gi.run_gauge_frames(s, act, cfg, 30)
+    s = gi.reset_gauge_means(s)
+    s, m = gi.run_gauge_frames(s, act, cfg, 80)
+    assert np.asarray(m["stable"]).all()
+
+    want = gi.exact_plaquette_2d("u1", beta)
+    pm = np.asarray(s.plaq_mean, np.float64)
+    err = pm.std() / np.sqrt(cfg.n_chains)
+    # O(Δτ) stationary bias allowance on top of the statistical error
+    assert abs(pm.mean() - want) < 6 * err + 10 * cfg.dtau, (pm.mean(), want, err)
+
+
+def test_su2_2d_plaquette_matches_bessel():
+    beta = 2.0
+    cfg = gi.GaugeConfig(
+        group="su2", beta=beta, shape=(8, 8), n_chains=128, dtau=2e-3,
+        loops=100, seed=6, grow_after=10**9,
+    )
+    act = ga.get_gauge("su2", beta=beta)
+    s = gi.init_gauge_state(cfg, act)
+    s, _ = gi.run_gauge_frames(s, act, cfg, 30)
+    s = gi.reset_gauge_means(s)
+    s, m = gi.run_gauge_frames(s, act, cfg, 80)
+    assert np.asarray(m["stable"]).all()
+
+    want = gi.exact_plaquette_2d("su2", beta)
+    pm = np.asarray(s.plaq_mean, np.float64)
+    err = pm.std() / np.sqrt(cfg.n_chains)
+    assert abs(pm.mean() - want) < 6 * err + 10 * cfg.dtau, (pm.mean(), want, err)
+
+
+def test_su2_links_stay_unitary():
+    cfg = gi.GaugeConfig(group="su2", beta=2.0, shape=(4, 4), n_chains=8,
+                         dtau=5e-3, loops=50, seed=2)
+    act = ga.get_gauge("su2", beta=cfg.beta)
+    s = gi.init_gauge_state(cfg, act)
+    s, _ = gi.run_gauge_frames(s, act, cfg, 10)
+    norm = np.asarray(jnp.sum(s.links**2, axis=1))
+    np.testing.assert_allclose(norm, 1.0, atol=1e-5)
+
+
+def test_gauge_determinism_and_split_run():
+    for group in ("u1", "su2"):
+        cfg = gi.GaugeConfig(group=group, shape=(4, 4), n_chains=4, dtau=1e-3,
+                             loops=9, seed=3)
+        act = ga.get_gauge(group, beta=cfg.beta)
+        a, _ = gi.run_gauge_frames(gi.init_gauge_state(cfg, act), act, cfg, 4)
+        b1, _ = gi.run_gauge_frames(gi.init_gauge_state(cfg, act), act, cfg, 2)
+        b2, _ = gi.run_gauge_frames(b1, act, cfg, 2)
+        for x, y in zip(a, b2):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gauge_checkpoint_roundtrip(tmp_path):
+    from stochquant_tpu.io import checkpoint
+
+    cfg = gi.GaugeConfig(group="su2", shape=(4, 4), n_chains=4, dtau=1e-3,
+                         loops=10, seed=9)
+    act = ga.get_gauge("su2", beta=cfg.beta)
+    full, _ = gi.run_gauge_frames(gi.init_gauge_state(cfg, act), act, cfg, 4)
+    half, _ = gi.run_gauge_frames(gi.init_gauge_state(cfg, act), act, cfg, 2)
+    p = tmp_path / "g.npz"
+    checkpoint.save(p, half, cfg)
+    loaded, lcfg = checkpoint.load(p)
+    assert lcfg == cfg
+    resumed, _ = gi.run_gauge_frames(loaded, act, lcfg, 2)
+    for x, y in zip(full, resumed):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
