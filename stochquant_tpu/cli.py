@@ -69,6 +69,8 @@ def _apply_overrides(cfg, args):
 
 
 def cmd_run(args):
+    import os
+
     presets = {**PRESETS, **_complex_presets(), **_gauge_presets()}
     if args.preset not in presets:
         sys.exit(f"unknown preset {args.preset!r}; known: {sorted(presets)}")
@@ -76,43 +78,49 @@ def cmd_run(args):
     sink = metrics_mod.MetricsSink(
         stream=open(args.metrics, "w") if args.metrics else sys.stdout
     )
+    resume = args.resume
+    resume_progress = False
+    if args.auto_resume:
+        if not args.out:
+            sys.exit("--auto-resume requires --out (the checkpoint to resume from)")
+        if os.path.exists(args.out):
+            resume = args.out
+            resume_progress = True
     prof = None
     if args.profile:
         import jax
 
         jax.profiler.start_trace(args.profile)
         prof = True
-    try:
-        if isinstance(cfg, ChainConfig):
-            runtime.run_chain(
-                cfg,
-                backend=args.backend,
-                burn_frames=args.burn,
-                sink=sink,
-                checkpoint_out=args.out,
-                checkpoint_in=args.resume,
-            )
-        elif isinstance(cfg, FieldConfig):
-            runtime.run_field(
-                cfg,
-                burn_frames=args.burn,
-                sink=sink,
-                checkpoint_out=args.out,
-                checkpoint_in=args.resume,
-            )
-        else:
-            from stochquant_tpu.integrators.gauge import GaugeConfig
 
-            runner = (
-                runtime.run_gauge if isinstance(cfg, GaugeConfig) else runtime.run_complex
-            )
-            runner(
-                cfg,
-                burn_frames=args.burn,
-                sink=sink,
-                checkpoint_out=args.out,
-                checkpoint_in=args.resume,
-            )
+    common = dict(
+        burn_frames=args.burn,
+        sink=sink,
+        checkpoint_out=args.out,
+        checkpoint_in=resume,
+        checkpoint_every=args.checkpoint_every,
+        resume_progress=resume_progress,
+    )
+    try:
+        # SIGTERM/SIGINT write a final checkpoint and exit cleanly; with
+        # --auto-resume the next invocation picks up where this one stopped.
+        # The guard is installed before the first JAX compile so a signal
+        # landing mid-compile is deferred into a graceful stop, not a kill.
+        with runtime.PreemptionGuard() as guard:
+            common["stop"] = guard
+            if isinstance(cfg, ChainConfig):
+                runtime.run_chain(cfg, backend=args.backend, **common)
+            elif isinstance(cfg, FieldConfig):
+                runtime.run_field(cfg, **common)
+            else:
+                from stochquant_tpu.integrators.gauge import GaugeConfig
+
+                runner = (
+                    runtime.run_gauge
+                    if isinstance(cfg, GaugeConfig)
+                    else runtime.run_complex
+                )
+                runner(cfg, **common)
     finally:
         if prof:
             import jax
@@ -153,6 +161,15 @@ def main(argv=None):
     r.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     r.add_argument("--out", help="checkpoint output path (.npz)")
     r.add_argument("--resume", help="checkpoint to resume from (.npz)")
+    r.add_argument(
+        "--checkpoint-every", type=int, default=0, metavar="N",
+        help="also write the checkpoint every N frames (preemption safety)",
+    )
+    r.add_argument(
+        "--auto-resume", action="store_true",
+        help="if --out already exists, resume from it and count its frames "
+        "toward --frames (restartable-after-preemption loop)",
+    )
     r.add_argument("--metrics", help="write JSON-lines metrics here instead of stdout")
     r.add_argument("--profile", help="capture a jax.profiler trace into this directory")
     r.set_defaults(fn=cmd_run)

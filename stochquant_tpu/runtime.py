@@ -10,6 +10,7 @@ full-state checkpoints (fixing flaw F4's lossy resume).
 from __future__ import annotations
 
 import dataclasses
+import signal
 from typing import Optional
 
 import jax
@@ -31,6 +32,58 @@ class RunResult:
     summary: dict
 
 
+class PreemptionGuard:
+    """Preemption-safe shutdown: SIGTERM/SIGINT set a flag instead of killing
+    the process; the run loops poll it (pass ``stop=guard`` to any run_*),
+    write a final full-state checkpoint, and return.  Together with the
+    bitwise-resume checkpoints this makes runs restartable after scheduler
+    preemption or hardware faults (SURVEY.md §5 "failure detection" — the
+    hardware-fault half the reference lacks, its story being numerical only).
+    """
+
+    def __init__(self, signums=(signal.SIGTERM, signal.SIGINT)):
+        self._signums = signums
+        self._old = {}
+        self.tripped = False
+
+    def _handler(self, signum, frame):
+        self.tripped = True
+
+    def __enter__(self):
+        for s in self._signums:
+            self._old[s] = signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, h in self._old.items():
+            signal.signal(s, h)
+        return False
+
+    def __call__(self) -> bool:
+        return self.tripped
+
+
+def _frames_already_done(state, cfg) -> int:
+    """Frames completed by a checkpointed state (micro-step counter // loops;
+    the small init offset of the step counter is absorbed by the floor)."""
+    return min(cfg.frames, int(np.asarray(state.step)) // max(cfg.loops, 1))
+
+
+def _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done) -> bool:
+    if stop is None or not stop():
+        return False
+    if checkpoint_out:
+        ckpt_mod.save(checkpoint_out, state, cfg)
+    sink.emit(
+        {
+            "type": "preempted",
+            "frames_done": frames_done,
+            "checkpoint": checkpoint_out,
+        }
+    )
+    return True
+
+
 def run_chain(
     cfg: ChainConfig,
     *,
@@ -41,11 +94,17 @@ def run_chain(
     checkpoint_in: Optional[str] = None,
     checkpoint_every: int = 0,
     stream_correlator: bool = True,
+    stop=None,
+    resume_progress: bool = False,
 ) -> RunResult:
     """Run a 1-D chain ensemble per the config; returns final state.
 
     backend: 'pallas' (fused kernel), 'xla' (scan path) or 'auto'
     (pallas on TPU, xla elsewhere).
+    stop: optional callable polled between frames (e.g. a PreemptionGuard);
+    when true the loop checkpoints and returns early.
+    resume_progress: with checkpoint_in, count the checkpoint's completed
+    frames toward cfg.frames instead of running cfg.frames more.
     """
     act = actions_mod.get(cfg.action)
     sink = sink or metrics_mod.MetricsSink()
@@ -72,12 +131,14 @@ def run_chain(
             )
         return langevin.run_frames(state, act, cfg, n)
 
-    if burn_frames:
+    frames_done = (
+        _frames_already_done(state, cfg) if (resume_progress and checkpoint_in) else 0
+    )
+    if burn_frames and frames_done == 0:
         state, _ = run_n(state, burn_frames)
         state = langevin.reset_means(state)
 
     updates_per_frame = cfg.n_chains * cfg.n_sites * cfg.loops
-    frames_done = 0
     fps = max(cfg.fps, 1)
     while frames_done < cfg.frames:
         n = min(fps, cfg.frames - frames_done)
@@ -98,6 +159,8 @@ def run_chain(
         )
         if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
             ckpt_mod.save(checkpoint_out, state, cfg)
+        if _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done):
+            break
 
     if checkpoint_out:
         ckpt_mod.save(checkpoint_out, state, cfg)
@@ -114,6 +177,8 @@ def run_complex(
     checkpoint_out: Optional[str] = None,
     checkpoint_in: Optional[str] = None,
     checkpoint_every: int = 0,
+    stop=None,
+    resume_progress: bool = False,
 ) -> RunResult:
     """Run a complex-Langevin ensemble (0-D ``ComplexLangevinConfig``,
     1-D chain ``ComplexChainConfig``, or D-dim ``ComplexFieldConfig``)."""
@@ -140,12 +205,14 @@ def run_complex(
         sites = 1
     if checkpoint_in:
         state, _ = ckpt_mod.load(checkpoint_in)
-    if burn_frames:
+    frames_done = (
+        _frames_already_done(state, cfg) if (resume_progress and checkpoint_in) else 0
+    )
+    if burn_frames and frames_done == 0:
         state, _ = run_n(state, burn_frames)
         state = reset(state)
 
     updates_per_frame = cfg.n_chains * sites * cfg.loops
-    frames_done = 0
     while frames_done < cfg.frames:
         state, m = run_n(state, 1)
         frames_done += 1
@@ -164,6 +231,8 @@ def run_complex(
         )
         if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
             ckpt_mod.save(checkpoint_out, state, cfg)
+        if _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done):
+            break
     if checkpoint_out:
         ckpt_mod.save(checkpoint_out, state, cfg)
     summary = sink.summary()
@@ -179,6 +248,8 @@ def run_gauge(
     checkpoint_out: Optional[str] = None,
     checkpoint_in: Optional[str] = None,
     checkpoint_every: int = 0,
+    stop=None,
+    resume_progress: bool = False,
 ) -> RunResult:
     """Run a lattice-gauge Langevin ensemble (``GaugeConfig``)."""
     from stochquant_tpu.actions.gauge import get_gauge
@@ -192,13 +263,15 @@ def run_gauge(
         state = gauge_mod.init_gauge_state(cfg, act)
     run_n = lambda s, n: gauge_mod.run_gauge_frames(s, act, cfg, n)
 
-    if burn_frames:
+    frames_done = (
+        _frames_already_done(state, cfg) if (resume_progress and checkpoint_in) else 0
+    )
+    if burn_frames and frames_done == 0:
         state, _ = run_n(state, burn_frames)
         state = gauge_mod.reset_gauge_means(state)
 
     n_links = cfg.ndim * int(np.prod(cfg.shape))
     updates_per_frame = cfg.n_chains * n_links * cfg.loops
-    frames_done = 0
     while frames_done < cfg.frames:
         state, m = run_n(state, 1)
         frames_done += 1
@@ -221,6 +294,8 @@ def run_gauge(
         )
         if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
             ckpt_mod.save(checkpoint_out, state, cfg)
+        if _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done):
+            break
     if checkpoint_out:
         ckpt_mod.save(checkpoint_out, state, cfg)
     summary = sink.summary()
@@ -237,6 +312,8 @@ def run_field(
     checkpoint_in: Optional[str] = None,
     checkpoint_every: int = 0,
     mesh=None,
+    stop=None,
+    resume_progress: bool = False,
 ) -> RunResult:
     """Run a D-dim field ensemble; with ``mesh`` + cfg.mesh_axes uses the
     explicit halo-exchange runner, otherwise single-program (GSPMD if the
@@ -259,13 +336,15 @@ def run_field(
     else:
         run_n = lambda s, n: field_mod.run_field_frames(s, act, cfg, n)
 
-    if burn_frames:
+    frames_done = (
+        _frames_already_done(state, cfg) if (resume_progress and checkpoint_in) else 0
+    )
+    if burn_frames and frames_done == 0:
         state, _ = run_n(state, burn_frames)
         state = field_mod.reset_field_means(state)
 
     volume = int(np.prod(cfg.shape))
     updates_per_frame = cfg.n_chains * volume * cfg.loops
-    frames_done = 0
     fps = max(cfg.fps, 1)
     while frames_done < cfg.frames:
         n = min(fps, cfg.frames - frames_done)
@@ -289,6 +368,8 @@ def run_field(
         )
         if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
             ckpt_mod.save(checkpoint_out, state, cfg)
+        if _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done):
+            break
 
     if checkpoint_out:
         ckpt_mod.save(checkpoint_out, state, cfg)

@@ -80,6 +80,84 @@ def test_cli_complex_preset(tmp_path):
     assert frames and "re_z2" in frames[-1]
 
 
+def test_preemption_stop_checkpoints_and_resume_is_bitwise(tmp_path):
+    """stop tripping after 2 of 4 frames must checkpoint; --auto-resume-style
+    continuation (resume_progress) must reproduce the uninterrupted run
+    bitwise (full-state checkpoints incl. RNG step make this exact)."""
+    from stochquant_tpu.actions import get
+    from stochquant_tpu.integrators import langevin
+
+    cfg = ChainConfig(
+        action="harmonic", n_sites=16, dt=0.2, dtau=1e-3, n_chains=4,
+        loops=10, frames=4, seed=3,
+    )
+    act = get(cfg.action)
+    full, _ = langevin.run_frames(langevin.init_chain_state(cfg, act), act, cfg, 4)
+
+    ck = tmp_path / "pre.npz"
+    calls = {"n": 0}
+
+    def stop():
+        calls["n"] += 1
+        return calls["n"] >= 2  # trip at the end of frame 2
+
+    m = tmp_path / "m.jsonl"
+    with open(m, "w") as fh:
+        runtime.run_chain(
+            cfg, backend="xla", sink=metrics.MetricsSink(stream=fh),
+            checkpoint_out=str(ck), stop=stop,
+        )
+    recs = [json.loads(l) for l in open(m)]
+    assert any(r["type"] == "preempted" and r["frames_done"] == 2 for r in recs)
+    assert ck.exists()
+
+    res = runtime.run_chain(
+        cfg, backend="xla", sink=metrics.MetricsSink(),
+        checkpoint_in=str(ck), resume_progress=True,
+    )
+    for got, want in zip(res.state, full):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_preemption_guard_catches_sigterm():
+    import os
+    import signal
+
+    with runtime.PreemptionGuard() as g:
+        assert not g()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert g()  # handler set the flag instead of killing the process
+    # original disposition restored on exit
+    assert signal.getsignal(signal.SIGTERM) != g._handler
+
+
+def test_cli_auto_resume_requires_out():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["run", "--preset", "harmosc", "--auto-resume"])
+
+
+def test_cli_auto_resume_continues(tmp_path):
+    ck = tmp_path / "ar.npz"
+    m1 = tmp_path / "a.jsonl"
+    cli.main([
+        "run", "--preset", "harmosc", "--frames", "2", "--loops", "5",
+        "--chains", "2", "--dtau", "1e-3", "--backend", "xla",
+        "--metrics", str(m1), "--out", str(ck), "--auto-resume",
+    ])
+    m2 = tmp_path / "b.jsonl"
+    cli.main([
+        "run", "--preset", "harmosc", "--frames", "4", "--loops", "5",
+        "--chains", "2", "--dtau", "1e-3", "--backend", "xla",
+        "--metrics", str(m2), "--out", str(ck), "--auto-resume",
+    ])
+    recs = [json.loads(l) for l in open(m2)]
+    frames = [r for r in recs if r["type"] == "frame"]
+    # first invocation did 2 of 4; the auto-resumed one only runs the rest
+    assert len(frames) == 2 and frames[-1]["percent"] == 100.0
+
+
 def test_cli_complex_chain_preset(tmp_path):
     m = tmp_path / "ccl.jsonl"
     cli.main([
