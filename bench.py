@@ -56,6 +56,11 @@ def worker() -> None:
     block = 64 if on_tpu else 32
     n_frames = 3
     reps = 4 if on_tpu else 1
+    # rng_impl="hardware": pltpu.prng_random_bits in-kernel (deterministic
+    # for this fixed seed + chain blocking) — measured 1.44x the Threefry
+    # path on v5e (r1: 17.1 vs 11.9 GLUPS).  The layout-invariant Threefry
+    # path remains the framework default; this benchmark reports the fast
+    # configuration, as a production throughput run would use it.
     cfg = ChainConfig(
         action="double_well",
         n_sites=200,
@@ -65,6 +70,7 @@ def worker() -> None:
         loops=1000,
         seed=2026,
         grow_after=10**9,
+        rng_impl="hardware" if on_tpu else "threefry",
     )
     act = actions.get(cfg.action)
     state = langevin.init_chain_state(cfg, act)
