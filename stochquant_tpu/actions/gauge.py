@@ -1,5 +1,5 @@
 """Lattice gauge theory building blocks: link variables + Wilson plaquette
-actions for U(1) and SU(2), with hand-derived Langevin drifts.
+actions for U(1), SU(2) and SU(3), with hand-derived Langevin drifts.
 
 Stochastic quantization of gauge fields is the original Parisi–Wu program
 (the reference implements only its 1-D QM corner); this module is the
@@ -12,6 +12,11 @@ model-family extension.  Everything is TPU-first:
   U = w·1 + i(x σ₁ + y σ₂ + z σ₃), shape ``(C, 4, D, *L)`` — no complex
   2×2 matrices: multiplication/conjugation/exponentials are a handful of
   fused multiply-adds on the VPU, and re-unitarization is one rsqrt.
+* SU(3) links are complex 3×3 matrices on the two trailing axes, shape
+  ``(C, D, *L, 3, 3)`` — batched tiny matmuls the compiler vectorizes; the
+  group exponential is the exact Cayley–Hamilton closed form
+  (:func:`expi_su3`) and re-unitarization one Newton step
+  (:func:`project_su3`).
 
 Wilson action (both groups, each unordered plaquette counted once):
 
@@ -37,6 +42,7 @@ import dataclasses
 from typing import Dict, Callable
 
 import jax.numpy as jnp
+import numpy as np
 
 _GAUGE_REGISTRY: Dict[str, Callable[..., "GaugeAction"]] = {}
 
@@ -117,7 +123,16 @@ def qexp_su2(vx, vy, vz):
 
 @dataclasses.dataclass(frozen=True)
 class GaugeAction:
-    """Wilson plaquette action; β multiplies Σ_p (1 − (1/N)ReTr U_p)."""
+    """Wilson plaquette action; β multiplies Σ_p (1 − (1/N)ReTr U_p).
+
+    Subclasses provide the full group-agnostic integrator interface so
+    :mod:`stochquant_tpu.integrators.gauge` contains zero per-group code:
+    ``state_shape``/``noise_shape`` fix the layouts, ``drift`` returns a
+    tangent-space force with the same structure as
+    ``noise_to_tangent(η)``, ``apply_update`` is the exact group step
+    ``U ← exp(i Σ_a ω_a T_a) U``, and ``drift_norm`` reduces a force to a
+    per-chain max generator-space magnitude for step control.
+    """
 
     beta: float = 1.0
 
@@ -135,6 +150,33 @@ class GaugeAction:
 
     def mean_plaquette(self, links, ndim: int):
         raise NotImplementedError
+
+    def state_shape(self, n_chains: int, ndim: int, lattice) -> tuple:
+        raise NotImplementedError
+
+    def noise_shape(self, n_chains: int, ndim: int, lattice) -> tuple:
+        """Shape of the iid-N(0,1) *real* noise array drawn per micro-step."""
+        raise NotImplementedError
+
+    def noise_to_tangent(self, eta):
+        """Map real noise components onto the tangent object that pairs with
+        ``drift``'s output (identity for U(1)/SU(2); generator contraction
+        for matrix groups)."""
+        return eta
+
+    def drift_norm(self, f):
+        """Per-chain max over links of the generator-space force magnitude
+        √(Σ_a f_a²); shape (C,)."""
+        raise NotImplementedError
+
+    def apply_update(self, links, omega):
+        """Exact group step: U ← exp(i Σ_a ω_a T_a) U (additive for U(1))."""
+        raise NotImplementedError
+
+    def hot_start(self, links, eta):
+        """Randomized links given identity ``links`` and one ``noise_shape``
+        draw ``eta`` (disordered start, far from the cold identity)."""
+        return self.apply_update(links, self.noise_to_tangent(eta))
 
 
 @register_gauge("u1")
@@ -199,6 +241,24 @@ class U1Wilson(GaugeAction):
     def init_links(self, shape):
         """Cold start: all links at the identity (θ = 0)."""
         return jnp.zeros(shape, jnp.float32)
+
+    def state_shape(self, n_chains, ndim, lattice):
+        return (n_chains, ndim) + tuple(lattice)
+
+    def noise_shape(self, n_chains, ndim, lattice):
+        return (n_chains, ndim) + tuple(lattice)
+
+    def drift_norm(self, f):
+        return jnp.max(jnp.abs(f), axis=tuple(range(1, f.ndim)))
+
+    def apply_update(self, theta, omega):
+        """θ ← wrap(θ + ω): the group step for e^{iθ} links."""
+        t = theta + omega
+        return t - jnp.float32(2.0 * np.pi) * jnp.round(t / jnp.float32(2.0 * np.pi))
+
+    def hot_start(self, theta, eta):
+        """Spread angles over (−π, π) — a disordered start."""
+        return jnp.float32(np.pi) * jnp.tanh(eta)
 
 
 @register_gauge("su2")
@@ -297,3 +357,246 @@ class SU2Wilson(GaugeAction):
         full (C, 4, D, *L) state shape."""
         q = jnp.zeros(shape, jnp.float32)
         return q.at[:, 0].set(1.0)
+
+    def state_shape(self, n_chains, ndim, lattice):
+        return (n_chains, 4, ndim) + tuple(lattice)
+
+    def noise_shape(self, n_chains, ndim, lattice):
+        return (n_chains, 3, ndim) + tuple(lattice)
+
+    def drift_norm(self, f):
+        """Max over (direction, sites) of √(Σ_a f_a²); f is (C, 3, D, *L)."""
+        return jnp.max(
+            jnp.sqrt(jnp.sum(f * f, axis=1)), axis=tuple(range(1, f.ndim - 1))
+        )
+
+
+# ---------------------------------------------------------------------------
+# SU(3): complex 3×3 matrix links.
+#
+# Layout (C, D, *L, 3, 3) complex — the 3×3 algebra lives on the two
+# trailing (minor) axes, so every product is a batched tiny matmul that XLA
+# vectorizes on the VPU; all lattice shifts are rolls over the middle axes.
+# ---------------------------------------------------------------------------
+
+
+def mmul(a, b):
+    """Batched 3×3 matrix product on the trailing axes."""
+    return jnp.einsum("...ab,...bc->...ac", a, b)
+
+
+def dag(a):
+    """Hermitian conjugate on the trailing axes."""
+    return jnp.conj(jnp.swapaxes(a, -1, -2))
+
+
+def retr(a):
+    """Re Tr on the trailing axes."""
+    return jnp.real(jnp.trace(a, axis1=-2, axis2=-1))
+
+
+# Gell-Mann generators T_a = λ_a/2 (Tr T_aT_b = δ_ab/2), constant (8,3,3).
+_S3 = 1.0 / np.sqrt(3.0)
+_GELLMANN = 0.5 * np.array(
+    [
+        [[0, 1, 0], [1, 0, 0], [0, 0, 0]],
+        [[0, -1j, 0], [1j, 0, 0], [0, 0, 0]],
+        [[1, 0, 0], [0, -1, 0], [0, 0, 0]],
+        [[0, 0, 1], [0, 0, 0], [1, 0, 0]],
+        [[0, 0, -1j], [0, 0, 0], [1j, 0, 0]],
+        [[0, 0, 0], [0, 0, 1], [0, 1, 0]],
+        [[0, 0, 0], [0, 0, -1j], [0, 1j, 0]],
+        [[_S3, 0, 0], [0, _S3, 0], [0, 0, -2 * _S3]],
+    ],
+    dtype=np.complex64,
+)
+
+
+def expi_su3(q):
+    """exp(iQ) for hermitian traceless 3×3 Q — exact Cayley–Hamilton closed
+    form (Morningstar & Peardon, hep-lat/0311018 §III):
+
+        exp(iQ) = f₀·1 + f₁·Q + f₂·Q²,
+
+    with f_j functions of the two invariants c₁ = ½Tr Q², c₀ = det Q.
+    Branch handling: c₀ < 0 via the symmetry f_j(−c₀) = (−1)^j f_j(c₀)*;
+    the |c₀| → c₀^max degenerate corner is kept off the pole by clamping
+    the arccos argument; Q → 0 falls back to a 4-term Taylor series (also
+    makes autodiff through the exponential exact at Q = 0).  Verified
+    against ``scipy.linalg.expm`` in tests/test_gauge.py.
+    """
+    cdtype = q.dtype
+    q2 = mmul(q, q)
+    c1 = 0.5 * jnp.real(jnp.trace(q2, axis1=-2, axis2=-1))
+    c0 = jnp.real(jnp.trace(mmul(q2, q), axis1=-2, axis2=-1)) / 3.0
+
+    small = c1 < 1e-8
+    c1s = jnp.where(small, 1.0, c1)  # benign point for the closed form
+
+    c0a = jnp.abs(c0)
+    c0max = 2.0 * (c1s / 3.0) ** 1.5
+    theta = jnp.arccos(jnp.clip(c0a / c0max, 0.0, 1.0 - 1e-6))
+    u = jnp.sqrt(c1s / 3.0) * jnp.cos(theta / 3.0)
+    w = jnp.sqrt(c1s) * jnp.sin(theta / 3.0)
+
+    w2 = w * w
+    xi0 = jnp.where(
+        w2 < 1e-4,
+        1.0 - w2 / 6.0 * (1.0 - w2 / 20.0 * (1.0 - w2 / 42.0)),
+        jnp.sin(w) / jnp.where(w2 < 1e-4, 1.0, w),
+    )
+    cosw = jnp.cos(w)
+    e2iu = jnp.exp(2j * u.astype(cdtype))
+    emiu = jnp.exp(-1j * u.astype(cdtype))
+    u2 = u * u
+
+    h0 = (u2 - w2) * e2iu + emiu * (8.0 * u2 * cosw + 2j * u * (3.0 * u2 + w2) * xi0)
+    h1 = 2.0 * u * e2iu - emiu * (2.0 * u * cosw - 1j * (3.0 * u2 - w2) * xi0)
+    h2 = e2iu - emiu * (cosw + 3j * u * xi0)
+
+    denom = 9.0 * u2 - w2
+    f0 = h0 / denom
+    f1 = h1 / denom
+    f2 = h2 / denom
+
+    # c0 < 0: f_j(c0) = (−1)^j conj(f_j(|c0|))
+    neg = c0 < 0.0
+    f0 = jnp.where(neg, jnp.conj(f0), f0)
+    f1 = jnp.where(neg, -jnp.conj(f1), f1)
+    f2 = jnp.where(neg, jnp.conj(f2), f2)
+
+    eye = jnp.eye(3, dtype=cdtype)
+    closed = (
+        f0[..., None, None] * eye + f1[..., None, None] * q + f2[..., None, None] * q2
+    )
+    # Q → 0: exp(iQ) ≈ 1 + iQ − Q²/2 − iQ³/6 (error O(|Q|⁴) ≤ 1e-16 under
+    # the c1 < 1e-8 gate)
+    taylor = eye + 1j * q - 0.5 * q2 - (1j / 6.0) * mmul(q2, q)
+    return jnp.where(small[..., None, None], taylor, closed)
+
+
+def project_su3(u):
+    """Nudge u back onto SU(3) against float roundoff drift: one Newton step
+    toward the nearest unitary, U ← U(3·1 − U†U)/2 (quadratic convergence
+    for ‖U†U − 1‖ ≪ 1), then divide out the det phase so det U = 1."""
+    u = mmul(u, 1.5 * jnp.eye(3, dtype=u.dtype) - 0.5 * mmul(dag(u), u))
+    d = (
+        u[..., 0, 0] * (u[..., 1, 1] * u[..., 2, 2] - u[..., 1, 2] * u[..., 2, 1])
+        - u[..., 0, 1] * (u[..., 1, 0] * u[..., 2, 2] - u[..., 1, 2] * u[..., 2, 0])
+        + u[..., 0, 2] * (u[..., 1, 0] * u[..., 2, 1] - u[..., 1, 1] * u[..., 2, 0])
+    )
+    phase = jnp.exp((-1j / 3.0) * jnp.angle(d).astype(u.dtype))
+    return u * phase[..., None, None]
+
+
+@register_gauge("su3")
+@dataclasses.dataclass(frozen=True)
+class SU3Wilson(GaugeAction):
+    """SU(3) Wilson: matrix links, state shape (C, D, *L, 3, 3) complex64.
+
+    Langevin drift (generators T_a = λ_a/2, ⟨η_aη_b⟩ = 2δ_ab):
+
+        f_a = −D_a S = (β/(2N)) Tr[T_a · i(M − M†)],   M = U_μ(x)·V_μ(x)
+
+    with V the staple sum; as a matrix, H = Σ_a f_a T_a =
+    (β/(4N))·[G − (Tr G/N)·1] with G = i(M − M†) — the traceless-hermitian
+    projection.  Update U ← exp(iΩ)U via the exact Cayley–Hamilton
+    exponential, plus a one-Newton-step re-unitarization against fp32 drift
+    (the SU(2) path's rsqrt analog)."""
+
+    components: int = 18  # 9 complex entries
+
+    N: int = 3
+
+    def state_shape(self, n_chains, ndim, lattice):
+        return (n_chains, ndim) + tuple(lattice) + (3, 3)
+
+    def noise_shape(self, n_chains, ndim, lattice):
+        return (n_chains, 8, ndim) + tuple(lattice)
+
+    def noise_to_tangent(self, eta):
+        """(C, 8, D, *L) real → (C, D, *L, 3, 3) hermitian Σ_a η_a T_a."""
+        t = jnp.asarray(_GELLMANN)
+        return jnp.einsum("ca...,aij->c...ij", eta.astype(jnp.complex64), t)
+
+    def init_links(self, shape):
+        eye = jnp.eye(3, dtype=jnp.complex64)
+        return jnp.broadcast_to(eye, shape)
+
+    def _shifted(self, u, d, sign):
+        """u(x + sign·d̂) for a (C, *L, 3, 3) per-direction link field:
+        lattice axes run from 1 to ndim−2 exclusive of the matrix axes."""
+        return jnp.roll(u, -sign, axis=1 + d)
+
+    def plaquette(self, links, mu: int, nu: int):
+        """U_{μν}(x) as matrices, (C, *L, 3, 3)."""
+        u_mu = links[:, mu]
+        u_nu = links[:, nu]
+        return mmul(
+            mmul(u_mu, self._shifted(u_nu, mu, +1)),
+            mmul(dag(self._shifted(u_mu, nu, +1)), dag(u_nu)),
+        )
+
+    def action(self, links, ndim: int):
+        C = links.shape[0]
+        s = jnp.zeros((C,), jnp.float32)
+        for mu in range(ndim):
+            for nu in range(mu + 1, ndim):
+                w = retr(self.plaquette(links, mu, nu)) / self.N
+                s = s + jnp.sum(1.0 - w, axis=tuple(range(1, w.ndim)))
+        return self.beta * s
+
+    def mean_plaquette(self, links, ndim: int):
+        C = links.shape[0]
+        tot = jnp.zeros((C,), jnp.float32)
+        n = 0
+        for mu in range(ndim):
+            for nu in range(mu + 1, ndim):
+                w = retr(self.plaquette(links, mu, nu)) / self.N
+                tot = tot + jnp.mean(w, axis=tuple(range(1, w.ndim)))
+                n += 1
+        return tot / n
+
+    def _staple_sum(self, links, mu: int, ndim: int):
+        """Σ_{ν≠μ} forward + backward staples V_μ(x), (C, *L, 3, 3), such
+        that Σ_p containing (x,μ) ReTr U_p = ReTr[U_μ(x) V_μ(x)]."""
+        sh = self._shifted
+        u_mu = links[:, mu]
+        acc = None
+        for nu in range(ndim):
+            if nu == mu:
+                continue
+            u_nu = links[:, nu]
+            # forward: U_ν(x+μ̂) U_μ†(x+ν̂) U_ν†(x)
+            f = mmul(mmul(sh(u_nu, mu, +1), dag(sh(u_mu, nu, +1))), dag(u_nu))
+            # backward: U_ν†(x+μ̂−ν̂) U_μ†(x−ν̂) U_ν(x−ν̂)
+            b = mmul(
+                mmul(dag(sh(sh(u_nu, mu, +1), nu, -1)), dag(sh(u_mu, nu, -1))),
+                sh(u_nu, nu, -1),
+            )
+            term = f + b
+            acc = term if acc is None else acc + term
+        return acc
+
+    def drift(self, links, ndim: int):
+        """Tangent force H = Σ_a f_a T_a, (C, D, *L, 3, 3) hermitian
+        traceless; verified against ∂_s S(e^{isT}U)|₀ in tests."""
+        per_mu = []
+        for mu in range(ndim):
+            m = mmul(links[:, mu], self._staple_sum(links, mu, ndim))
+            g = 1j * (m - dag(m))
+            tr = jnp.trace(g, axis1=-2, axis2=-1)
+            h = (self.beta / (4.0 * self.N)) * (
+                g - (tr / self.N)[..., None, None] * jnp.eye(3, dtype=g.dtype)
+            )
+            per_mu.append(h)
+        return jnp.stack(per_mu, axis=1)
+
+    def drift_norm(self, f):
+        """√(Σ_a f_a²) = √(2 Tr H²) = √2·‖H‖_F per link; max over links."""
+        n = jnp.sqrt(2.0 * jnp.sum(jnp.abs(f) ** 2, axis=(-2, -1)))
+        return jnp.max(n, axis=tuple(range(1, n.ndim)))
+
+    def apply_update(self, links, omega):
+        """U ← exp(iΩ)U, exact group exponential + re-unitarization."""
+        return project_su3(mmul(expi_su3(omega), links))

@@ -45,6 +45,10 @@ def _gauge_presets():
     return {
         "u1_2d": GaugeConfig(group="u1", beta=1.0, shape=(16, 16), n_chains=64),
         "su2_2d": GaugeConfig(group="su2", beta=2.0, shape=(16, 16), n_chains=64),
+        "su3_2d": GaugeConfig(group="su3", beta=2.0, shape=(8, 8), n_chains=64),
+        "su3_4d": GaugeConfig(
+            group="su3", beta=5.7, shape=(4, 4, 4, 4), n_chains=4, dtau=1e-3
+        ),
         "su2_4d": GaugeConfig(
             group="su2", beta=2.2, shape=(8, 8, 8, 8), n_chains=8, dtau=1e-3
         ),

@@ -43,9 +43,42 @@ _KIND = {
 _STATE_KIND = {cls: kind for kind, (cls, _) in _KIND.items()}
 
 
+def _leaf_to_host(leaf) -> np.ndarray:
+    """Device→host copy that never transfers a complex buffer: the TPU
+    tunnel backend (PJRT 'axon' plugin) lacks complex d2h/h2d transfer, so
+    complex leaves are split into real/imag *inside* a jitted program (real
+    outputs transfer fine) and reassembled host-side."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(leaf)
+    if not jnp.iscomplexobj(x):
+        return np.asarray(x)
+    r, i = jax.jit(lambda c: (jnp.real(c), jnp.imag(c)))(x)
+    r = np.asarray(r)
+    out = np.empty(r.shape, np.result_type(r.dtype, np.complex64))
+    out.real = r
+    out.imag = np.asarray(i)
+    return out
+
+
+def _leaf_to_device(a: np.ndarray):
+    """Host→device: complex arrays enter as two real transfers combined
+    on-device (see _leaf_to_host)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    a = np.asarray(a)
+    if not np.iscomplexobj(a):
+        return jnp.asarray(a)
+    return jax.jit(lax.complex)(jnp.asarray(a.real.copy()), jnp.asarray(a.imag.copy()))
+
+
 def save(path, state: Union[ChainState, FieldState], cfg) -> None:
     kind = _STATE_KIND[type(state)]
-    payload = {f"state_{name}": np.asarray(leaf) for name, leaf in zip(state._fields, state)}
+    payload = {
+        f"state_{name}": _leaf_to_host(leaf)
+        for name, leaf in zip(state._fields, state)
+    }
     payload["meta"] = np.frombuffer(
         json.dumps({"kind": kind, "config": cfg.to_json(), "version": 1}).encode(),
         dtype=np.uint8,
@@ -61,7 +94,7 @@ def load(path):
         cls, cfg_cls = _KIND[meta["kind"]]
         leaves = [z[f"state_{name}"] for name in cls._fields]
     cfg = cfg_cls.from_json(meta["config"])
-    state = cls(*[jax.numpy.asarray(a) for a in leaves])
+    state = cls(*[_leaf_to_device(a) for a in leaves])
     return state, cfg
 
 

@@ -143,3 +143,108 @@ def test_gauge_checkpoint_roundtrip(tmp_path):
     resumed, _ = gi.run_gauge_frames(loaded, act, lcfg, 2)
     for x, y in zip(full, resumed):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# ---------------------------------------------------------------------------
+# SU(3)
+# ---------------------------------------------------------------------------
+
+
+def test_su3_exponential_matches_expm():
+    """expi_su3 (Cayley–Hamilton closed form) vs scipy.linalg.expm across
+    magnitudes incl. the near-degenerate |c0| → c0max corner."""
+    from scipy.linalg import expm
+
+    T = np.asarray(ga._GELLMANN)
+    r = np.random.default_rng(0)
+    for scale in (1e-6, 1e-3, 0.1, 1.0, 3.0, 10.0):
+        v = r.normal(size=(20, 8)) * scale
+        q = np.einsum("na,aij->nij", v, T)
+        got = np.asarray(ga.expi_su3(jnp.asarray(q, jnp.complex64)))
+        want = np.stack([expm(1j * m) for m in q])
+        np.testing.assert_allclose(got, want, atol=2e-6)
+    # exactly degenerate eigenvalue pair (c0 at the branch corner)
+    q = np.einsum("a,aij->ij", np.array([0, 0, 1.0, 0, 0, 0, 0, np.sqrt(3)]), T)
+    got = np.asarray(ga.expi_su3(jnp.asarray(q[None], jnp.complex64)))[0]
+    np.testing.assert_allclose(got, expm(1j * q), atol=2e-6)
+
+
+def test_su3_drift_matches_autodiff_through_group_exp():
+    """∂_s S(exp(i s_a T_a)U)|₀ = −f_a: validates the staple sum, the
+    traceless-hermitian projection and the generator normalization."""
+    act = ga.get_gauge("su3", beta=1.7)
+    ndim = 2
+    cfg = gi.GaugeConfig(group="su3", beta=1.7, shape=(4, 4), n_chains=2,
+                         seed=8, hot_start=True)
+    links = gi.init_gauge_state(cfg, act).links
+
+    def S_of_kick(s):
+        kicked = act.apply_update(links, act.noise_to_tangent(s))
+        return jnp.sum(act.action(kicked, ndim))
+
+    zero = jnp.zeros((2, 8, ndim, 4, 4), jnp.float32)
+    want = -jax.grad(S_of_kick)(zero)
+    h = act.drift(links, ndim)
+    # matrix drift → generator components: f_a = 2 ReTr(T_a H)
+    got = 2.0 * jnp.real(
+        jnp.einsum("aij,c...ji->ca...", jnp.asarray(ga._GELLMANN), h)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_weyl_integral_machinery_against_su2_bessel():
+    from scipy.special import iv
+
+    for beta in (0.5, 2.0, 5.0):
+        got = gi._weyl_plaquette_sun(2, beta)
+        want = float(iv(2, beta) / iv(1, beta))
+        assert abs(got - want) < 1e-10
+
+
+def test_su3_2d_plaquette_matches_weyl():
+    beta = 2.0
+    cfg = gi.GaugeConfig(
+        group="su3", beta=beta, shape=(8, 8), n_chains=64, dtau=2e-3,
+        loops=100, seed=7, grow_after=10**9,
+    )
+    act = ga.get_gauge("su3", beta=beta)
+    s = gi.init_gauge_state(cfg, act)
+    s, _ = gi.run_gauge_frames(s, act, cfg, 30)
+    s = gi.reset_gauge_means(s)
+    s, m = gi.run_gauge_frames(s, act, cfg, 80)
+    assert np.asarray(m["stable"]).all()
+
+    want = gi.exact_plaquette_2d("su3", beta)
+    pm = np.asarray(s.plaq_mean, np.float64)
+    err = pm.std() / np.sqrt(cfg.n_chains)
+    assert abs(pm.mean() - want) < 6 * err + 10 * cfg.dtau, (pm.mean(), want, err)
+
+
+def test_su3_links_stay_in_group():
+    cfg = gi.GaugeConfig(group="su3", beta=2.0, shape=(4, 4), n_chains=4,
+                         dtau=5e-3, loops=50, seed=2, hot_start=True)
+    act = ga.get_gauge("su3", beta=cfg.beta)
+    s = gi.init_gauge_state(cfg, act)
+    s, _ = gi.run_gauge_frames(s, act, cfg, 10)
+    u = s.links
+    uu = np.asarray(ga.mmul(ga.dag(u), u))
+    np.testing.assert_allclose(uu, np.broadcast_to(np.eye(3), uu.shape), atol=1e-5)
+    d = np.linalg.det(np.asarray(u))
+    np.testing.assert_allclose(d, np.ones_like(d), atol=1e-5)
+
+
+def test_su3_determinism_and_checkpoint(tmp_path):
+    from stochquant_tpu.io import checkpoint
+
+    cfg = gi.GaugeConfig(group="su3", shape=(4, 4), n_chains=2, dtau=1e-3,
+                         loops=9, seed=3, hot_start=True)
+    act = ga.get_gauge("su3", beta=cfg.beta)
+    full, _ = gi.run_gauge_frames(gi.init_gauge_state(cfg, act), act, cfg, 4)
+    half, _ = gi.run_gauge_frames(gi.init_gauge_state(cfg, act), act, cfg, 2)
+    p = tmp_path / "su3.npz"
+    checkpoint.save(p, half, cfg)
+    loaded, lcfg = checkpoint.load(p)
+    assert lcfg == cfg
+    resumed, _ = gi.run_gauge_frames(loaded, act, lcfg, 2)
+    for x, y in zip(full, resumed):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
