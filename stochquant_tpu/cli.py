@@ -69,6 +69,8 @@ def _apply_overrides(cfg, args):
         updates["seed"] = args.seed
     if args.fps is not None:
         updates["fps"] = args.fps
+    if getattr(args, "measure_loops", False) and hasattr(cfg, "measure_loops"):
+        updates["measure_loops"] = True
     return dataclasses.replace(cfg, **updates) if updates else cfg
 
 
@@ -163,6 +165,11 @@ def main(argv=None):
     r.add_argument("--fps", type=int, help="frames per metrics record")
     r.add_argument("--burn", type=int, default=0, help="burn-in frames (means reset after)")
     r.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    r.add_argument(
+        "--measure-loops",
+        action="store_true",
+        help="gauge presets: per-frame Polyakov loop + final Wilson-loop table",
+    )
     r.add_argument("--out", help="checkpoint output path (.npz)")
     r.add_argument("--resume", help="checkpoint to resume from (.npz)")
     r.add_argument(

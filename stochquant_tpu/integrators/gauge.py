@@ -64,6 +64,8 @@ class GaugeConfig:
     grow_after: int = 10
     dtau_max: Optional[float] = None
     hot_start: bool = False              # random links instead of identity
+    measure_loops: bool = False          # per-frame Polyakov loop + final
+                                         # Wilson-loop table in the metrics
 
     @property
     def ndim(self) -> int:

@@ -270,6 +270,14 @@ def run_gauge(
         state, _ = run_n(state, burn_frames)
         state = gauge_mod.reset_gauge_means(state)
 
+    measure_loops = getattr(cfg, "measure_loops", False)
+    if measure_loops:
+        from stochquant_tpu.observables import gauge_loops as loops_mod
+
+        import jax as _jax
+
+        poly_fn = _jax.jit(lambda links: loops_mod.polyakov_loop(act, links, 0))
+
     n_links = cfg.ndim * int(np.prod(cfg.shape))
     updates_per_frame = cfg.n_chains * n_links * cfg.loops
     while frames_done < cfg.frames:
@@ -284,6 +292,10 @@ def run_gauge(
             ),
             "drift_max": float(np.asarray(m["drift_max"]).max()),
         }
+        if measure_loops:
+            p = np.asarray(poly_fn(state.links)).mean(axis=0)
+            obs["polyakov_re"] = float(p[0])
+            obs["polyakov_im"] = float(p[1])
         sink.frame(
             frames_done - 1,
             cfg.frames,
@@ -298,6 +310,17 @@ def run_gauge(
             break
     if checkpoint_out:
         ckpt_mod.save(checkpoint_out, state, cfg)
+    if measure_loops:
+        rmax = max(1, min(4, min(cfg.shape) // 2))
+        table = loops_mod.wilson_loop_table(act, state.links, 0, 1, rmax, rmax)
+        sink.emit(
+            {
+                "type": "wilson_loops",
+                "mu": 0,
+                "nu": 1,
+                "w": np.asarray(table).mean(axis=0).tolist(),  # (rmax, rmax), 1-indexed R/T
+            }
+        )
     summary = sink.summary()
     sink.emit(summary)
     return RunResult(state=state, cfg=cfg, summary=summary)

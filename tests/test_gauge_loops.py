@@ -1,0 +1,114 @@
+"""Wilson/Polyakov loop + gradient-flow gates.
+
+Exact 2-D anchor: plaquettes decouple, so ⟨W(R×T)⟩ = w₁(β)^{R·T} with w₁
+the one-plaquette mean (Bessel ratios for U(1)/SU(2), Weyl integral for
+SU(3)) — the same identity the plaquette tests use, here exercised through
+the line-product machinery on loops of area > 1."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stochquant_tpu.actions import gauge as ga
+from stochquant_tpu.integrators import gauge as gi
+from stochquant_tpu.observables import gauge_loops as gl
+
+
+def test_cold_links_give_unit_loops():
+    for group in ("u1", "su2", "su3"):
+        act = ga.get_gauge(group, beta=2.0)
+        cold = act.init_links(act.state_shape(2, 2, (8, 8)))
+        for (r, t) in ((1, 1), (3, 2), (4, 4)):
+            np.testing.assert_allclose(
+                np.asarray(gl.wilson_loop(act, cold, 0, 1, r, t)), 1.0, atol=1e-5
+            )
+        p = np.asarray(gl.polyakov_loop(act, cold, 0))
+        np.testing.assert_allclose(p[:, 0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(p[:, 1], 0.0, atol=1e-5)
+
+
+def test_wilson_loop_area_one_equals_plaquette():
+    """W(1,1) must agree with the action's own mean_plaquette reduction."""
+    for group in ("u1", "su2", "su3"):
+        cfg = gi.GaugeConfig(group=group, beta=2.0, shape=(6, 6), n_chains=3,
+                             seed=4, hot_start=True)
+        act = ga.get_gauge(group, beta=2.0)
+        links = gi.init_gauge_state(cfg, act).links
+        w11 = np.asarray(gl.wilson_loop(act, links, 0, 1, 1, 1))
+        pl = np.asarray(act.mean_plaquette(links, 2))
+        np.testing.assert_allclose(w11, pl, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "group,beta,chains", [("u1", 2.0, 256), ("su2", 2.0, 128), ("su3", 5.0, 64)]
+)
+def test_2d_wilson_loop_area_law(group, beta, chains):
+    cfg = gi.GaugeConfig(
+        group=group, beta=beta, shape=(8, 8), n_chains=chains, dtau=2e-3,
+        loops=100, seed=11, grow_after=10**9,
+    )
+    act = ga.get_gauge(group, beta=beta)
+    s = gi.init_gauge_state(cfg, act)
+    s, _ = gi.run_gauge_frames(s, act, cfg, 30)
+
+    samples = []
+    for _ in range(20):
+        s, m = gi.run_gauge_frames(s, act, cfg, 1)
+        assert np.asarray(m["stable"]).all()
+        samples.append(np.asarray(gl.wilson_loop(act, s.links, 0, 1, 2, 1)))
+    w = np.concatenate(samples).astype(np.float64)
+
+    w1 = gi.exact_plaquette_2d(group, beta)
+    want = w1**2  # area law, R·T = 2
+    err = w.std() / np.sqrt(len(samples))  # frames correlated < chains: be loose
+    assert abs(w.mean() - want) < 6 * err + 10 * cfg.dtau, (w.mean(), want, err)
+
+
+def test_polyakov_loop_vanishes_in_confined_phase():
+    """2-D U(1) at finite β is confining: ⟨Tr P⟩ = 0 up to statistics."""
+    cfg = gi.GaugeConfig(group="u1", beta=1.0, shape=(8, 8), n_chains=256,
+                         dtau=2e-3, loops=100, seed=12, grow_after=10**9)
+    act = ga.get_gauge("u1", beta=1.0)
+    s = gi.init_gauge_state(cfg, act)
+    s, _ = gi.run_gauge_frames(s, act, cfg, 40)
+    p = np.asarray(gl.polyakov_loop(act, s.links, 0), np.float64)
+    err = p[:, 0].std() / np.sqrt(cfg.n_chains)
+    assert abs(p[:, 0].mean()) < 6 * err + 1e-3
+    assert abs(p[:, 1].mean()) < 6 * err + 1e-3
+
+
+def test_wilson_flow_monotone_and_smooths():
+    for group in ("u1", "su2", "su3"):
+        act = ga.get_gauge(group, beta=2.0)
+        cfg = gi.GaugeConfig(group=group, beta=2.0, shape=(8, 8), n_chains=2,
+                             seed=1, hot_start=True)
+        links = gi.init_gauge_state(cfg, act).links
+        actions = [float(jnp.sum(act.action(links, 2)))]
+        for _ in range(5):
+            links = gl.wilson_flow(act, links, 2, eps=0.02, steps=5)
+            actions.append(float(jnp.sum(act.action(links, 2))))
+        assert all(b < a for a, b in zip(actions, actions[1:])), (group, actions)
+
+
+def test_creutz_ratio_on_synthetic_area_law():
+    """χ(r,t) = σ exactly for W = exp(−σ·r·t)."""
+    sigma = 0.23
+    r = np.arange(1, 5)[:, None]
+    t = np.arange(1, 5)[None, :]
+    table = jnp.asarray(np.exp(-sigma * r * t)[None])  # (1, 4, 4)
+    chi = float(gl.creutz_ratio(table, 3, 3)[0])
+    assert abs(chi - sigma) < 1e-6
+
+
+def test_wilson_loop_table_shape_and_consistency():
+    act = ga.get_gauge("su2", beta=2.0)
+    cfg = gi.GaugeConfig(group="su2", beta=2.0, shape=(6, 6), n_chains=3,
+                         seed=4, hot_start=True)
+    links = gi.init_gauge_state(cfg, act).links
+    tab = gl.wilson_loop_table(act, links, 0, 1, 3, 2)
+    assert tab.shape == (3, 3, 2)
+    np.testing.assert_allclose(
+        np.asarray(tab[:, 1, 1]),
+        np.asarray(gl.wilson_loop(act, links, 0, 1, 2, 2)),
+        atol=1e-5,
+    )

@@ -166,3 +166,22 @@ def test_cli_complex_chain_preset(tmp_path):
     ])
     recs = [json.loads(l) for l in open(m)]
     assert any(r["type"] == "summary" for r in recs)
+
+
+def test_cli_gauge_measure_loops(tmp_path):
+    import json
+
+    from stochquant_tpu import cli
+
+    mfile = tmp_path / "g.jsonl"
+    cli.main([
+        "run", "--preset", "u1_2d", "--frames", "2", "--loops", "4",
+        "--chains", "4", "--measure-loops", "--metrics", str(mfile),
+    ])
+    recs = [json.loads(l) for l in mfile.read_text().splitlines()]
+    frames = [r for r in recs if r["type"] == "frame"]
+    assert frames and all("polyakov_re" in f for f in frames)
+    tables = [r for r in recs if r["type"] == "wilson_loops"]
+    assert len(tables) == 1
+    w = tables[0]["w"]
+    assert len(w) == 4 and len(w[0]) == 4  # rmax=4 on the 16x16 preset
