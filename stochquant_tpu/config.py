@@ -133,6 +133,10 @@ class FieldConfig:
     dtau_max: Optional[float] = None
     mesh_axes: Optional[Tuple[Optional[str], ...]] = None  # per-lattice-dim
     mesh_chain_axis: Optional[str] = None
+    #: Pallas backend: rows per lattice tile for the HBM-resident tiled
+    #: kernel (lattices too large for one VMEM-resident program).  None =
+    #: whole-lattice-in-VMEM kernel.
+    tile_rows: Optional[int] = None
 
     @property
     def ndim(self) -> int:
