@@ -31,6 +31,10 @@ from stochquant_tpu.actions.gauge import (  # noqa: F401
     gauge_names,
     get_gauge,
 )
+from stochquant_tpu.actions.gauge_complex import (  # noqa: F401
+    ComplexSUNWilson,
+    ComplexU1Wilson,
+)
 
 # potID ↔ name mapping of the reference CLI (tauhost.c:35, tau_kernel.cl:215-246
 # for 0/3; taumain_windows.py:101-139 declare 1/2).

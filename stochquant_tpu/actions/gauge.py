@@ -139,6 +139,10 @@ class GaugeAction:
     #: number of real degrees of freedom per link in the state layout
     components: int = 1
 
+    #: dtype of scalar observables (complexified actions report complex
+    #: mean plaquettes — see actions/gauge_complex.py)
+    obs_dtype: str = "float32"
+
     def init_links(self, shape):
         raise NotImplementedError
 
@@ -177,6 +181,13 @@ class GaugeAction:
         """Randomized links given identity ``links`` and one ``noise_shape``
         draw ``eta`` (disordered start, far from the cold identity)."""
         return self.apply_update(links, self.noise_to_tangent(eta))
+
+    def unitarity_norm(self, links, ndim: int):
+        """Distance from the unitary submanifold, (C,) ≥ 0.  Identically 0
+        for compact-group actions; complexified actions override."""
+        import jax.numpy as _jnp
+
+        return _jnp.zeros((links.shape[0],), _jnp.float32)
 
 
 @register_gauge("u1")

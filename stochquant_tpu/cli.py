@@ -52,6 +52,15 @@ def _gauge_presets():
         "su2_4d": GaugeConfig(
             group="su2", beta=2.2, shape=(8, 8, 8, 8), n_chains=8, dtau=1e-3
         ),
+        # complex-Langevin gauge theory (complex β) with gauge cooling
+        "cu1_2d_complex": GaugeConfig(
+            group="cu1", beta=1.0, beta_im=0.5, shape=(16, 16), n_chains=64,
+            dtau=5e-3, cooling_rate=0.05,
+        ),
+        "csu3_2d_complex": GaugeConfig(
+            group="csu3", beta=2.0, beta_im=0.5, shape=(8, 8), n_chains=32,
+            dtau=2e-3, cooling_rate=0.05,
+        ),
     }
 
 
@@ -152,6 +161,17 @@ def cmd_reference_import(args):
 
 
 def main(argv=None):
+    import os
+
+    # The container's sitecustomize re-pins jax_platforms to the TPU-tunnel
+    # backend after env processing; honour an explicit CPU/platform request
+    # the same way tests/conftest.py does (config update before backend init).
+    plat = os.environ.get("SQ_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     p = argparse.ArgumentParser(prog="stochquant_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -34,6 +34,9 @@ class Scheme(enum.IntEnum):
     EM = 0    # Euler–Maruyama (the reference's scheme): O(Δτ) stationary bias
     HEUN = 1  # stochastic Heun (predictor-corrector): O(Δτ²) bias — larger
               # steps at equal accuracy, ~2x drift evaluations per step
+    LM = 2    # Leimkuhler–Matthews: noise = (ξ_k + ξ_{k+1})/2, one drift eval
+              # per step, O(Δτ²) sampling bias — and *exact* stationary
+              # covariance for Gaussian actions at any stable Δτ
 
 
 class Formulation(enum.IntEnum):

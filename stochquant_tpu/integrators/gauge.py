@@ -52,7 +52,11 @@ class GaugeConfig:
     """Wilson-action gauge run on a periodic D-dim lattice."""
 
     group: str = "u1"                    # gauge registry: "u1" | "su2" | "su3"
+                                         # + complexified "cu1"|"csu2"|"csu3"
     beta: float = 1.0
+    beta_im: float = 0.0                 # Im β — complexified groups only
+    cooling_rate: float = 0.0            # gauge-cooling step ε (0 = off)
+    cooling_steps: int = 1               # cooling iterations per micro-step
     shape: Tuple[int, ...] = (16, 16)
     n_chains: int = 64
     dtau: float = 2e-3
@@ -96,8 +100,15 @@ class GaugeState(NamedTuple):
     step: jax.Array        # () uint32
 
 
+def resolve_gauge_action(cfg: GaugeConfig) -> gauge_mod.GaugeAction:
+    params = {"beta": cfg.beta}
+    if cfg.beta_im:
+        params["beta_im"] = cfg.beta_im
+    return gauge_mod.get_gauge(cfg.group, **params)
+
+
 def init_gauge_state(cfg: GaugeConfig, action=None) -> GaugeState:
-    action = action or gauge_mod.get_gauge(cfg.group, beta=cfg.beta)
+    action = action or resolve_gauge_action(cfg)
     C = cfg.n_chains
     links = action.init_links(action.state_shape(C, cfg.ndim, cfg.shape))
     if cfg.hot_start:
@@ -109,7 +120,7 @@ def init_gauge_state(cfg: GaugeConfig, action=None) -> GaugeState:
     zeros = jnp.zeros((C,), jnp.float32)
     return GaugeState(
         links=links,
-        plaq_mean=zeros,
+        plaq_mean=jnp.zeros((C,), jnp.dtype(action.obs_dtype)),
         drift_max=zeros,
         runs=jnp.zeros((C,), jnp.uint32),
         dtau=jnp.full((C,), cfg.dtau, jnp.float32),
@@ -123,6 +134,7 @@ def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
     ndim = cfg.ndim
     cap = jnp.float32(cfg.drift_cap)
     noise_shape = action.noise_shape(C, ndim, cfg.shape)
+    cooling = cfg.cooling_rate > 0.0 and hasattr(action, "cool")
 
     def frame(state: GaugeState):
         def substep(carry, step, eta):
@@ -138,6 +150,12 @@ def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
             ) * action.noise_to_tangent(eta)
 
             new_links = action.apply_update(links, omega)
+            if cooling:
+                # gauge cooling after every Langevin step (SSS; exactly
+                # gauge, so holomorphic observables are untouched)
+                new_links = action.cool(
+                    new_links, ndim, cfg.cooling_rate, cfg.cooling_steps
+                )
 
             bad = ~jnp.all(
                 jnp.isfinite(new_links), axis=tuple(range(1, new_links.ndim))
@@ -209,7 +227,14 @@ def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
             ),
             step=step_end,
         )
-        metrics = {"stable": accept, "dtau": dtau, "drift_max": dmax}
+        metrics = {
+            "stable": accept,
+            "dtau": dtau,
+            "drift_max": dmax,
+            # distance from the unitary submanifold (0 for compact groups;
+            # the complex-Langevin health metric gauge cooling controls)
+            "unitarity_norm": action.unitarity_norm(new_state.links, ndim),
+        }
         return new_state, metrics
 
     return frame
@@ -226,8 +251,10 @@ def reset_gauge_means(state: GaugeState) -> GaugeState:
     return state._replace(plaq_mean=z, runs=jnp.zeros_like(state.runs))
 
 
-def exact_plaquette_2d(group: str, beta: float) -> float:
-    """Exact 2-D mean plaquette ⟨(1/N)ReTr U_p⟩.
+def exact_plaquette_2d(group: str, beta):
+    """Exact 2-D mean plaquette ⟨(1/N)ReTr U_p⟩ — or its analytic
+    continuation ⟨(1/2N)(Tr U_p + Tr U_p⁻¹)⟩ for the complexified groups
+    ("cu1"/"csu2"/"csu3" with complex β).
 
     In 2-D the plaquettes decouple (finite-volume corrections are
     exponentially small), so the answer is a one-plaquette group integral:
@@ -239,29 +266,49 @@ def exact_plaquette_2d(group: str, beta: float) -> float:
 
     evaluated numerically (trapezoid on a 512² periodic grid, accurate far
     below statistical test resolution; cross-checked against the SU(2)
-    Bessel form by the tests)."""
-    from scipy.special import iv
+    Bessel form by the tests).  For complex β the same integrals hold with
+    a complex weight — the partition function is entire in β, so the
+    trapezoid evaluation IS the analytic continuation (complex-Langevin
+    expectation values must converge to it; tests/test_gauge_complex.py)."""
+    if group in ("u1", "cu1"):
+        if group == "u1":
+            from scipy.special import iv
 
-    if group == "u1":
-        return float(iv(1, beta) / iv(0, beta))
-    if group == "su2":
-        return float(iv(2, beta) / iv(1, beta))
-    if group == "su3":
-        return _weyl_plaquette_sun(3, beta)
+            return float(iv(1, beta) / iv(0, beta))
+        return _bessel_ratio_complex(beta)
+    if group in ("su2", "csu2"):
+        if group == "su2":
+            from scipy.special import iv
+
+            return float(iv(2, beta) / iv(1, beta))
+        return _weyl_plaquette_sun(2, complex(beta))
+    if group in ("su3", "csu3"):
+        v = _weyl_plaquette_sun(3, complex(beta) if group == "csu3" else beta)
+        return v if group == "csu3" else float(np.real(v))
     raise KeyError(group)
 
 
-def _weyl_plaquette_sun(n: int, beta: float, grid: int = 512) -> float:
+def _bessel_ratio_complex(beta: complex) -> complex:
+    """I₁(β)/I₀(β) for complex β via the integral representation
+    I_n(β) = (1/π)∫₀^π e^{β cos θ} cos(nθ) dθ (periodic trapezoid —
+    spectrally accurate)."""
+    t = np.linspace(0.0, 2.0 * np.pi, 4096, endpoint=False)
+    w = np.exp(beta * np.cos(t))
+    return complex(np.sum(w * np.cos(t)) / np.sum(w))
+
+
+def _weyl_plaquette_sun(n: int, beta, grid: int = 512):
     """⟨(1/N)ReTr U⟩ under dU e^{(β/N)ReTr U} on SU(N), N ∈ {2, 3}, via
-    Weyl integration over the eigenvalue angles (periodic trapezoid grid)."""
+    Weyl integration over the eigenvalue angles (periodic trapezoid grid).
+    Complex β gives the analytic continuation (complex weight, same grid)."""
     t = np.linspace(0.0, 2.0 * np.pi, grid, endpoint=False)
     if n == 2:
         th = t  # θ, eigenvalues e^{±iθ}
         tr = 2.0 * np.cos(th)
         meas = np.sin(th) ** 2
         w = meas * np.exp((beta / 2.0) * (tr - 2.0))
-        return float(np.sum(tr / 2.0 * w) / np.sum(w))
-    if n == 3:
+        val = np.sum(tr / 2.0 * w) / np.sum(w)
+    elif n == 3:
         t1 = t[:, None]
         t2 = t[None, :]
         t3 = -(t1 + t2)
@@ -273,5 +320,7 @@ def _weyl_plaquette_sun(n: int, beta: float, grid: int = 512) -> float:
             * np.sin((t2 - t3) / 2.0) ** 2
         )
         w = d * np.exp((beta / 3.0) * (tr - 3.0))
-        return float(np.sum(tr / 3.0 * w) / np.sum(w))
-    raise NotImplementedError(n)
+        val = np.sum(tr / 3.0 * w) / np.sum(w)
+    else:
+        raise NotImplementedError(n)
+    return complex(val) if np.iscomplexobj(np.asarray(beta)) else float(np.real(val))

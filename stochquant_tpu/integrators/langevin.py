@@ -273,19 +273,43 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             )
             return z0.astype(dtype), z1.astype(dtype)
 
+        def field_pair(step):
+            e0, e1 = rng.normal_pair_for_shape(
+                cfg.seed, rng.Stream.FIELD, step, (C, N)
+            )
+            return e0.astype(dtype), e1.astype(dtype)
+
         def pair_step(carry, _):
             """Two micro-steps per iteration, sharing one Threefry draw (both
             Box–Muller outputs are used — halves RNG cost)."""
             *vals, step = carry
-            eta0, eta1 = rng.normal_pair_for_shape(
-                cfg.seed, rng.Stream.FIELD, step, (C, N)
-            )
+            eta0, eta1 = field_pair(step)
             zo0, zo1 = om_noise_pair(step)
-            vals = substep(tuple(vals), step, eta0.astype(dtype), zo0)
-            vals = substep(vals, step + 1, eta1.astype(dtype), zo1)
+            vals = substep(tuple(vals), step, eta0, zo0)
+            vals = substep(vals, step + 1, eta1, zo1)
             return (*vals, step + 2), None
 
-        init = (
+        def lm_pair_step(carry, _):
+            """LM: micro-step k uses (ξ_k + ξ_{k+1})/2; ξ of the *next* pair
+            is drawn here and carried forward so RNG cost stays one Threefry
+            draw per two steps (ξ_{k+2} is re-drawn identically by the next
+            iteration/frame — counter-based keying makes that exact)."""
+            *rest, step = carry
+            if has_zm:
+                *vals, p0, p1, po0, po1 = rest
+            else:
+                *vals, p0, p1 = rest
+            q0, q1 = field_pair(step + 2)
+            if has_zm:
+                qo0, qo1 = om_noise_pair(step + 2)
+                vals = substep(tuple(vals), step, 0.5 * (p0 + p1), 0.5 * (po0 + po1))
+                vals = substep(vals, step + 1, 0.5 * (p1 + q0), 0.5 * (po1 + qo0))
+                return (*vals, q0, q1, qo0, qo1, step + 2), None
+            vals = substep(tuple(vals), step, 0.5 * (p0 + p1), None)
+            vals = substep(vals, step + 1, 0.5 * (p1 + q0), None)
+            return (*vals, q0, q1, step + 2), None
+
+        vals0 = (
             state.f,
             state.omega,
             state.x_mean,
@@ -294,17 +318,32 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             state.spec_mean,
             jnp.zeros((C,), bool),
             state.lrg_vl,
-            state.step,
         )
-        carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
-        if cfg.loops % 2:
-            *vals, step = carry
-            eta0, _ = rng.normal_pair_for_shape(
-                cfg.seed, rng.Stream.FIELD, step, (C, N)
+        if cfg.scheme == Scheme.LM:
+            if cfg.loops % 2:
+                raise ValueError("Scheme.LM requires an even cfg.loops")
+            p0, p1 = field_pair(state.step)
+            extra = (p0, p1)
+            if has_zm:
+                po0, po1 = om_noise_pair(state.step)
+                extra = (p0, p1, po0, po1)
+            carry, _ = lax.scan(
+                lm_pair_step, (*vals0, *extra, state.step), None,
+                length=cfg.loops // 2,
             )
-            zo0, _ = om_noise_pair(step)
-            vals = substep(tuple(vals), step, eta0.astype(dtype), zo0)
-            carry = (*vals, step + 1)
+            *rest, step_end = carry
+            vals = rest[: len(vals0)]
+            carry = (*vals, step_end)
+        else:
+            carry, _ = lax.scan(
+                pair_step, (*vals0, state.step), None, length=cfg.loops // 2
+            )
+            if cfg.loops % 2:
+                *vals, step = carry
+                eta0, _ = field_pair(step)
+                zo0, _ = om_noise_pair(step)
+                vals = substep(tuple(vals), step, eta0, zo0)
+                carry = (*vals, step + 1)
         f, omega, xm, xxm, x2m, spec, unstable, lrgvl, step_end = carry
 
         accept = ~unstable  # (C,)

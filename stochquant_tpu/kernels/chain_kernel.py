@@ -309,6 +309,11 @@ def chain_frame_pallas(
             "accumulate_spectrum requires the XLA path (no FFT in Pallas); "
             "use integrators.langevin.run_frames"
         )
+    if cfg.scheme == Scheme.LM:
+        raise ValueError(
+            "Scheme.LM is XLA-path only for now (the fused kernel would need "
+            "a carried noise pair); use integrators.langevin.run_frames"
+        )
     C, N = cfg.n_chains, cfg.n_sites
     np_ = _round_up(N, 128)
     cb = block_chains or min(C, 256)

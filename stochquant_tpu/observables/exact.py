@@ -78,6 +78,26 @@ def heun_stationary_cov(B: np.ndarray, dt: float, dtau: float) -> np.ndarray:
     return (V * var) @ V.T
 
 
+def lm_stationary_cov(B: np.ndarray, dt: float, dtau: float) -> np.ndarray:
+    """Exact stationary covariance of the Leimkuhler–Matthews chain.
+
+    Per mode (a = 1 − Δτ·b, noise c·(ξ_k + ξ_{k+1})/2, c = √(2Δτ/Δt)):
+    the stationary recursion V = a²V + c²/2 + a·c²/2 (the cross term from
+    ξ_k being shared with the previous step) gives
+
+        V = (c²/2)·(1+a)/(1−a²) = (c²/2)/(1−a) = 1/(Δt·b)
+
+    — the *target* covariance exactly, for every Δτ·b < 2.  (LM's O(Δτ²)
+    bias vanishes identically on Gaussians; the bias gate for the chain is
+    therefore Δτ-independence itself.)
+    """
+    b, _ = np.linalg.eigh(B)
+    z = dtau * b
+    if np.any(z >= 2.0):
+        raise ValueError(f"LM unstable: dtau*b_max = {z.max():.3f} >= 2")
+    return target_cov(B, dt)
+
+
 def target_cov(B: np.ndarray, dt: float) -> np.ndarray:
     """Δτ→0 covariance = A⁻¹ (the true path-integral two-point function)."""
     b, V = np.linalg.eigh(B)

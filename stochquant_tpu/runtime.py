@@ -252,10 +252,9 @@ def run_gauge(
     resume_progress: bool = False,
 ) -> RunResult:
     """Run a lattice-gauge Langevin ensemble (``GaugeConfig``)."""
-    from stochquant_tpu.actions.gauge import get_gauge
     from stochquant_tpu.integrators import gauge as gauge_mod
 
-    act = get_gauge(cfg.group, beta=cfg.beta)
+    act = gauge_mod.resolve_gauge_action(cfg)
     sink = sink or metrics_mod.MetricsSink()
     if checkpoint_in:
         state, _ = ckpt_mod.load(checkpoint_in)
@@ -283,15 +282,27 @@ def run_gauge(
     while frames_done < cfg.frames:
         state, m = run_n(state, 1)
         frames_done += 1
+        # complex observables go through the split-transfer helper (the TPU
+        # tunnel backend lacks complex d2h, io/checkpoint.py:_leaf_to_host)
+        plaq = ckpt_mod._leaf_to_host(state.plaq_mean).mean()
+        beta = cfg.beta + 1j * cfg.beta_im if cfg.beta_im else cfg.beta
+        exact2d = (
+            gauge_mod.exact_plaquette_2d(cfg.group, beta) if cfg.ndim == 2 else None
+        )
         obs = {
-            "plaquette": float(np.asarray(state.plaq_mean).mean()),
+            "plaquette": float(np.real(plaq)),
             "plaquette_exact_2d": (
-                gauge_mod.exact_plaquette_2d(cfg.group, cfg.beta)
-                if cfg.ndim == 2
-                else None
+                float(np.real(exact2d)) if exact2d is not None else None
             ),
             "drift_max": float(np.asarray(m["drift_max"]).max()),
         }
+        if np.iscomplexobj(plaq):
+            obs["plaquette_im"] = float(np.imag(plaq))
+            if exact2d is not None:
+                obs["plaquette_exact_2d_im"] = float(np.imag(exact2d))
+            obs["unitarity_norm"] = float(
+                np.asarray(m["unitarity_norm"]).max()
+            )
         if measure_loops:
             p = np.asarray(poly_fn(state.links)).mean(axis=0)
             obs["polyakov_re"] = float(p[0])

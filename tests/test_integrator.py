@@ -334,3 +334,74 @@ def test_float64_dtype_on_cpu():
     mean = x2.mean(axis=0)
     stderr = x2.std(axis=0) / np.sqrt(cfg.n_chains)
     assert np.all(np.abs(mean - np.diag(sigma)) < 6 * stderr + 1e-3)
+
+
+def test_lm_x2_is_exact_at_large_step():
+    """Leimkuhler–Matthews at a LARGE step: site ⟨x²⟩ matches the *target*
+    covariance A⁻¹ exactly (LM has zero stationary bias on Gaussians —
+    observables/exact.py:lm_stationary_cov), resolving the difference from
+    the EM covariance at the same Δτ."""
+    from stochquant_tpu.config import Scheme
+
+    cfg = ChainConfig(
+        action="harmonic",
+        n_sites=32,
+        dt=0.25,
+        dtau=0.02,
+        n_chains=384,
+        loops=100,
+        bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT,
+        seed=99,
+        grow_after=10**9,
+        scheme=Scheme.LM,
+    )
+    act, state, _ = _run(cfg, n_frames=60, burn_frames=20)
+    B = exact.harmonic_drift_matrix(cfg.n_sites, cfg.dt, k=2.0, bc=cfg.bc)
+    sig_lm = exact.lm_stationary_cov(B, cfg.dt, cfg.dtau)
+    sig_true = exact.target_cov(B, cfg.dt)
+    np.testing.assert_allclose(sig_lm, sig_true)  # the LM property itself
+    sig_em = exact.em_stationary_cov(B, cfg.dt, cfg.dtau)
+    x2 = np.asarray(state.x2_mean, np.float64)
+    mean = x2.mean(axis=0)
+    stderr = x2.std(axis=0) / np.sqrt(cfg.n_chains)
+    assert np.all(np.abs(mean - np.diag(sig_true)) < 6 * stderr + 1e-3)
+    # the estimate resolves the EM bias away from the target
+    assert abs(mean.mean() - np.diag(sig_em).mean()) > abs(
+        mean.mean() - np.diag(sig_true).mean()
+    )
+
+
+def test_lm_frame_split_is_bitwise_continuous():
+    """LM carries a noise pair across micro-steps; the frame boundary
+    re-draws it from the counter RNG — so run(2 frames) must be bitwise
+    identical to run(1)+run(1)."""
+    from stochquant_tpu.config import Scheme
+
+    cfg = ChainConfig(
+        action="double_well",
+        n_sites=24,
+        dt=0.1,
+        dtau=1e-3,
+        n_chains=4,
+        loops=10,
+        seed=5,
+        scheme=Scheme.LM,
+    )
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    a2, _ = langevin.run_frames(s0, act, cfg, 2)
+    b1, _ = langevin.run_frames(s0, act, cfg, 1)
+    b2, _ = langevin.run_frames(b1, act, cfg, 1)
+    for x, y in zip(a2, b2):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_lm_requires_even_loops():
+    from stochquant_tpu.config import Scheme
+
+    cfg = ChainConfig(action="harmonic", n_sites=8, loops=3, scheme=Scheme.LM)
+    act = actions.get(cfg.action)
+    state = langevin.init_chain_state(cfg, act)
+    with pytest.raises(ValueError, match="even"):
+        langevin.run_frames(state, act, cfg, 1)
