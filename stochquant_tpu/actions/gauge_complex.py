@@ -208,16 +208,23 @@ class ComplexU1Wilson(GaugeAction):
         """Gauge-cooling gradient steps on Im θ.
 
         Gauge orbit: Im θ_μ(x) → Im θ_μ(x) + b(x) − b(x+μ̂).  The descent
-        direction for N_u = Σ Im θ² is b(x) = −2ε·Σ_μ[Imθ_μ(x) − Imθ_μ(x−μ̂)]
-        (a lattice divergence).  Re θ is untouched — cooling is exactly
-        gauge."""
+        step is b(x) = −ε·Σ_μ[Imθ_μ(x) − Imθ_μ(x−μ̂)] (a lattice divergence;
+        the gradient's factor 2 is absorbed into ε).  Re θ is untouched —
+        cooling is exactly gauge.
+
+        The composite map Imθ ← (1 − ε·DᵀD)·Imθ has spectral radius bound
+        4·ndim for the lattice operator DᵀD, so ε is clamped to 1/(4·ndim)
+        — the monotone-descent bound — making any configured cooling_rate
+        safe (the SU(N) path normalizes its step adaptively; this is the
+        abelian analog)."""
+        eff = min(float(rate), 1.0 / (4.0 * ndim))
         ls = 1
         for _ in range(steps):
             im = jnp.imag(theta)
             div = jnp.zeros_like(im[:, 0])
             for mu in range(ndim):
                 div = div + im[:, mu] - shift(im[:, mu], mu, -1, ls)
-            b = -rate * div  # (C, *L)
+            b = -eff * div  # (C, *L)
             delta = jnp.stack(
                 [b - shift(b, mu, +1, ls) for mu in range(ndim)], axis=1
             )

@@ -80,6 +80,8 @@ def _apply_overrides(cfg, args):
         updates["fps"] = args.fps
     if getattr(args, "measure_loops", False) and hasattr(cfg, "measure_loops"):
         updates["measure_loops"] = True
+    if getattr(args, "tile_rows", None) is not None and hasattr(cfg, "tile_rows"):
+        updates["tile_rows"] = args.tile_rows
     return dataclasses.replace(cfg, **updates) if updates else cfg
 
 
@@ -126,7 +128,7 @@ def cmd_run(args):
             if isinstance(cfg, ChainConfig):
                 runtime.run_chain(cfg, backend=args.backend, **common)
             elif isinstance(cfg, FieldConfig):
-                runtime.run_field(cfg, **common)
+                runtime.run_field(cfg, backend=args.backend, **common)
             else:
                 from stochquant_tpu.integrators.gauge import GaugeConfig
 
@@ -184,7 +186,17 @@ def main(argv=None):
     r.add_argument("--seed", type=int)
     r.add_argument("--fps", type=int, help="frames per metrics record")
     r.add_argument("--burn", type=int, default=0, help="burn-in frames (means reset after)")
-    r.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    r.add_argument(
+        "--backend",
+        default="auto",
+        choices=["auto", "xla", "pallas", "pallas_tiled"],
+        help="execution path: fused Pallas kernels (whole-lattice or "
+        "HBM-tiled) vs the XLA scan; auto = pallas on TPU",
+    )
+    r.add_argument(
+        "--tile-rows", type=int,
+        help="field presets: strip height for the HBM-tiled Pallas kernel",
+    )
     r.add_argument(
         "--measure-loops",
         action="store_true",

@@ -73,18 +73,28 @@ def _leaf_to_device(a: np.ndarray):
     return jax.jit(lax.complex)(jnp.asarray(a.real.copy()), jnp.asarray(a.imag.copy()))
 
 
-def save(path, state: Union[ChainState, FieldState], cfg) -> None:
+def save(path, state: Union[ChainState, FieldState], cfg, *, frames_done=None) -> None:
+    """Write the full state + config (and, when given, the completed-frame
+    count — the authoritative resume progress: the step-counter heuristic
+    cannot distinguish burn-in from measurement frames)."""
     kind = _STATE_KIND[type(state)]
     payload = {
         f"state_{name}": _leaf_to_host(leaf)
         for name, leaf in zip(state._fields, state)
     }
-    payload["meta"] = np.frombuffer(
-        json.dumps({"kind": kind, "config": cfg.to_json(), "version": 1}).encode(),
-        dtype=np.uint8,
-    )
+    meta = {"kind": kind, "config": cfg.to_json(), "version": 1}
+    if frames_done is not None:
+        meta["frames_done"] = int(frames_done)
+    payload["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     with open(path, "wb") as fh:
         np.savez(fh, **payload)
+
+
+def read_meta(path) -> dict:
+    """Parse just the metadata record of a checkpoint (kind, config JSON,
+    version, optional frames_done) without touching the arrays."""
+    with np.load(path) as z:
+        return json.loads(bytes(z["meta"].tobytes()).decode())
 
 
 def load(path):

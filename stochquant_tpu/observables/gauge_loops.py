@@ -116,7 +116,37 @@ class _SU3(_Algebra):
         return jnp.real(t), jnp.imag(t)
 
 
+class _CU1(_U1):
+    # complexified U(1): θ ∈ ℂ carried additively; the loop trace is the
+    # holomorphic e^{iθ} (valid complex-Langevin observable)
+    def trace_over_n(self, a):
+        w = jnp.exp(1j * a)
+        return jnp.real(w), jnp.imag(w)
+
+
+class _CSUN(_SU3):
+    # SL(N,ℂ) matrix links: same layout as SU(3) but daggers → inverses
+    # (the holomorphic continuation of the loop observables)
+    def __init__(self, n: int):
+        self.n = n
+
+    def inv(self, a):
+        from stochquant_tpu.actions.gauge_complex import inv22, inv33
+
+        return inv22(a) if self.n == 2 else inv33(a)
+
+    def trace_over_n(self, a):
+        t = jnp.trace(a, axis1=-2, axis2=-1) / self.n
+        return jnp.real(t), jnp.imag(t)
+
+
 def _algebra(action: ga.GaugeAction) -> _Algebra:
+    from stochquant_tpu.actions.gauge_complex import ComplexSUNWilson, ComplexU1Wilson
+
+    if isinstance(action, ComplexU1Wilson):
+        return _CU1()
+    if isinstance(action, ComplexSUNWilson):
+        return _CSUN(action.N)
     if isinstance(action, ga.U1Wilson):
         return _U1()
     if isinstance(action, ga.SU2Wilson):

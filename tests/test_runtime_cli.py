@@ -185,3 +185,127 @@ def test_cli_gauge_measure_loops(tmp_path):
     assert len(tables) == 1
     w = tables[0]["w"]
     assert len(w) == 4 and len(w[0]) == 4  # rmax=4 on the 16x16 preset
+
+
+def test_run_field_pallas_backend_matches_xla():
+    """The product path (runtime.run_field backend='pallas') must produce the
+    same trajectories/observables as the XLA scan — the kernels are
+    bit-compatible by construction, and the runtime routing must not change
+    that (VERDICT r1 item 1: kernels are the production field path now)."""
+    cfg = FieldConfig(
+        action="phi4", shape=(16, 128), dtau=0.01, n_chains=2, loops=4,
+        frames=2, seed=5,
+    )
+    a = runtime.run_field(cfg, backend="xla", sink=metrics.MetricsSink())
+    b = runtime.run_field(cfg, backend="pallas", sink=metrics.MetricsSink())
+    for got, want in zip(b.state, a.state):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6
+        )
+
+
+def test_field_backend_routing():
+    base = FieldConfig(action="phi4", shape=(16, 128), loops=4)
+    sel = runtime.select_field_backend
+    assert sel(base, "auto", on_tpu=True, use_halo=False) == "pallas"
+    assert sel(base, "auto", on_tpu=False, use_halo=False) == "xla"
+    assert sel(base, "auto", on_tpu=True, use_halo=True) == "xla"
+    # explicit tile_rows or a lattice too big for VMEM routes to the tiled kernel
+    tiled = FieldConfig(action="phi4", shape=(16, 128), loops=4, tile_rows=8)
+    assert sel(tiled, "pallas", on_tpu=True, use_halo=False) == "pallas_tiled"
+    big = FieldConfig(action="phi4", shape=(1024, 1024), loops=4)
+    assert sel(big, "auto", on_tpu=True, use_halo=False) == "pallas_tiled"
+    import pytest
+
+    with pytest.raises(ValueError):
+        sel(FieldConfig(shape=(4, 4, 4)), "pallas", on_tpu=True, use_halo=False)
+    with pytest.raises(ValueError):
+        sel(base, "pallas", on_tpu=True, use_halo=True)
+    # odd loops cannot run the pair-launch tiled kernel: auto falls back to xla
+    odd = FieldConfig(action="phi4", shape=(1024, 1024), loops=5)
+    assert sel(odd, "auto", on_tpu=True, use_halo=False) == "xla"
+
+
+def test_resume_rejects_incompatible_checkpoint(tmp_path):
+    import pytest
+
+    cfg = FieldConfig(action="phi4", shape=(8, 8), n_chains=2, loops=4, frames=1)
+    ck = tmp_path / "f.npz"
+    runtime.run_field(cfg, sink=metrics.MetricsSink(), checkpoint_out=str(ck))
+    # different lattice shape
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, shape=(16, 16))
+    with pytest.raises(ValueError, match="incompatible"):
+        runtime.run_field(cfg2, sink=metrics.MetricsSink(), checkpoint_in=str(ck))
+    # wrong run kind entirely
+    ccfg = ChainConfig(action="harmonic", n_sites=8, n_chains=2, loops=4, frames=1)
+    with pytest.raises(ValueError, match="FieldConfig"):
+        runtime.run_chain(ccfg, backend="xla", sink=metrics.MetricsSink(),
+                          checkpoint_in=str(ck))
+
+
+def test_gauge_resume_rejects_incompatible(tmp_path):
+    import dataclasses
+
+    import pytest
+
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+
+    cfg = GaugeConfig(group="u1", shape=(4, 4), n_chains=2, loops=2, frames=1)
+    ck = tmp_path / "g.npz"
+    runtime.run_gauge(cfg, sink=metrics.MetricsSink(), checkpoint_out=str(ck))
+    bad = dataclasses.replace(cfg, group="su2")
+    with pytest.raises(ValueError, match="incompatible"):
+        runtime.run_gauge(bad, sink=metrics.MetricsSink(), checkpoint_in=str(ck))
+
+
+def test_burn_frames_not_counted_as_resume_progress(tmp_path):
+    """A checkpoint written after burn-in must not count burn frames as
+    completed measurement frames (VERDICT r1 weak item 5): the writer stores
+    the true frames_done and resume honours it."""
+    import json as _json
+
+    cfg = ChainConfig(
+        action="harmonic", n_sites=16, dt=0.2, dtau=1e-3, n_chains=2,
+        loops=10, frames=2, seed=9,
+    )
+    ck = tmp_path / "b.npz"
+    runtime.run_chain(cfg, backend="xla", sink=metrics.MetricsSink(),
+                      checkpoint_out=str(ck), burn_frames=3)
+    from stochquant_tpu.io import checkpoint as ckpt
+
+    assert ckpt.read_meta(str(ck))["frames_done"] == 2
+    # resume asking for 4 total: must run exactly 2 more frames, not 0
+    # (the old step//loops heuristic saw (3 burn + 2) frames > 4 and quit)
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, frames=4)
+    m = tmp_path / "m.jsonl"
+    with open(m, "w") as fh:
+        runtime.run_chain(cfg2, backend="xla",
+                          sink=metrics.MetricsSink(stream=fh),
+                          checkpoint_in=str(ck), resume_progress=True)
+    frames = [r for r in map(_json.loads, open(m)) if r["type"] == "frame"]
+    assert len(frames) == 2 and frames[-1]["percent"] == 100.0
+
+
+def test_gauge_measure_loops_complex_group(tmp_path):
+    """Polyakov/Wilson loops are holomorphic observables — valid under
+    complex Langevin; the loop algebra must dispatch on the complexified
+    groups (ADVICE r1 item 1)."""
+    import json as _json
+
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+
+    cfg = GaugeConfig(
+        group="cu1", beta=1.0, beta_im=0.3, shape=(4, 4), n_chains=2,
+        loops=2, frames=2, dtau=1e-3, cooling_rate=0.05, measure_loops=True,
+    )
+    m = tmp_path / "cg.jsonl"
+    with open(m, "w") as fh:
+        runtime.run_gauge(cfg, sink=metrics.MetricsSink(stream=fh))
+    recs = [_json.loads(l) for l in open(m)]
+    frames = [r for r in recs if r["type"] == "frame"]
+    assert frames and all("polyakov_re" in f for f in frames)
+    assert any(r["type"] == "wilson_loops" for r in recs)
