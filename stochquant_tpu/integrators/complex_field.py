@@ -45,6 +45,7 @@ from jax import lax
 
 from stochquant_tpu import rng
 from stochquant_tpu.actions.complex_actions import ComplexAction
+from stochquant_tpu.integrators import accum
 
 __all__ = [
     "ComplexFieldConfig",
@@ -169,18 +170,14 @@ def make_cfield_frame_fn(action: ComplexAction, cfg: ComplexFieldConfig):
             mod = jnp.sqrt(zr2 * zr2 + zi2 * zi2)
             bad = jnp.any(~jnp.isfinite(mod) | (mod > clamp), axis=lat_axes)
 
-            # holomorphic observables of the pre-update field, site-averaged
-            n = (
-                state.runs.astype(jnp.float32)
-                + (step - state.step).astype(jnp.float32)
-                + 1.0
-            )
+            # holomorphic observables of the pre-update field, site-averaged;
+            # frame sums, merged per frame (two-level accumulation, accum.py)
             re_z2 = jnp.mean(zr * zr - zi * zi, axis=lat_axes)
             im_z2 = jnp.mean(2.0 * zr * zi, axis=lat_axes)
             abs_zi = jnp.mean(jnp.abs(zi), axis=lat_axes)
-            z2r_n = z2r + (re_z2 - z2r) / n
-            z2i_n = z2i + (im_z2 - z2i) / n
-            zim_n = zim + (abs_zi - zim) / n
+            z2r_n = z2r + re_z2
+            z2i_n = z2i + im_z2
+            zim_n = zim + abs_zi
             dmax_n = jnp.maximum(dmax, dnorm)
 
             u = unstable.reshape((C,) + (1,) * ndim)
@@ -203,9 +200,10 @@ def make_cfield_frame_fn(action: ComplexAction, cfg: ComplexFieldConfig):
             vals = substep(vals, step + 1, e1)
             return (*vals, step + 2), None
 
+        zc = jnp.zeros_like(state.z2r_mean)
         init = (
-            state.zr, state.zi, state.z2r_mean, state.z2i_mean,
-            state.zim_mean, state.drift_max, jnp.zeros((C,), bool), state.step,
+            state.zr, state.zi, zc, zc, zc,
+            state.drift_max, jnp.zeros((C,), bool), state.step,
         )
         carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
         if cfg.loops % 2:
@@ -217,6 +215,10 @@ def make_cfield_frame_fn(action: ComplexAction, cfg: ComplexFieldConfig):
             carry = (*vals, step + 1)
         zr, zi, z2r, z2i, zim, dmax, unstable, step_end = carry
 
+        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+        z2r = accum.merge_frame_sum(state.z2r_mean, z2r, cfg.loops, n_new)
+        z2i = accum.merge_frame_sum(state.z2i_mean, z2i, cfg.loops, n_new)
+        zim = accum.merge_frame_sum(state.zim_mean, zim, cfg.loops, n_new)
         accept = ~unstable
         au = accept.reshape((C,) + (1,) * ndim)
         sel = lambda new, old: jnp.where(accept, new, old)

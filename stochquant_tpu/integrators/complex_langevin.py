@@ -34,6 +34,7 @@ from jax import lax
 
 from stochquant_tpu import rng
 from stochquant_tpu.actions.complex_actions import ComplexAction
+from stochquant_tpu.integrators import accum
 
 __all__ = [
     "ComplexLangevinConfig",
@@ -140,18 +141,14 @@ def make_cl_frame_fn(action: ComplexAction, cfg: ComplexLangevinConfig):
                 | (jnp.sqrt(zr2 * zr2 + zi2 * zi2) > clamp)
             )
 
-            # holomorphic observables of the pre-update variable
-            n = (
-                state.runs.astype(jnp.float32)
-                + (step - state.step).astype(jnp.float32)
-                + 1.0
-            )
+            # holomorphic observables of the pre-update variable — frame
+            # sums, merged per frame (two-level accumulation, accum.py)
             re_z2 = zr * zr - zi * zi
             im_z2 = 2.0 * zr * zi
-            z2r_n = z2r + (re_z2 - z2r) / n
-            z2i_n = z2i + (im_z2 - z2i) / n
-            zrm_n = zrm + (zr - zrm) / n
-            zim_n = zim + (zi - zim) / n
+            z2r_n = z2r + re_z2
+            z2i_n = z2i + im_z2
+            zrm_n = zrm + zr
+            zim_n = zim + zi
             dmax_n = jnp.maximum(dmax, dnorm)
 
             keep = lambda new, old: jnp.where(unstable, old, new)
@@ -165,15 +162,20 @@ def make_cl_frame_fn(action: ComplexAction, cfg: ComplexLangevinConfig):
             unstable = unstable | bad
             return (zr, zi, z2r, z2i, zrm, zim, dmax, unstable, step + 1), None
 
+        zc = jnp.zeros_like(state.z2r_mean)
         init = (
-            state.zr, state.zi, state.z2r_mean, state.z2i_mean,
-            state.zr_mean, state.zi_mean, state.drift_max,
+            state.zr, state.zi, zc, zc, zc, zc, state.drift_max,
             jnp.zeros((C,), bool), state.step,
         )
         (zr, zi, z2r, z2i, zrm, zim, dmax, unstable, step_end), _ = lax.scan(
             micro, init, None, length=cfg.loops
         )
 
+        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+        z2r = accum.merge_frame_sum(state.z2r_mean, z2r, cfg.loops, n_new)
+        z2i = accum.merge_frame_sum(state.z2i_mean, z2i, cfg.loops, n_new)
+        zrm = accum.merge_frame_sum(state.zr_mean, zrm, cfg.loops, n_new)
+        zim = accum.merge_frame_sum(state.zi_mean, zim, cfg.loops, n_new)
         accept = ~unstable
         sel = lambda new, old: jnp.where(accept, new, old)
         new_state = CLState(
@@ -318,15 +320,11 @@ def make_ccl_frame_fn(action: ComplexAction, cfg: ComplexChainConfig):
             mod = jnp.sqrt(zr2 * zr2 + zi2 * zi2)
             bad = jnp.any(~jnp.isfinite(mod) | (mod > clamp), axis=-1)
 
-            n = (
-                state.runs.astype(jnp.float32)
-                + (step - state.step).astype(jnp.float32)
-                + 1.0
-            )[:, None]
+            # frame sums (two-level accumulation, accum.py)
             re_z2 = zr * zr - zi * zi
             im_z2 = 2.0 * zr * zi
-            z2r_n = z2r + (re_z2 - z2r) / n
-            z2i_n = z2i + (im_z2 - z2i) / n
+            z2r_n = z2r + re_z2
+            z2i_n = z2i + im_z2
             dmax_n = jnp.maximum(dmax, dnorm)
 
             u = unstable[:, None]
@@ -349,7 +347,8 @@ def make_ccl_frame_fn(action: ComplexAction, cfg: ComplexChainConfig):
             return (*vals, step + 2), None
 
         init = (
-            state.zr, state.zi, state.z2r_mean, state.z2i_mean,
+            state.zr, state.zi, jnp.zeros_like(state.z2r_mean),
+            jnp.zeros_like(state.z2i_mean),
             state.drift_max, jnp.zeros((C,), bool), state.step,
         )
         carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
@@ -362,6 +361,9 @@ def make_ccl_frame_fn(action: ComplexAction, cfg: ComplexChainConfig):
             carry = (*vals, step + 1)
         zr, zi, z2r, z2i, dmax, unstable, step_end = carry
 
+        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)[:, None]
+        z2r = accum.merge_frame_sum(state.z2r_mean, z2r, cfg.loops, n_new)
+        z2i = accum.merge_frame_sum(state.z2i_mean, z2i, cfg.loops, n_new)
         accept = ~unstable
         a1 = accept[:, None]
         sel2 = lambda new, old: jnp.where(a1, new, old)

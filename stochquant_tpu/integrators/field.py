@@ -29,6 +29,7 @@ from jax import lax
 from stochquant_tpu import rng
 from stochquant_tpu.actions.phi4 import FieldAction
 from stochquant_tpu.config import FieldConfig, Sweep
+from stochquant_tpu.integrators import accum
 
 
 def checkerboard_mask(shape, ndim, dtype=bool):
@@ -120,7 +121,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             return newphi, jnp.abs(det), fin
 
         def micro_step(carry, eta):
-            phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step = carry
+            phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step = carry
 
             noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
                 (C,) + (1,) * ndim
@@ -148,32 +149,29 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             s_slice = jnp.mean(phi, axis=nonzero_axes)  # (C, L0)
             corr = s_slice * s_slice[:, :1]
 
-            n = (
-                state.runs.astype(jnp.float32)
-                + (step - state.step).astype(jnp.float32)
-                + 1.0
-            ).astype(dtype)
-            mm2 = mm + (mag - mm) / n
-            m2m2 = m2m + (mag * mag - m2m) / n
-            amm2 = amm + (jnp.abs(mag) - amm) / n
-            p2m2 = p2m + (phi2 - p2m) / n
-            am2 = am + (act_d - am) / n
-            cm2 = cm + (corr - cm) / n[:, None]
+            # frame-local sample sums; merged once per frame in the epilogue
+            # (two-level accumulation, integrators/accum.py)
+            ms2 = ms + mag
+            m2s2 = m2s + mag * mag
+            ams2 = ams + jnp.abs(mag)
+            p2s2 = p2s + phi2
+            acs2 = acs + act_d
+            cs2 = cs + corr
 
             lrgvl2 = jnp.maximum(lrgvl, jnp.max(jnp.abs(newphi), axis=lat_axes))
 
             u = unstable.reshape((C,) + (1,) * ndim)
             phi = jnp.where(u, phi, newphi)
             keep = lambda new, old: jnp.where(unstable, old, new)
-            mm = keep(mm2, mm)
-            m2m = keep(m2m2, m2m)
-            amm = keep(amm2, amm)
-            p2m = keep(p2m2, p2m)
-            am = keep(am2, am)
-            cm = jnp.where(unstable[:, None], cm, cm2)
+            ms = keep(ms2, ms)
+            m2s = keep(m2s2, m2s)
+            ams = keep(ams2, ams)
+            p2s = keep(p2s2, p2s)
+            acs = keep(acs2, acs)
+            cs = jnp.where(unstable[:, None], cs, cs2)
             lrgvl = keep(lrgvl2, lrgvl)
             unstable = unstable | tripped
-            return (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step + 1)
+            return (phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step + 1)
 
         def pair_step(carry, _):
             # two micro-steps per Threefry draw (both Box–Muller outputs)
@@ -185,14 +183,15 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             carry = micro_step(carry, e1.astype(dtype))
             return carry, None
 
+        zc = jnp.zeros((C,), dtype)
         init = (
             state.phi,
-            state.mag_mean,
-            state.mag2_mean,
-            state.absmag_mean,
-            state.phi2_mean,
-            state.act_mean,
-            state.corr_mean,
+            zc,  # frame Σ M
+            zc,  # frame Σ M²
+            zc,  # frame Σ |M|
+            zc,  # frame Σ φ²
+            zc,  # frame Σ s
+            jnp.zeros_like(state.corr_mean),  # frame Σ corr
             jnp.zeros((C,), bool),
             state.lrg_vl,
             state.step,
@@ -203,11 +202,19 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
                 cfg.seed, rng.Stream.FIELD, carry[-1], (C,) + shape
             )
             carry = micro_step(carry, e0.astype(dtype))
-        phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step_end = carry
+        phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step_end = carry
 
         accept = ~unstable
         au = accept.reshape((C,) + (1,) * ndim)
         phi = jnp.where(au, phi, state.phi)
+        # merge frame sums into the running means (two-level accumulation)
+        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32).astype(dtype)
+        mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
+        m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+        amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
+        p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
+        am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
+        cm = accum.merge_frame_sum(state.corr_mean, cs, cfg.loops, n_new[:, None])
         sel = lambda new, old: jnp.where(accept, new, old)
         mm = sel(mm, state.mag_mean)
         m2m = sel(m2m, state.mag2_mean)

@@ -36,6 +36,7 @@ from jax import lax
 
 from stochquant_tpu import rng
 from stochquant_tpu.actions import gauge as gauge_mod
+from stochquant_tpu.integrators import accum
 
 __all__ = [
     "GaugeConfig",
@@ -137,8 +138,8 @@ def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
     cooling = cfg.cooling_rate > 0.0 and hasattr(action, "cool")
 
     def frame(state: GaugeState):
-        def substep(carry, step, eta):
-            links, pm, dmax, unstable = carry
+        def substep(carry, eta):
+            links, ps, dmax, unstable = carry
 
             f = action.drift(links, ndim)
             dnorm = action.drift_norm(f)
@@ -162,35 +163,31 @@ def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
             )
 
             # observable samples the pre-update links (same convention as
-            # the scalar integrators / the reference's running means)
+            # the scalar integrators); frame-local sample SUM, merged per
+            # frame in the epilogue (two-level accumulation, accum.py)
             plaq = action.mean_plaquette(links, ndim)
-            n = (
-                state.runs.astype(jnp.float32)
-                + (step - state.step).astype(jnp.float32)
-                + 1.0
-            )
-            pm_n = pm + (plaq - pm) / n
+            ps_n = ps + plaq
             dmax_n = jnp.maximum(dmax, dnorm)
 
             u = unstable.reshape((C,) + (1,) * (new_links.ndim - 1))
             links = jnp.where(u, links, new_links)
             keep = lambda new, old: jnp.where(unstable, old, new)
-            pm = keep(pm_n, pm)
+            ps = keep(ps_n, ps)
             dmax = keep(dmax_n, dmax)
             unstable = unstable | bad
-            return (links, pm, dmax, unstable)
+            return (links, ps, dmax, unstable)
 
         def pair_step(carry, _):
             *vals, step = carry
             e0, e1 = rng.normal_pair_for_shape(
                 cfg.seed, rng.Stream.FIELD, step, noise_shape
             )
-            vals = substep(tuple(vals), step, e0)
-            vals = substep(vals, step + 1, e1)
+            vals = substep(tuple(vals), e0)
+            vals = substep(vals, e1)
             return (*vals, step + 2), None
 
         init = (
-            state.links, state.plaq_mean, state.drift_max,
+            state.links, jnp.zeros_like(state.plaq_mean), state.drift_max,
             jnp.zeros((C,), bool), state.step,
         )
         carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
@@ -199,10 +196,12 @@ def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
             e0, _ = rng.normal_pair_for_shape(
                 cfg.seed, rng.Stream.FIELD, step, noise_shape
             )
-            vals = substep(tuple(vals), step, e0)
+            vals = substep(tuple(vals), e0)
             carry = (*vals, step + 1)
-        links, pm, dmax, unstable, step_end = carry
+        links, ps, dmax, unstable, step_end = carry
 
+        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+        pm = accum.merge_frame_sum(state.plaq_mean, ps, cfg.loops, n_new)
         accept = ~unstable
         au = accept.reshape((C,) + (1,) * (links.ndim - 1))
         sel = lambda new, old: jnp.where(accept, new, old)

@@ -37,6 +37,7 @@ from jax import lax
 from stochquant_tpu import rng
 from stochquant_tpu.actions.base import QMAction
 from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation, Scheme
+from stochquant_tpu.integrators import accum
 
 __all__ = [
     "ChainState",
@@ -192,9 +193,9 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         return f
 
     def frame(state: ChainState):
-        def substep(vals, step, eta, eta_om):
+        def substep(vals, eta, eta_om):
             """One Euler–Maruyama micro-step given its noise field."""
-            f, omega, xm, xxm, x2m, spec, unstable, lrgvl = vals
+            f, omega, xs, xxs, x2s, specs, unstable, lrgvl = vals
             noise = c_amp * jnp.sqrt(2.0 * state.dtau[:, None] / dt) * eta
 
             if cfg.scheme == Scheme.HEUN:
@@ -221,22 +222,20 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             bad = ~jnp.all(jnp.isfinite(newf_raw), axis=-1)
             tripped = (max_det > lrgvl) | bad
 
-            # observables sample the *pre-update* field with running count
-            # runs + j + 1 (tau_kernel.cl:144-145)
+            # observables sample the *pre-update* field.  Frame-local fp32
+            # sample SUMS here; the cross-frame merge happens once per frame
+            # in the epilogue (two-level accumulation, integrators/accum.py —
+            # the precision-hardened equivalent of the reference's per-sample
+            # double-precision running means, tau_kernel.cl:144-145).
             x = full_x(f, omega)
-            n = (
-                state.runs.astype(jnp.float32)
-                + (step - state.step).astype(jnp.float32)
-                + 1.0
-            ).astype(dtype)[:, None]
-            xm2 = xm + (x - xm) / n
-            xxm2 = xxm + (x * x[:, mid : mid + 1] - xxm) / n
-            x2m2 = x2m + (x * x - x2m) / n
+            xs2 = xs + x
+            xxs2 = xxs + x * x[:, mid : mid + 1]
+            x2s2 = x2s + x * x
             if cfg.accumulate_spectrum:
                 power = jnp.abs(jnp.fft.rfft(x, axis=-1)).astype(dtype) ** 2
-                spec2 = spec + (power - spec) / n
+                specs2 = specs + power
             else:
-                spec2 = spec
+                specs2 = specs
 
             lrgvl2 = jnp.maximum(
                 lrgvl, jnp.max(jnp.abs(full_x(newf, omega)), axis=-1)
@@ -254,13 +253,13 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             keep = lambda new, old: jnp.where(u, old, new)
             fz = keep(newf, f)
             omega2 = jnp.where(unstable, omega, omega2)
-            xmz = keep(xm2, xm)
-            xxmz = keep(xxm2, xxm)
-            x2mz = keep(x2m2, x2m)
-            specz = jnp.where(u, spec, spec2)
+            xsz = keep(xs2, xs)
+            xxsz = keep(xxs2, xxs)
+            x2sz = keep(x2s2, x2s)
+            specsz = jnp.where(u, specs, specs2)
             lrgvlz = jnp.where(unstable, lrgvl, lrgvl2)
             unstable = unstable | tripped
-            return (fz, omega2, xmz, xxmz, x2mz, specz, unstable, lrgvlz)
+            return (fz, omega2, xsz, xxsz, x2sz, specsz, unstable, lrgvlz)
 
         def om_noise_pair(step):
             if not has_zm:
@@ -285,8 +284,8 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             *vals, step = carry
             eta0, eta1 = field_pair(step)
             zo0, zo1 = om_noise_pair(step)
-            vals = substep(tuple(vals), step, eta0, zo0)
-            vals = substep(vals, step + 1, eta1, zo1)
+            vals = substep(tuple(vals), eta0, zo0)
+            vals = substep(vals, eta1, zo1)
             return (*vals, step + 2), None
 
         def lm_pair_step(carry, _):
@@ -302,20 +301,21 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             q0, q1 = field_pair(step + 2)
             if has_zm:
                 qo0, qo1 = om_noise_pair(step + 2)
-                vals = substep(tuple(vals), step, 0.5 * (p0 + p1), 0.5 * (po0 + po1))
-                vals = substep(vals, step + 1, 0.5 * (p1 + q0), 0.5 * (po1 + qo0))
+                vals = substep(tuple(vals), 0.5 * (p0 + p1), 0.5 * (po0 + po1))
+                vals = substep(vals, 0.5 * (p1 + q0), 0.5 * (po1 + qo0))
                 return (*vals, q0, q1, qo0, qo1, step + 2), None
-            vals = substep(tuple(vals), step, 0.5 * (p0 + p1), None)
-            vals = substep(vals, step + 1, 0.5 * (p1 + q0), None)
+            vals = substep(tuple(vals), 0.5 * (p0 + p1), None)
+            vals = substep(vals, 0.5 * (p1 + q0), None)
             return (*vals, q0, q1, step + 2), None
 
+        zsum = jnp.zeros_like(state.x_mean)
         vals0 = (
             state.f,
             state.omega,
-            state.x_mean,
-            state.xx0_mean,
-            state.x2_mean,
-            state.spec_mean,
+            zsum,  # frame Σ x
+            zsum,  # frame Σ x·x_mid
+            zsum,  # frame Σ x²
+            jnp.zeros_like(state.spec_mean),  # frame Σ |x̂|²
             jnp.zeros((C,), bool),
             state.lrg_vl,
         )
@@ -342,12 +342,23 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
                 *vals, step = carry
                 eta0, _ = field_pair(step)
                 zo0, _ = om_noise_pair(step)
-                vals = substep(tuple(vals), step, eta0, zo0)
+                vals = substep(tuple(vals), eta0, zo0)
                 carry = (*vals, step + 1)
-        f, omega, xm, xxm, x2m, spec, unstable, lrgvl, step_end = carry
+        f, omega, xs, xxs, x2s, specs, unstable, lrgvl, step_end = carry
 
         accept = ~unstable  # (C,)
         a1 = accept[:, None]
+        # merge the frame sums into the running means (two-level accumulation)
+        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32).astype(
+            dtype
+        )[:, None]
+        xm = accum.merge_frame_sum(state.x_mean, xs, cfg.loops, n_new)
+        xxm = accum.merge_frame_sum(state.xx0_mean, xxs, cfg.loops, n_new)
+        x2m = accum.merge_frame_sum(state.x2_mean, x2s, cfg.loops, n_new)
+        if cfg.accumulate_spectrum:
+            spec = accum.merge_frame_sum(state.spec_mean, specs, cfg.loops, n_new)
+        else:
+            spec = state.spec_mean
         sel = lambda new, old: jnp.where(a1, new, old)
         f = sel(f, state.f)
         xm = sel(xm, state.x_mean)

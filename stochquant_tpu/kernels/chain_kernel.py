@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from stochquant_tpu import rng
 from stochquant_tpu.actions.base import QMAction
 from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation, Scheme
+from stochquant_tpu.integrators import accum
 from stochquant_tpu.integrators.langevin import ChainState, _reflect
 
 __all__ = ["run_frames_pallas", "chain_frame_pallas"]
@@ -59,8 +60,8 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
 
     def kernel(
         scalars_ref,  # SMEM (3,): seed, step_base, chain_offset (uint32)
-        f_ref, om_ref, xm_ref, xxm_ref, x2m_ref, lrg_ref, dtau_ref, runs_ref,
-        fo_ref, omo_ref, xmo_ref, xxmo_ref, x2mo_ref, lrgo_ref, unst_ref,
+        f_ref, om_ref, lrg_ref, dtau_ref,
+        fo_ref, omo_ref, xso_ref, xxso_ref, x2so_ref, lrgo_ref, unst_ref,
     ):
         g = pl.program_id(0)
         seed = scalars_ref[0]
@@ -83,7 +84,6 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
         )
 
         dtau = dtau_ref[:]          # (cb, 1)
-        runs_f = runs_ref[:]        # (cb, 1) float32 count of prior samples
         noise_amp = c_amp * jnp.sqrt(2.0 * dtau / f32(dt))
         om_noise_amp = zm_const * c_amp * jnp.sqrt(2.0 * dtau)
 
@@ -126,12 +126,12 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
         # Micro-steps run in pairs sharing one Threefry draw — both
         # Box–Muller outputs are consumed (mirrors langevin.py's pair_step,
         # halving RNG + transcendental cost).
-        def substep(step, eta, eta_om):
+        def substep(eta, eta_om):
             f = fo_ref[:]
             om = omo_ref[:]
-            xm = xmo_ref[:]
-            xxm = xxmo_ref[:]
-            x2m = x2mo_ref[:]
+            xs = xso_ref[:]
+            xxs = xxso_ref[:]
+            x2s = x2so_ref[:]
             lrg = lrgo_ref[:]
             unst = unst_ref[:] > 0
 
@@ -178,12 +178,13 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             else:
                 x = f
                 x_new = newf
-            # cast via int32 (Mosaic lacks uint32→f32); offsets are tiny
-            n = runs_f + ((step - step0) + 1).astype(jnp.int32).astype(f32)
+            # frame-local sample SUMS (two-level accumulation: the shared XLA
+            # epilogue merges them into the running means once per frame —
+            # integrators/accum.py); padded lanes pinned to 0
             x_mid = jnp.broadcast_to(x[:, mid : mid + 1], (cb, np_))
-            xm2 = jnp.where(mask, xm + (x - xm) / n, f32(0.0))
-            xxm2 = jnp.where(mask, xxm + (x * x_mid - xxm) / n, f32(0.0))
-            x2m2 = jnp.where(mask, x2m + (x * x - x2m) / n, f32(0.0))
+            xs2 = jnp.where(mask, xs + x, f32(0.0))
+            xxs2 = jnp.where(mask, xxs + x * x_mid, f32(0.0))
+            x2s2 = jnp.where(mask, x2s + x * x, f32(0.0))
 
             absx_new = jnp.where(mask, jnp.abs(x_new), f32(0.0))
             lrg2 = jnp.maximum(lrg, jnp.max(absx_new, axis=1, keepdims=True))
@@ -195,9 +196,9 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
 
             fo_ref[:] = jnp.where(unst, f, newf)
             omo_ref[:] = jnp.where(unst, om, om2)
-            xmo_ref[:] = jnp.where(unst, xm, xm2)
-            xxmo_ref[:] = jnp.where(unst, xxm, xxm2)
-            x2mo_ref[:] = jnp.where(unst, x2m, x2m2)
+            xso_ref[:] = jnp.where(unst, xs, xs2)
+            xxso_ref[:] = jnp.where(unst, xxs, xxs2)
+            x2so_ref[:] = jnp.where(unst, x2s, x2s2)
             lrgo_ref[:] = jnp.where(unst, lrg, lrg2)
             unst_ref[:] = (unst | tripped).astype(jnp.int32)
 
@@ -240,15 +241,15 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
             z0, z1 = normal_pair(k1_field, col, step)
             zo0, zo1 = om_noise_pair(step, z0, z1)
-            substep(step, z0, zo0)
-            substep(step + 1, z1, zo1)
+            substep(z0, zo0)
+            substep(z1, zo1)
             return 0
 
         fo_ref[:] = f_ref[:]
         omo_ref[:] = om_ref[:]
-        xmo_ref[:] = xm_ref[:]
-        xxmo_ref[:] = xxm_ref[:]
-        x2mo_ref[:] = x2m_ref[:]
+        xso_ref[:] = jnp.zeros((cb, np_), jnp.float32)
+        xxso_ref[:] = jnp.zeros((cb, np_), jnp.float32)
+        x2so_ref[:] = jnp.zeros((cb, np_), jnp.float32)
         lrgo_ref[:] = lrg_ref[:]
         unst_ref[:] = jnp.zeros((cb, 1), jnp.int32)
         lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
@@ -256,7 +257,7 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             step = step0 + jnp.uint32(cfg.loops - 1)
             z0, z1 = normal_pair(k1_field, col, step)
             zo0, _ = om_noise_pair(step, z0, z1)
-            substep(step, z0, zo0)
+            substep(z0, zo0)
 
     return kernel
 
@@ -271,16 +272,16 @@ def _frame_call(action: QMAction, cfg: ChainConfig, cb: int, np_: int, interpret
     out_shapes = (
         jax.ShapeDtypeStruct((C, np_), jnp.float32),  # f
         jax.ShapeDtypeStruct((C, 1), jnp.float32),    # omega
-        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # x_mean
-        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # xx0_mean
-        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # x2_mean
+        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # frame Σ x
+        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # frame Σ x·x_mid
+        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # frame Σ x²
         jax.ShapeDtypeStruct((C, 1), jnp.float32),    # lrg_vl
         jax.ShapeDtypeStruct((C, 1), jnp.int32),      # unstable
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[blk(), col(), blk(), blk(), blk(), col(), col(), col()],
+        in_specs=[blk(), col(), col(), col()],
         out_specs=(blk(), col(), blk(), blk(), blk(), col(), col()),
     )
     return pl.pallas_call(
@@ -322,20 +323,23 @@ def chain_frame_pallas(
     call = _frame_call(action, cfg, cb, np_, interpret)
 
     scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
-    f, om, xm, xxm, x2m, lrg, unst = call(
+    f, om, xs, xxs, x2s, lrg, unst = call(
         scalars,
         _pad_sites(state.f, np_),
         state.omega[:, None],
-        _pad_sites(state.x_mean, np_),
-        _pad_sites(state.xx0_mean, np_),
-        _pad_sites(state.x2_mean, np_),
         state.lrg_vl[:, None],
         state.dtau[:, None],
-        state.runs.astype(jnp.float32)[:, None],
     )
-    f, xm, xxm, x2m = (a[:, :N] for a in (f, xm, xxm, x2m))
+    f, xs, xxs, x2s = (a[:, :N] for a in (f, xs, xxs, x2s))
     om, lrg = om[:, 0], lrg[:, 0]
     accept = unst[:, 0] == 0
+
+    # merge frame sums into running means — the identical expression the XLA
+    # path uses (integrators/accum.py), so both paths stay bitwise equal
+    n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)[:, None]
+    xm = accum.merge_frame_sum(state.x_mean, xs, cfg.loops, n_new)
+    xxm = accum.merge_frame_sum(state.xx0_mean, xxs, cfg.loops, n_new)
+    x2m = accum.merge_frame_sum(state.x2_mean, x2s, cfg.loops, n_new)
 
     a1 = accept[:, None]
     sel = lambda new, old: jnp.where(a1, new, old)

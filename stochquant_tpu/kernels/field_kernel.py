@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from stochquant_tpu import rng
 from stochquant_tpu.actions.phi4 import FieldAction
 from stochquant_tpu.config import FieldConfig, Sweep
+from stochquant_tpu.integrators import accum
 from stochquant_tpu.integrators.field import FieldState
 
 __all__ = ["run_field_frames_pallas", "field_frame_pallas"]
@@ -48,9 +49,8 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
 
     def kernel(
         scalars_ref,  # SMEM (3,): seed, step_base, chain_offset
-        phi_ref, corr_ref, mm_in, m2_in, amm_in, p2_in, am_in,
-        lrg_ref, dtau_ref, runs_ref,
-        phio_ref, mm_ref, m2_ref, amm_ref, p2_ref, am_ref,
+        phi_ref, lrg_ref, dtau_ref,
+        phio_ref, ms_ref, m2s_ref, ams_ref, p2s_ref, acs_ref,
         corro_ref, lrgo_ref, unst_ref,
     ):
         i = pl.program_id(0)
@@ -69,7 +69,6 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
             )
             even = par % 2 == 0
         dtau = dtau_ref[i, 0]
-        runs_f = runs_ref[i, 0]
         namp = c_amp * jnp.sqrt(2.0 * dtau / measure)
 
         def roll(x, shift, axis):
@@ -101,7 +100,7 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
                 fin = jnp.isfinite(new_raw)
             return newphi, jnp.abs(det), fin
 
-        def substep(step, eta):
+        def substep(eta):
             phi = phio_ref[:]
             unst = unst_ref[i, 0] > 0
             lrg = lrgo_ref[i, 0]
@@ -125,18 +124,15 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
             s_slice = jnp.mean(phi, axis=2, keepdims=True)  # (1, L0, 1)
             corr = s_slice * s_slice[:, 0:1, :]
 
-            n = runs_f + ((step - step0) + 1).astype(jnp.int32).astype(jnp.float32)
+            # frame-local sample SUMS; the shared XLA epilogue merges them
+            # into the running means (two-level accumulation, accum.py)
             keep = lambda new, old: jnp.where(unst, old, new)
-            mm_ref[i, 0] = keep(mm_ref[i, 0] + (mag - mm_ref[i, 0]) / n, mm_ref[i, 0])
-            m2_ref[i, 0] = keep(m2_ref[i, 0] + (mag * mag - m2_ref[i, 0]) / n, m2_ref[i, 0])
-            amm_ref[i, 0] = keep(
-                amm_ref[i, 0] + (jnp.abs(mag) - amm_ref[i, 0]) / n, amm_ref[i, 0]
-            )
-            p2_ref[i, 0] = keep(p2_ref[i, 0] + (phi2 - p2_ref[i, 0]) / n, p2_ref[i, 0])
-            am_ref[i, 0] = keep(am_ref[i, 0] + (act_d - am_ref[i, 0]) / n, am_ref[i, 0])
-            corro_ref[:] = jnp.where(
-                unst, corro_ref[:], corro_ref[:] + (corr - corro_ref[:]) / n
-            )
+            ms_ref[i, 0] = keep(ms_ref[i, 0] + mag, ms_ref[i, 0])
+            m2s_ref[i, 0] = keep(m2s_ref[i, 0] + mag * mag, m2s_ref[i, 0])
+            ams_ref[i, 0] = keep(ams_ref[i, 0] + jnp.abs(mag), ams_ref[i, 0])
+            p2s_ref[i, 0] = keep(p2s_ref[i, 0] + phi2, p2s_ref[i, 0])
+            acs_ref[i, 0] = keep(acs_ref[i, 0] + act_d, acs_ref[i, 0])
+            corro_ref[:] = jnp.where(unst, corro_ref[:], corro_ref[:] + corr)
 
             lrg2 = jnp.maximum(lrg, jnp.max(jnp.abs(newphi)))
             phio_ref[:] = jnp.where(unst, phi, newphi)
@@ -154,24 +150,24 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
         def pair_body(k, _):
             step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
             z0, z1 = normal_pair(step)
-            substep(step, z0)
-            substep(step + 1, z1)
+            substep(z0)
+            substep(z1)
             return 0
 
         phio_ref[:] = phi_ref[:]
-        corro_ref[:] = corr_ref[:]
+        corro_ref[:] = jnp.zeros((1, L0, 1), jnp.float32)
         lrgo_ref[i, 0] = lrg_ref[i, 0]
         unst_ref[i, 0] = 0
-        mm_ref[i, 0] = mm_in[i, 0]
-        m2_ref[i, 0] = m2_in[i, 0]
-        amm_ref[i, 0] = amm_in[i, 0]
-        p2_ref[i, 0] = p2_in[i, 0]
-        am_ref[i, 0] = am_in[i, 0]
+        ms_ref[i, 0] = 0.0
+        m2s_ref[i, 0] = 0.0
+        ams_ref[i, 0] = 0.0
+        p2s_ref[i, 0] = 0.0
+        acs_ref[i, 0] = 0.0
         lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
         if cfg.loops % 2:
             step = step0 + jnp.uint32(cfg.loops - 1)
             z0, _ = normal_pair(step)
-            substep(step, z0)
+            substep(z0)
 
     return kernel
 
@@ -191,19 +187,19 @@ def _frame_call(action: FieldAction, cfg: FieldConfig, interpret: bool):
     sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((C, L0, L1), jnp.float32),  # phi
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # mag mean
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # mag2 mean
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # absmag mean
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # phi2 mean
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # action-density mean
-        jax.ShapeDtypeStruct((C, L0, 1), jnp.float32),   # corr
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ M
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ M²
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ |M|
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ φ²
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ s
+        jax.ShapeDtypeStruct((C, L0, 1), jnp.float32),   # frame Σ corr
         jax.ShapeDtypeStruct((C, 1), jnp.float32),       # lrg
         jax.ShapeDtypeStruct((C, 1), jnp.int32),         # unstable
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[lat, corr, sca(), sca(), sca(), sca(), sca(), sca(), sca(), sca()],
+        in_specs=[lat, sca(), sca()],
         out_specs=(lat_o, sca(), sca(), sca(), sca(), sca(), corr, sca(), sca()),
     )
     return pl.pallas_call(
@@ -221,26 +217,28 @@ def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig,
     call = _frame_call(action, cfg, interpret)
     scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
     col = lambda v: v[:, None]
-    phi, mm, m2m, amm, p2m, am, corr, lrg, unst = call(
+    phi, ms, m2s, ams, p2s, acs, cs, lrg, unst = call(
         scalars,
         state.phi,
-        state.corr_mean[:, :, None],
-        col(state.mag_mean),
-        col(state.mag2_mean),
-        col(state.absmag_mean),
-        col(state.phi2_mean),
-        col(state.act_mean),
         col(state.lrg_vl),
         col(state.dtau),
-        col(state.runs.astype(jnp.float32)),
     )
-    mm, m2m, amm, p2m, am, lrg = (v[:, 0] for v in (mm, m2m, amm, p2m, am, lrg))
-    corr = corr[:, :, 0]
+    ms, m2s, ams, p2s, acs, lrg = (v[:, 0] for v in (ms, m2s, ams, p2s, acs, lrg))
+    cs = cs[:, :, 0]
     accept = unst[:, 0] == 0
 
     ndim = 2
     au = accept.reshape((C,) + (1,) * ndim)
     phi = jnp.where(au, phi, state.phi)
+    # merge frame sums into running means — identical expression to the XLA
+    # path (integrators/accum.py), keeping both paths bitwise comparable
+    n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+    mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
+    m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+    amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
+    p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
+    am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
+    corr = accum.merge_frame_sum(state.corr_mean, cs, cfg.loops, n_new[:, None])
     sel = lambda new, old: jnp.where(accept, new, old)
     mm = sel(mm, state.mag_mean)
     m2m = sel(m2m, state.mag2_mean)

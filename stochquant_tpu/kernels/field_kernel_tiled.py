@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from stochquant_tpu import rng
 from stochquant_tpu.actions.phi4 import FieldAction
 from stochquant_tpu.config import FieldConfig, Sweep
+from stochquant_tpu.integrators import accum
 from stochquant_tpu.integrators.field import FieldState
 
 __all__ = ["run_field_frames_tiled", "field_frame_tiled"]
@@ -247,13 +248,14 @@ def field_frame_tiled(
     dtau_col = state.dtau[:, None]
 
     def pair_body(carry, _):
-        phi, mm, m2m, amm, p2m, am, cm, unstable, lrg, step = carry
+        phi, ms, m2s, ams, p2s, acs, cs, unstable, lrg, step = carry
         scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(step)
         phi2, sl0, sl1, stats = call(scalars, phi, phi, phi, dtau_col)
         sl0, sl1 = sl0[..., 0], sl1[..., 0]
 
-        def obs_step(vals, s_slice, st, step_k):
-            mm, m2m, amm, p2m, am, cm, unstable, lrg = vals
+        def obs_step(vals, s_slice, st):
+            # frame-local sample sums (two-level accumulation, accum.py)
+            ms, m2s, ams, p2s, acs, cs, unstable, lrg = vals
             mag = st[:, :, 0].sum(axis=1) / volume
             phi2m = st[:, :, 1].sum(axis=1) / volume
             act_d = st[:, :, 2].sum(axis=1) / volume
@@ -261,39 +263,42 @@ def field_frame_tiled(
             max_new = st[:, :, 4].max(axis=1)
             tripped = max_det > lrg
             corr = s_slice * s_slice[:, :1]
-            n = (
-                state.runs.astype(jnp.float32)
-                + (step_k - state.step).astype(jnp.float32)
-                + 1.0
-            )
             keep = lambda new, old: jnp.where(unstable, old, new)
-            mm = keep(mm + (mag - mm) / n, mm)
-            m2m = keep(m2m + (mag * mag - m2m) / n, m2m)
-            amm = keep(amm + (jnp.abs(mag) - amm) / n, amm)
-            p2m = keep(p2m + (phi2m - p2m) / n, p2m)
-            am = keep(am + (act_d - am) / n, am)
-            cm = jnp.where(unstable[:, None], cm, cm + (corr - cm) / n[:, None])
+            ms = keep(ms + mag, ms)
+            m2s = keep(m2s + mag * mag, m2s)
+            ams = keep(ams + jnp.abs(mag), ams)
+            p2s = keep(p2s + phi2m, p2s)
+            acs = keep(acs + act_d, acs)
+            cs = jnp.where(unstable[:, None], cs, cs + corr)
             lrg = keep(jnp.maximum(lrg, max_new), lrg)
             unstable = unstable | tripped
-            return (mm, m2m, amm, p2m, am, cm, unstable, lrg)
+            return (ms, m2s, ams, p2s, acs, cs, unstable, lrg)
 
-        vals = (mm, m2m, amm, p2m, am, cm, unstable, lrg)
-        vals = obs_step(vals, sl0, stats[:, :, :5], step)
-        vals = obs_step(vals, sl1, stats[:, :, 5:10], step + 1)
-        mm, m2m, amm, p2m, am, cm, unstable, lrg = vals
-        return (phi2, mm, m2m, amm, p2m, am, cm, unstable, lrg, step + 2), None
+        vals = (ms, m2s, ams, p2s, acs, cs, unstable, lrg)
+        vals = obs_step(vals, sl0, stats[:, :, :5])
+        vals = obs_step(vals, sl1, stats[:, :, 5:10])
+        ms, m2s, ams, p2s, acs, cs, unstable, lrg = vals
+        return (phi2, ms, m2s, ams, p2s, acs, cs, unstable, lrg, step + 2), None
 
+    zc = jnp.zeros((C,), jnp.float32)
     init = (
-        state.phi, state.mag_mean, state.mag2_mean, state.absmag_mean,
-        state.phi2_mean, state.act_mean, state.corr_mean,
+        state.phi, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
         jnp.zeros((C,), bool), state.lrg_vl, state.step,
     )
     carry, _ = lax.scan(pair_body, init, None, length=cfg.loops // 2)
-    phi, mm, m2m, amm, p2m, am, cm, unstable, lrg, step_end = carry
+    phi, ms, m2s, ams, p2s, acs, cs, unstable, lrg, step_end = carry
 
     accept = ~unstable
     au = accept[:, None, None]
     phi = jnp.where(au, phi, state.phi)
+    # merge frame sums into running means (integrators/accum.py)
+    n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+    mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
+    m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+    amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
+    p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
+    am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
+    cm = accum.merge_frame_sum(state.corr_mean, cs, cfg.loops, n_new[:, None])
     sel = lambda new, old: jnp.where(accept, new, old)
     mm = sel(mm, state.mag_mean)
     m2m = sel(m2m, state.mag2_mean)

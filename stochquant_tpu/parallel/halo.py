@@ -26,6 +26,7 @@ from jax import shard_map
 from stochquant_tpu import rng
 from stochquant_tpu.actions.phi4 import FieldAction
 from stochquant_tpu.config import FieldConfig, Sweep
+from stochquant_tpu.integrators import accum
 from stochquant_tpu.integrators.field import FieldState
 
 __all__ = ["halo_shifted", "make_halo_runner"]
@@ -174,7 +175,7 @@ def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
             )
 
         def micro_step(carry, eta):
-            phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step = carry
+            phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step = carry
 
             noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
                 (c_local,) + (1,) * ndim
@@ -220,17 +221,13 @@ def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
                 s0 = s_slice[:, :1]
             corr = s_slice * s0
 
-            n = (
-                state.runs.astype(jnp.float32)
-                + (step - state.step).astype(jnp.float32)
-                + 1.0
-            ).astype(dtype)
-            mm2 = mm + (mag - mm) / n
-            m2m2 = m2m + (mag * mag - m2m) / n
-            amm2 = amm + (jnp.abs(mag) - amm) / n
-            p2m2 = p2m + (phi2 - p2m) / n
-            am2 = am + (act_d - am) / n
-            cm2 = cm + (corr - cm) / n[:, None]
+            # frame-local sample sums (two-level accumulation, accum.py)
+            ms2 = ms + mag
+            m2s2 = m2s + mag * mag
+            ams2 = ams + jnp.abs(mag)
+            p2s2 = p2s + phi2
+            acs2 = acs + act_d
+            cs2 = cs + corr
 
             lrgvl2 = jnp.maximum(
                 lrgvl, pmax_lat(jnp.max(jnp.abs(newphi), axis=lat_reduce))
@@ -239,15 +236,15 @@ def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
             u = unstable.reshape((c_local,) + (1,) * ndim)
             phi = jnp.where(u, phi, newphi)
             keep = lambda new, old: jnp.where(unstable, old, new)
-            mm = keep(mm2, mm)
-            m2m = keep(m2m2, m2m)
-            amm = keep(amm2, amm)
-            p2m = keep(p2m2, p2m)
-            am = keep(am2, am)
-            cm = jnp.where(unstable[:, None], cm, cm2)
+            ms = keep(ms2, ms)
+            m2s = keep(m2s2, m2s)
+            ams = keep(ams2, ams)
+            p2s = keep(p2s2, p2s)
+            acs = keep(acs2, acs)
+            cs = jnp.where(unstable[:, None], cs, cs2)
             lrgvl = jnp.where(unstable, lrgvl, lrgvl2)
             unstable = unstable | tripped
-            return (phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step + 1)
+            return (phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step + 1)
 
         def pair_step(carry, _):
             e0, e1 = noise_pair(carry[-1])
@@ -255,20 +252,28 @@ def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
             carry = micro_step(carry, e1.astype(dtype))
             return carry, None
 
+        zc = jnp.zeros((c_local,), dtype)
         init = (
-            state.phi, state.mag_mean, state.mag2_mean, state.absmag_mean,
-            state.phi2_mean, state.act_mean, state.corr_mean,
+            state.phi, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
             jnp.zeros((c_local,), bool), state.lrg_vl, state.step,
         )
         carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
         if cfg.loops % 2:
             e0, _ = noise_pair(carry[-1])
             carry = micro_step(carry, e0.astype(dtype))
-        phi, mm, m2m, amm, p2m, am, cm, unstable, lrgvl, step_end = carry
+        phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step_end = carry
 
         accept = ~unstable
         au = accept.reshape((c_local,) + (1,) * ndim)
         phi = jnp.where(au, phi, state.phi)
+        # merge frame sums into running means (integrators/accum.py)
+        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32).astype(dtype)
+        mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
+        m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+        amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
+        p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
+        am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
+        cm = accum.merge_frame_sum(state.corr_mean, cs, cfg.loops, n_new[:, None])
         sel = lambda new, old: jnp.where(accept, new, old)
         mm = sel(mm, state.mag_mean)
         m2m = sel(m2m, state.mag2_mean)
