@@ -49,55 +49,118 @@ def worker() -> None:
     on_tpu = jax.devices()[0].platform != "cpu"
     log(f"devices: {jax.devices()}")
 
+    def time_chain(cfg, act, n_frames, reps, block):
+        state = langevin.init_chain_state(cfg, act)
+        t0 = time.time()
+        state, _ = chain_kernel.run_frames_pallas(
+            state, act, cfg, n_frames, block_chains=block, interpret=not on_tpu
+        )
+        np.asarray(state.lrg_vl)  # force completion through the tunnel
+        log(f"  warmup (compile + {n_frames} frames): {time.time() - t0:.1f}s")
+        times = []
+        for rep in range(reps):
+            t0 = time.time()
+            state, metrics = chain_kernel.run_frames_pallas(
+                state, act, cfg, n_frames, block_chains=block, interpret=not on_tpu
+            )
+            np.asarray(state.lrg_vl)  # host readback = real completion barrier
+            times.append(time.time() - t0)
+            log(f"  rep {rep}: {times[-1]:.3f}s")
+        times.sort()
+        elapsed = times[len(times) // 2]
+        updates = cfg.n_chains * cfg.n_sites * cfg.loops * n_frames
+        stable = float(np.asarray(metrics["stable"]).mean())
+        log(f"  {updates:.3g} updates in {elapsed:.3f}s (median of {reps}) -> "
+            f"{updates / elapsed / 1e6:.0f} MLUPS (stable {stable:.3f})")
+        return updates / elapsed / 1e6, stable
+
     # Reference-derived workload (SURVEY.md §6): double well, N=200 sites,
     # loops=1000; Δτ pinned at the stability-adapted value the reference's
     # controller converges to (its preset 0.002 is unstable at Δt=0.02).
     n_chains = 65536 if on_tpu else 512
     block = 64 if on_tpu else 32
     n_frames = 3
-    reps = 4 if on_tpu else 1
+    base = dict(
+        action="double_well", n_sites=200, dt=0.02, dtau=2e-4,
+        n_chains=n_chains, loops=1000, seed=2026, grow_after=10**9,
+    )
+    act = actions.get("double_well")
     # rng_impl="hardware": pltpu.prng_random_bits in-kernel (deterministic
     # for this fixed seed + chain blocking) — measured 1.44x the Threefry
-    # path on v5e (r1: 17.1 vs 11.9 GLUPS).  The layout-invariant Threefry
-    # path remains the framework default; this benchmark reports the fast
-    # configuration, as a production throughput run would use it.
-    cfg = ChainConfig(
-        action="double_well",
-        n_sites=200,
-        dt=0.02,
-        dtau=2e-4,
-        n_chains=n_chains,
-        loops=1000,
-        seed=2026,
-        grow_after=10**9,
-        rng_impl="hardware" if on_tpu else "threefry",
+    # path on v5e.  The layout-invariant Threefry path is the framework
+    # default; BOTH are reported (VERDICT r1 weak item 3).
+    log("chain bench, hardware PRNG path:")
+    mlups, stable = time_chain(
+        ChainConfig(**base, rng_impl="hardware" if on_tpu else "threefry"),
+        act, n_frames, 4 if on_tpu else 1, block,
     )
-    act = actions.get(cfg.action)
-    state = langevin.init_chain_state(cfg, act)
+    log("chain bench, Threefry (layout-invariant default) path:")
+    mlups_tf, _ = time_chain(
+        ChainConfig(**base, rng_impl="threefry"), act, n_frames,
+        2 if on_tpu else 1, block,
+    )
 
+    # --- on-TPU kernel ≡ XLA gate (VERDICT r1 item 3): the Mosaic-compiled
+    # Threefry kernels must reproduce the XLA scan on the real chip, not just
+    # in CPU interpret mode.
+    gate_cfg = ChainConfig(
+        action="double_well", n_sites=200, dt=0.02, dtau=2e-4,
+        n_chains=256, loops=100, seed=11, grow_after=10**9,
+    )
+    s0 = langevin.init_chain_state(gate_cfg, act)
+    a, _ = langevin.run_frames(s0, act, gate_cfg, 2)
+    b, _ = chain_kernel.run_frames_pallas(s0, act, gate_cfg, 2, interpret=not on_tpu)
+    chain_gate = max(
+        float(np.max(np.abs(np.asarray(a.f) - np.asarray(b.f)))),
+        float(np.max(np.abs(np.asarray(a.x_mean) - np.asarray(b.x_mean)))),
+    )
+    log(f"chain kernel-vs-XLA max|diff| on this device: {chain_gate:.2e}")
+
+    from stochquant_tpu import metrics as metrics_mod
+    from stochquant_tpu import runtime
+    from stochquant_tpu.actions import phi4 as phi4_mod
+    from stochquant_tpu.config import FieldConfig
+    from stochquant_tpu.integrators import field as field_mod
+    from stochquant_tpu.kernels import field_kernel
+
+    fgate_cfg = FieldConfig(action="phi4", shape=(128, 128), n_chains=4,
+                            loops=20, seed=12)
+    fact = phi4_mod.get_field(fgate_cfg.action)
+    fs0 = field_mod.init_field_state(fgate_cfg)
+    fa, _ = field_mod.run_field_frames(fs0, fact, fgate_cfg, 2)
+    fb, _ = field_kernel.run_field_frames_pallas(
+        fs0, fact, fgate_cfg, 2, interpret=not on_tpu
+    )
+    field_gate = max(
+        float(np.max(np.abs(np.asarray(fa.phi) - np.asarray(fb.phi)))),
+        float(np.max(np.abs(np.asarray(fa.phi2_mean) - np.asarray(fb.phi2_mean)))),
+    )
+    log(f"field kernel-vs-XLA max|diff| on this device: {field_gate:.2e}")
+    kernel_equals_xla = chain_gate <= 2e-6 and field_gate <= 2e-6
+
+    # --- field MLUPS through the PRODUCT path (runtime.run_field, the fused
+    # whole-lattice kernel — VERDICT r1 item 1: BENCH reports the runtime
+    # path, not an ad-hoc kernel call).
+    # fps=frames: one jitted superframe scan + one metrics readback, the
+    # configuration a production throughput run uses (fps=1 would pay a
+    # ~100ms tunnel readback per frame and measure the link, not the chip)
+    fcfg = FieldConfig(
+        action="phi4", shape=(256, 256), n_chains=16 if on_tpu else 2,
+        loops=100 if on_tpu else 4, frames=10 if on_tpu else 2, seed=13,
+        fps=10 if on_tpu else 2, grow_after=10**9,
+    )
+    sink = metrics_mod.MetricsSink(stream=open(os.devnull, "w"))
+    runtime.run_field(fcfg, backend="pallas" if on_tpu else "xla", sink=sink)  # warmup
     t0 = time.time()
-    state, _ = chain_kernel.run_frames_pallas(
-        state, act, cfg, n_frames, block_chains=block, interpret=not on_tpu
+    res = runtime.run_field(
+        fcfg, backend="pallas" if on_tpu else "xla",
+        sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")),
     )
-    np.asarray(state.lrg_vl)  # force completion through the tunnel
-    log(f"warmup (compile + {n_frames} frames): {time.time() - t0:.1f}s")
-
-    times = []
-    for rep in range(reps):
-        t0 = time.time()
-        state, metrics = chain_kernel.run_frames_pallas(
-            state, act, cfg, n_frames, block_chains=block, interpret=not on_tpu
-        )
-        np.asarray(state.lrg_vl)  # host readback = real completion barrier
-        times.append(time.time() - t0)
-        log(f"rep {rep}: {times[-1]:.3f}s")
-    times.sort()
-    elapsed = times[len(times) // 2]
-    updates = cfg.n_chains * cfg.n_sites * cfg.loops * n_frames
-    mlups = updates / elapsed / 1e6
-    stable = float(np.asarray(metrics["stable"]).mean())
-    log(f"{updates:.3g} site-updates in {elapsed:.3f}s (median of {reps}) "
-        f"-> {mlups:.0f} MLUPS (stable fraction {stable:.3f})")
+    f_elapsed = time.time() - t0
+    f_updates = fcfg.n_chains * 256 * 256 * fcfg.loops * fcfg.frames
+    field_mlups = f_updates / f_elapsed / 1e6
+    log(f"field product path (256^2 x {fcfg.n_chains} chains): "
+        f"{field_mlups:.0f} MLUPS")
 
     ref = oracle.run_reference(200, 0.02, 2e-4, frames=5, loops=1000, seed=7)
     ref_mlups = ref.updates_per_sec / 1e6
@@ -108,6 +171,13 @@ def worker() -> None:
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / ref_mlups, 2),
+        "threefry_mlups": round(mlups_tf, 1),
+        "field_runtime_pallas_mlups": round(field_mlups, 1),
+        "kernel_equals_xla_on_device": kernel_equals_xla,
+        "kernel_vs_xla_max_abs_diff": {
+            "chain": chain_gate, "field": field_gate,
+        },
+        "stable_fraction": stable,
     }))
 
 
@@ -121,7 +191,7 @@ def main() -> None:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
                 stdout=subprocess.PIPE,
-                timeout=420,
+                timeout=560,
             )
             lines = [l for l in out.stdout.decode().splitlines() if l.strip()]
             if out.returncode == 0 and lines:

@@ -97,6 +97,204 @@ def read_meta(path) -> dict:
         return json.loads(bytes(z["meta"].tobytes()).decode())
 
 
+# ---------------------------------------------------------------------------
+# Sharded / multi-host checkpointing (SURVEY.md §5 "sharded save/restore").
+#
+# ``save`` gathers every leaf to one host — which throws on multi-host
+# (non-fully-addressable) arrays, so a 32⁴ lattice sharded across hosts
+# could not checkpoint at all (VERDICT r1 item 4).  Here each process writes
+# only its *addressable* shards plus placement metadata (the global shape
+# and the PartitionSpec axis names per leaf); restore rebuilds global arrays
+# with ``jax.make_array_from_single_device_arrays`` on the caller's mesh.
+# ---------------------------------------------------------------------------
+
+
+def _shard_key(index, shape) -> str:
+    """Canonical string for a shard's global position: 'a:b,c:d,...'."""
+    parts = []
+    for sl, dim in zip(index, shape):
+        start = 0 if sl.start is None else int(sl.start)
+        stop = dim if sl.stop is None else int(sl.stop)
+        parts.append(f"{start}:{stop}")
+    return ",".join(parts) if parts else ":"
+
+
+def _spec_to_json(leaf):
+    sharding = getattr(leaf, "sharding", None)
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        return []  # replicated (single-device or host numpy)
+    out = []
+    for entry in spec:
+        if entry is None:
+            out.append(None)
+        elif isinstance(entry, (tuple, list)):
+            out.append(list(entry))
+        else:
+            out.append(entry)
+    return out
+
+
+def _spec_from_json(entries):
+    from jax.sharding import PartitionSpec as P
+
+    return P(*[tuple(e) if isinstance(e, list) else e for e in entries])
+
+
+def _shard_to_host(data) -> np.ndarray:
+    """Single-device shard → numpy, splitting complex on-device first (the
+    TPU tunnel backend lacks complex d2h — see _leaf_to_host)."""
+    import jax.numpy as jnp
+
+    if not jnp.iscomplexobj(data):
+        return np.asarray(data)
+    r, i = jax.jit(lambda c: (jnp.real(c), jnp.imag(c)))(data)
+    r = np.asarray(r)
+    out = np.empty(r.shape, np.result_type(r.dtype, np.complex64))
+    out.real = r
+    out.imag = np.asarray(i)
+    return out
+
+
+def save_auto(path, state, cfg, *, frames_done=None) -> None:
+    """``save`` when every leaf is fully addressable; ``save_sharded``
+    otherwise (multi-host arrays cannot be gathered to one host)."""
+    leaves = jax.tree_util.tree_leaves(state)
+    if any(
+        isinstance(l, jax.Array) and not l.is_fully_addressable for l in leaves
+    ):
+        save_sharded(path, state, cfg, frames_done=frames_done)
+    else:
+        save(path, state, cfg, frames_done=frames_done)
+
+
+def read_meta_any(path) -> dict:
+    """read_meta for either checkpoint flavor (single-file or sharded)."""
+    import glob as glob_mod
+
+    if is_sharded_checkpoint(path):
+        return read_meta(sorted(glob_mod.glob(f"{path}.proc*-of-*.npz"))[0])
+    return read_meta(path)
+
+
+def shard_path(path, process_index=None, process_count=None) -> str:
+    pid = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    return f"{path}.proc{pid}-of-{n}.npz"
+
+
+def is_sharded_checkpoint(path) -> bool:
+    """True if ``path`` names a sharded checkpoint (per-process files)."""
+    import glob as glob_mod
+
+    return bool(glob_mod.glob(f"{path}.proc*-of-*.npz"))
+
+
+def save_sharded(path, state, cfg, *, frames_done=None) -> str:
+    """Write this process's addressable shards of a (possibly multi-host)
+    state.  Every process must call this; each writes
+    ``{path}.proc{i}-of-{n}.npz``.  Returns this process's file path."""
+    kind = _STATE_KIND[type(state)]
+    payload = {}
+    specs = {}
+    shapes = {}
+    for name, leaf in zip(state._fields, state):
+        specs[name] = _spec_to_json(leaf)
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "addressable_shards"):
+            shapes[name] = list(leaf.shape)
+            seen = set()
+            for shard in leaf.addressable_shards:
+                key = _shard_key(shard.index, leaf.shape)
+                if key in seen:
+                    continue  # replicated across local devices
+                seen.add(key)
+                payload[f"shard_{name}__{key}"] = _shard_to_host(shard.data)
+        else:
+            arr = np.asarray(leaf)
+            shapes[name] = list(arr.shape)
+            payload[f"shard_{name}__{_shard_key((slice(None),) * arr.ndim, arr.shape)}"] = arr
+    meta = {
+        "kind": kind,
+        "config": cfg.to_json(),
+        "version": 2,
+        "sharded": True,
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "specs": specs,
+        "shapes": shapes,
+    }
+    if frames_done is not None:
+        meta["frames_done"] = int(frames_done)
+    payload["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    out = shard_path(path)
+    with open(out, "wb") as fh:
+        np.savez(fh, **payload)
+    return out
+
+
+def load_sharded(path, mesh):
+    """Restore a sharded checkpoint onto ``mesh``.
+
+    Each process reads whichever per-process files are visible locally and
+    materializes only the shards its own devices need (matching by global
+    index), so restore scales to multi-host without gathering.  The mesh
+    must have the same axis names the state was sharded with; the device
+    *count* per axis may even differ as long as the shard boundaries align.
+    Returns (state, cfg)."""
+    import glob as glob_mod
+
+    from jax.sharding import NamedSharding
+
+    files = sorted(glob_mod.glob(f"{path}.proc*-of-*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no sharded checkpoint files at {path}.proc*")
+    metas = []
+    shards = {}  # name -> {key: np.ndarray}
+    for f in files:
+        with np.load(f) as z:
+            metas.append(json.loads(bytes(z["meta"].tobytes()).decode()))
+            for k in z.files:
+                if not k.startswith("shard_"):
+                    continue
+                name, key = k[len("shard_"):].rsplit("__", 1)
+                shards.setdefault(name, {})[key] = z[k]
+    meta = metas[0]
+    cls, cfg_cls = _KIND[meta["kind"]]
+    cfg = cfg_cls.from_json(meta["config"])
+
+    leaves = []
+    for name in cls._fields:
+        shape = tuple(meta["shapes"][name])
+        spec = _spec_from_json(meta["specs"][name])
+        sharding = NamedSharding(mesh, spec)
+        available = shards.get(name, {})
+        idx_map = sharding.devices_indices_map(shape)
+        arrays = []
+        devices = []
+        for d in sharding.addressable_devices:
+            key = _shard_key(idx_map[d], shape)
+            if key not in available:
+                raise ValueError(
+                    f"checkpoint {path}: leaf {name!r} is missing shard {key} "
+                    f"(files visible: {len(files)}/{meta['process_count']}; "
+                    "restore mesh shard boundaries must align with the saved "
+                    "ones)"
+                )
+            arrays.append(jax.device_put(_restore_array(available[key]), d))
+            devices.append(d)
+        leaves.append(
+            jax.make_array_from_single_device_arrays(shape, sharding, arrays)
+        )
+    return cls(*leaves), cfg
+
+
+def _restore_array(a: np.ndarray):
+    """Complex arrays round-trip through two real transfers (tunnel limits)."""
+    if not np.iscomplexobj(a):
+        return a
+    return _leaf_to_device(a)
+
+
 def load(path):
     """Returns (state, cfg)."""
     with np.load(path) as z:

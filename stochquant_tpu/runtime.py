@@ -71,7 +71,7 @@ def _frames_already_done(state, cfg, checkpoint_in=None) -> int:
     progress); falls back to the step-counter heuristic for checkpoints
     written by external tools."""
     if checkpoint_in:
-        meta = ckpt_mod.read_meta(checkpoint_in)
+        meta = ckpt_mod.read_meta_any(checkpoint_in)
         if "frames_done" in meta:
             return min(cfg.frames, int(meta["frames_done"]))
     return min(cfg.frames, int(np.asarray(state.step)) // max(cfg.loops, 1))
@@ -102,7 +102,7 @@ def _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done) -> bool
     if stop is None or not stop():
         return False
     if checkpoint_out:
-        ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+        ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
     sink.emit(
         {
             "type": "preempted",
@@ -187,12 +187,12 @@ def run_chain(
             observables=obs,
         )
         if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
-            ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+            ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
         if _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done):
             break
 
     if checkpoint_out:
-        ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+        ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
     summary = sink.summary()
     sink.emit(summary)
     return RunResult(state=state, cfg=cfg, summary=summary)
@@ -265,11 +265,11 @@ def run_complex(
             observables=obs,
         )
         if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
-            ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+            ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
         if _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done):
             break
     if checkpoint_out:
-        ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+        ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
     summary = sink.summary()
     sink.emit(summary)
     return RunResult(state=state, cfg=cfg, summary=summary)
@@ -356,11 +356,11 @@ def run_gauge(
             observables=obs,
         )
         if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
-            ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+            ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
         if _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done):
             break
     if checkpoint_out:
-        ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+        ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
     if measure_loops:
         rmax = max(1, min(4, min(cfg.shape) // 2))
         table = loops_mod.wilson_loop_table(act, state.links, 0, 1, rmax, rmax)
@@ -451,21 +451,37 @@ def run_field(
     use_halo = mesh is not None and cfg.mesh_axes is not None
     backend = select_field_backend(cfg, backend, on_tpu, use_halo)
 
-    if checkpoint_in:
+    sharded_in = bool(checkpoint_in) and ckpt_mod.is_sharded_checkpoint(
+        checkpoint_in
+    )
+    if checkpoint_in and not sharded_in:
         state, loaded_cfg = ckpt_mod.load(checkpoint_in)
         _check_resume_compat(
             loaded_cfg, cfg, checkpoint_in, ("action", "shape", "n_chains")
         )
-    else:
+    elif not sharded_in:
         state = field_mod.init_field_state(cfg)
 
     if use_halo:
         from stochquant_tpu.parallel import shard_field_state
         from stochquant_tpu.parallel.halo import make_halo_runner
 
-        state = shard_field_state(state, mesh, cfg)
+        if sharded_in:
+            # per-process shard files restored straight onto this mesh — no
+            # host-side gather, so multi-host lattices resume in place
+            state, loaded_cfg = ckpt_mod.load_sharded(checkpoint_in, mesh)
+            _check_resume_compat(
+                loaded_cfg, cfg, checkpoint_in, ("action", "shape", "n_chains")
+            )
+        else:
+            state = shard_field_state(state, mesh, cfg)
         runner = make_halo_runner(act, cfg, mesh)
         run_n = lambda s, n: runner(s, n)
+    elif sharded_in:
+        raise ValueError(
+            f"{checkpoint_in} is a sharded checkpoint; resume it with the "
+            "halo runner (mesh + cfg.mesh_axes) it was written under"
+        )
     elif backend == "pallas":
         from stochquant_tpu.kernels import field_kernel
 
@@ -514,12 +530,12 @@ def run_field(
             observables=obs,
         )
         if checkpoint_out and checkpoint_every and frames_done % checkpoint_every == 0:
-            ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+            ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
         if _stop_requested(stop, sink, state, cfg, checkpoint_out, frames_done):
             break
 
     if checkpoint_out:
-        ckpt_mod.save(checkpoint_out, state, cfg, frames_done=frames_done)
+        ckpt_mod.save_auto(checkpoint_out, state, cfg, frames_done=frames_done)
     summary = sink.summary()
     sink.emit(summary)
     return RunResult(state=state, cfg=cfg, summary=summary)
