@@ -59,13 +59,22 @@ def halo_shifted(x, axis: int, mesh_axis: str | None):
     return up, down
 
 
-def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
+def make_halo_runner(
+    action: FieldAction, cfg: FieldConfig, mesh: Mesh, *, overlap: bool = True
+):
     """Build ``run(state, n_frames) -> (state, metrics)`` executing the field
     frame loop under shard_map with explicit halo exchange.
 
     ``cfg.mesh_axes`` names the mesh axis for each lattice dimension (None =
     unsharded); ``cfg.mesh_chain_axis`` optionally shards chains.  State must
     be placed with ``parallel.shard_field_state`` using the same cfg.
+
+    overlap=True (default): halos are issued before the bulk stencil, which
+    runs with local wraparound and has NO data dependency on the collectives;
+    only the O(surface) edge-slice fixup waits on them.  overlap=False keeps
+    the halo values on the critical path of the whole stencil (concatenate
+    then shift) — the A/B reference for measuring the overlap win
+    (bench_halo.py); both variants are bitwise identical.
     """
     if cfg.mesh_axes is None:
         raise ValueError("cfg.mesh_axes required for the halo runner")
@@ -107,18 +116,90 @@ def make_halo_runner(action: FieldAction, cfg: FieldConfig, mesh: Mesh):
         )
         return ch_off, lat_off
 
-    def laplacian(phi):
+    def _exchange_halos(phi):
+        """Kick off the ring ppermutes for every sharded lattice dim and
+        return {dim: (left_halo, right_halo)}.  Issued before ANY local
+        stencil math so the collective-permutes are in flight over ICI while
+        the (much larger) interior compute runs — the sends are not data
+        dependencies of the bulk work below, which is what lets XLA's
+        latency-hiding scheduler overlap them (SURVEY.md §2.5 ring row)."""
+        pending = {}
+        for d in range(ndim):
+            ax = lat_axes_spec[d]
+            if not ax or axis_sizes[ax] == 1:
+                continue
+            axis = d + 1
+            n = axis_sizes[ax]
+            first = lax.slice_in_dim(phi, 0, 1, axis=axis)
+            last = lax.slice_in_dim(
+                phi, phi.shape[axis] - 1, phi.shape[axis], axis=axis
+            )
+            right_halo = lax.ppermute(
+                first, ax, [((i + 1) % n, i) for i in range(n)]
+            )
+            left_halo = lax.ppermute(
+                last, ax, [((i - 1) % n, i) for i in range(n)]
+            )
+            pending[d] = (left_halo, right_halo)
+        return pending
+
+    def laplacian_blocking(phi):
+        """Non-overlapped reference: halo values sit on the critical path of
+        every site's stencil (concatenate-then-add)."""
         lap = jnp.zeros_like(phi)
         for d in range(ndim):
             up, down = halo_shifted(phi, d + 1, lat_axes_spec[d])
             lap = lap + (up + down - 2.0 * phi)
         return lap * inv_a2
 
+    def laplacian_overlapped(phi):
+        """Overlapped halo-exchange stencil, bitwise-equal to the unsharded
+        ∇²: (a) halos go on the wire, (b) the bulk stencil runs with local
+        wraparound (exact for every interior site), (c) only the two edge
+        slices per exchanged dim are recomputed with the true neighbor
+        values — same operand order as the bulk, so the fixup is exact, and
+        it is the only code that waits on the collectives."""
+        pending = _exchange_halos(phi)
+        lap = jnp.zeros_like(phi)
+        for d in range(ndim):
+            axis = d + 1
+            c = jnp.roll(phi, -1, axis) + jnp.roll(phi, 1, axis) - 2.0 * phi
+            if d in pending:
+                left_halo, right_halo = pending[d]
+                L = phi.shape[axis]
+                phi_first = lax.slice_in_dim(phi, 0, 1, axis=axis)
+                phi_last = lax.slice_in_dim(phi, L - 1, L, axis=axis)
+                up_first = (
+                    lax.slice_in_dim(phi, 1, 2, axis=axis) if L > 1 else right_halo
+                )
+                down_last = (
+                    lax.slice_in_dim(phi, L - 2, L - 1, axis=axis)
+                    if L > 1
+                    else left_halo
+                )
+                fix_first = up_first + left_halo - 2.0 * phi_first
+                fix_last = right_halo + down_last - 2.0 * phi_last
+                c = lax.dynamic_update_slice_in_dim(c, fix_first, 0, axis)
+                c = lax.dynamic_update_slice_in_dim(c, fix_last, L - 1, axis)
+            lap = lap + c
+        return lap * inv_a2
+
+    laplacian = laplacian_overlapped if overlap else laplacian_blocking
+
     def action_density_local(phi):
-        """Local block's action density using forward differences with halos."""
+        """Local block's action density (forward differences), with the same
+        overlap structure: bulk forward-diffs run on local rolls while the
+        right-edge halos fly, then only the last slice per exchanged dim is
+        fixed up."""
+        pending = _exchange_halos(phi)
         kin = jnp.zeros_like(phi)
         for d in range(ndim):
-            up, _ = halo_shifted(phi, d + 1, lat_axes_spec[d])
+            axis = d + 1
+            up = jnp.roll(phi, -1, axis)
+            if d in pending:
+                _, right_halo = pending[d]
+                L = phi.shape[axis]
+                up = lax.dynamic_update_slice_in_dim(up, right_halo, L - 1, axis)
             diff = up - phi
             kin = kin + 0.5 * diff * diff * inv_a2
         return kin + action.V(phi)
