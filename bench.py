@@ -100,6 +100,23 @@ def worker() -> None:
         2 if on_tpu else 1, block,
     )
 
+    # --- BASELINE config 2 at its stated scale (BASELINE.json:8): anharmonic
+    # λφ⁴ chain, N=1024, 256 batched chains; physics gated in
+    # tests/test_physics_regression.py against the transfer-matrix oracle.
+    from stochquant_tpu.config import BoundaryCondition, Formulation
+
+    log("config-2 bench (anharmonic λφ⁴, N=1024, 256 chains):")
+    c2 = ChainConfig(
+        action="anharmonic", n_sites=1024, dt=0.25, dtau=0.01, n_chains=256,
+        loops=1000, seed=14, bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT, grow_after=10**9,
+        rng_impl="hardware" if on_tpu else "threefry",
+    )
+    mlups_c2, _ = time_chain(
+        c2, actions.get("anharmonic"), n_frames, 2 if on_tpu else 1,
+        64 if on_tpu else 32,
+    )
+
     # --- on-TPU kernel ≡ XLA gate (VERDICT r1 item 3): the Mosaic-compiled
     # Threefry kernels must reproduce the XLA scan on the real chip, not just
     # in CPU interpret mode.
@@ -162,6 +179,51 @@ def worker() -> None:
     log(f"field product path (256^2 x {fcfg.n_chains} chains): "
         f"{field_mlups:.0f} MLUPS")
 
+    # --- U(1) gauge fast path: fused link-update kernel (VERDICT r1 item 7)
+    from stochquant_tpu.integrators import gauge as gauge_mod
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+    from stochquant_tpu.kernels import gauge_kernel
+
+    ggate = GaugeConfig(group="u1", beta=1.0, shape=(16, 128), n_chains=4,
+                        dtau=5e-3, loops=10, seed=17, grow_after=10**9)
+    gact = gauge_mod.resolve_gauge_action(ggate)
+    gs0 = gauge_mod.init_gauge_state(ggate, gact)
+    ga, _ = gauge_mod.run_gauge_frames(gs0, gact, ggate, 2)
+    gb, _ = gauge_kernel.run_gauge_frames_pallas(gs0, gact, ggate, 2,
+                                                 interpret=not on_tpu)
+    gauge_gate = float(np.max(np.abs(np.asarray(ga.links) - np.asarray(gb.links))))
+    log(f"gauge kernel-vs-XLA max|diff| on this device: {gauge_gate:.2e}")
+
+    gcfg = GaugeConfig(group="u1", beta=1.0, shape=(256, 256),
+                       n_chains=32 if on_tpu else 2, dtau=5e-3,
+                       loops=100 if on_tpu else 4, seed=15, grow_after=10**9)
+    gact = gauge_mod.resolve_gauge_action(gcfg)
+    gstate = gauge_mod.init_gauge_state(gcfg, gact)
+    g_frames = 3 if on_tpu else 1
+
+    def time_gauge(runner):
+        s, _ = runner(gstate, g_frames)  # compile + warmup
+        np.asarray(s.drift_max)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            s, _ = runner(gstate, g_frames)
+            np.asarray(s.drift_max)
+            times.append(time.time() - t0)
+        lups = (
+            gcfg.n_chains * 2 * 256 * 256 * gcfg.loops * g_frames
+            / sorted(times)[0] / 1e6
+        )
+        return lups
+
+    glups_k = time_gauge(
+        lambda s, n: gauge_kernel.run_gauge_frames_pallas(
+            s, gact, gcfg, n, interpret=not on_tpu
+        )
+    )
+    glups_x = time_gauge(lambda s, n: gauge_mod.run_gauge_frames(s, gact, gcfg, n))
+    log(f"u1 gauge link-updates/s: kernel {glups_k:.0f} vs XLA {glups_x:.0f} MLUPS")
+
     ref = oracle.run_reference(200, 0.02, 2e-4, frames=5, loops=1000, seed=7)
     ref_mlups = ref.updates_per_sec / 1e6
     log(f"oracle baseline: {ref_mlups:.1f} MLUPS (serial CPU)")
@@ -172,10 +234,13 @@ def worker() -> None:
         "unit": "MLUPS",
         "vs_baseline": round(mlups / ref_mlups, 2),
         "threefry_mlups": round(mlups_tf, 1),
+        "config2_anharmonic_mlups": round(mlups_c2, 1),
         "field_runtime_pallas_mlups": round(field_mlups, 1),
-        "kernel_equals_xla_on_device": kernel_equals_xla,
+        "u1_gauge_kernel_mlups": round(glups_k, 1),
+        "u1_gauge_xla_mlups": round(glups_x, 1),
+        "kernel_equals_xla_on_device": kernel_equals_xla and gauge_gate <= 2e-6,
         "kernel_vs_xla_max_abs_diff": {
-            "chain": chain_gate, "field": field_gate,
+            "chain": chain_gate, "field": field_gate, "gauge": gauge_gate,
         },
         "stable_fraction": stable,
     }))

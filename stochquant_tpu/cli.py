@@ -132,12 +132,10 @@ def cmd_run(args):
             else:
                 from stochquant_tpu.integrators.gauge import GaugeConfig
 
-                runner = (
-                    runtime.run_gauge
-                    if isinstance(cfg, GaugeConfig)
-                    else runtime.run_complex
-                )
-                runner(cfg, **common)
+                if isinstance(cfg, GaugeConfig):
+                    runtime.run_gauge(cfg, backend=args.backend, **common)
+                else:
+                    runtime.run_complex(cfg, **common)
     finally:
         if prof:
             import jax

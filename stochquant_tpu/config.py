@@ -210,6 +210,21 @@ PRESETS = {
         formulation=Formulation.DIRECT,
         bc=BoundaryCondition.PERIODIC,
     ),
+    # BASELINE.json config 2 at its stated scale: λφ⁴ chain, N=1024, 256
+    # batched chains; ⟨x²⟩ + correlator gated against the fp64 transfer-matrix
+    # oracle (observables/exact.py, tests/test_physics_regression.py)
+    "quartic_large": ChainConfig(
+        action="anharmonic",
+        n_sites=1024,
+        dt=0.25,
+        dtau=0.01,
+        n_chains=256,
+        frames=200,
+        loops=1000,
+        formulation=Formulation.DIRECT,
+        bc=BoundaryCondition.PERIODIC,
+        accumulate_spectrum=True,
+    ),
     "phi4_2d": FieldConfig(
         action="phi4",
         shape=(256, 256),

@@ -1,0 +1,248 @@
+"""Fused Pallas TPU kernel for 2-D compact U(1) lattice gauge frames.
+
+The gauge integrator (integrators/gauge.py) is group-agnostic XLA; this is
+its fused fast path for the abelian case (VERDICT r1 item 7): one kernel
+launch = one macro-frame of a 2-D U(1) chain — per micro-step it draws the
+counter-based noise, evaluates the Wilson drift −β Σ_ν [sin P − sin P(x−ν̂)]
+(actions/gauge.py:223-237), applies the drift-capped Langevin step with the
+exact group update θ ← wrap(θ + ω) (actions/gauge.py:265-268), accumulates
+the frame's plaquette sum and tracks the drift-norm / finiteness detector —
+all in VMEM, one chain per grid program.
+
+Math mirrors integrators/gauge.py op-for-op (same Threefry counters keyed by
+the global (μ, x) link id, same expression order for both plaquette
+orientations), so kernel trajectories are bit-compatible with the XLA path
+(tests/test_gauge_kernel.py); the accept/reject + adaptive-Δτ epilogue is
+the XLA code shared with the scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stochquant_tpu import rng
+from stochquant_tpu.integrators import accum
+from stochquant_tpu.integrators.gauge import GaugeConfig, GaugeState
+
+__all__ = ["run_gauge_frames_pallas", "gauge_frame_pallas", "supports"]
+
+
+def supports(action, cfg: GaugeConfig) -> bool:
+    """The fused kernel covers compact U(1) on 2-D lattices without gauge
+    cooling (the reference surface of the kernel; other groups use the XLA
+    scan path)."""
+    from stochquant_tpu.actions.gauge import U1Wilson
+
+    return (
+        type(action) is U1Wilson
+        and cfg.ndim == 2
+        and not (cfg.cooling_rate > 0.0)
+    )
+
+
+def _build_kernel(action, cfg: GaugeConfig):
+    L0, L1 = cfg.shape
+    f32 = np.float32
+    beta = f32(action.beta)
+    cap = f32(cfg.drift_cap)
+    two_pi = f32(2.0 * np.pi)
+    plane = L0 * L1
+    inv_vol = f32(1.0 / plane)
+
+    def kernel(
+        scalars_ref,  # SMEM (3,): seed, step_base, chain_offset
+        th_ref, dmax_ref, dtau_ref,
+        tho_ref, ps_ref, dmaxo_ref, unst_ref,
+    ):
+        i = pl.program_id(0)
+        seed = scalars_ref[0]
+        step0 = scalars_ref[1]
+        chain = scalars_ref[2] + jnp.uint32(i)
+
+        # global link ids: linearized over (D, L0, L1) in C order — exactly
+        # rng.normal_pair_for_shape's counters for noise_shape (C, D, L0, L1)
+        mu_idx = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 1)
+        row = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 2)
+        col = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 3)
+        site = mu_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
+        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
+
+        dtau = dtau_ref[i, 0]
+
+        def roll(x, shift, axis):
+            # lattice axes of the (1, 2, L0, L1) block are 2 (rows) and 3
+            return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
+
+        def shift_lat(x, d, sign):
+            """x(pos + sign·d̂) — mirrors actions.gauge.shift (roll by −sign)."""
+            return roll(x, -sign, 2 + d)
+
+        def plaq(t_mu, t_nu, mu, nu):
+            """P_{μν} with the same expression order as
+            U1Wilson.plaquette_angle (actions/gauge.py:200-211)."""
+            return t_mu + shift_lat(t_nu, mu, +1) - shift_lat(t_mu, nu, +1) - t_nu
+
+        def substep(eta):
+            th = tho_ref[:]          # (1, 2, L0, L1)
+            ps = ps_ref[i, 0]
+            dmax = dmaxo_ref[i, 0]
+            unst = unst_ref[i, 0] > 0
+
+            t0 = th[:, 0:1, :, :]
+            t1 = th[:, 1:2, :, :]
+            # drift, both directions, mirroring U1Wilson.drift's loop order
+            p01 = plaq(t0, t1, 0, 1)
+            sp01 = jnp.sin(p01)
+            acc0 = sp01 - shift_lat(sp01, 1, -1)
+            p10 = plaq(t1, t0, 1, 0)
+            sp10 = jnp.sin(p10)
+            acc1 = sp10 - shift_lat(sp10, 0, -1)
+            f = jnp.concatenate([-beta * acc0, -beta * acc1], axis=1)
+
+            dnorm = jnp.max(jnp.abs(f))
+            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+            dtau_eff = dtau * scale
+            omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
+            t = th + omega
+            new_th = t - two_pi * jnp.round(t / two_pi)
+
+            bad = jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0))) > 0.0
+
+            # observable samples the pre-update links; frame SUM of the mean
+            # plaquette (two-level accumulation, integrators/accum.py)
+            plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
+            ps2 = ps + plaq_mean
+            dmax2 = jnp.maximum(dmax, dnorm)
+
+            tho_ref[:] = jnp.where(unst, th, new_th)
+            ps_ref[i, 0] = jnp.where(unst, ps, ps2)
+            dmaxo_ref[i, 0] = jnp.where(unst, dmax, dmax2)
+            unst_ref[i, 0] = jnp.where(unst | bad, 1, 0)
+
+        def normal_pair(step):
+            b0, b1 = rng.threefry2x32(seed, k1, site, step)
+            u1 = rng.uniform_from_bits(b0)
+            u2 = rng.uniform_from_bits(b1)
+            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+            theta = f32(rng._TWO_PI) * u2
+            return r * jnp.cos(theta), r * jnp.sin(theta)
+
+        def pair_body(k, _):
+            step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
+            z0, z1 = normal_pair(step)
+            substep(z0)
+            substep(z1)
+            return 0
+
+        tho_ref[:] = th_ref[:]
+        ps_ref[i, 0] = 0.0
+        dmaxo_ref[i, 0] = dmax_ref[i, 0]
+        unst_ref[i, 0] = 0
+        lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
+        if cfg.loops % 2:
+            step = step0 + jnp.uint32(cfg.loops - 1)
+            z0, _ = normal_pair(step)
+            substep(z0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _frame_call(action, cfg: GaugeConfig, interpret: bool):
+    kernel = _build_kernel(action, cfg)
+    C = cfg.n_chains
+    L0, L1 = cfg.shape
+    lat = pl.BlockSpec(
+        (1, 2, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((C, 2, L0, L1), jnp.float32),  # links
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),          # frame Σ ⟨cos P⟩
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),          # drift max
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),            # unstable
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[lat, sca(), sca()],
+        out_specs=(lat, sca(), sca(), sca()),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret
+    )
+
+
+def gauge_frame_pallas(state: GaugeState, action, cfg: GaugeConfig, *, interpret=False):
+    """One frame through the fused U(1) kernel + the exact XLA epilogue of
+    integrators/gauge.py's frame (accept/reject, adaptive Δτ, merge)."""
+    if not supports(action, cfg):
+        raise ValueError(
+            "gauge kernel supports 2-D compact u1 without cooling; use the "
+            "XLA path (integrators.gauge.run_gauge_frames) otherwise"
+        )
+    C = cfg.n_chains
+    call = _frame_call(action, cfg, interpret)
+    scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
+    links, ps, dmax, unst = call(
+        scalars,
+        state.links,
+        state.drift_max[:, None],
+        state.dtau[:, None],
+    )
+    ps, dmax = ps[:, 0], dmax[:, 0]
+    accept = unst[:, 0] == 0
+
+    n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+    pm = accum.merge_frame_sum(state.plaq_mean, ps, cfg.loops, n_new)
+
+    au = accept.reshape((C,) + (1,) * (links.ndim - 1))
+    sel = lambda new, old: jnp.where(accept, new, old)
+    grow = accept & (state.stab_cnt >= cfg.grow_after)
+    dtau = jnp.where(
+        grow,
+        state.dtau / cfg.shrink,
+        jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+    )
+    if cfg.dtau_max is not None:
+        dtau = jnp.minimum(dtau, jnp.float32(cfg.dtau_max))
+    new_state = GaugeState(
+        links=jnp.where(au, links, state.links),
+        plaq_mean=sel(pm, state.plaq_mean),
+        drift_max=sel(dmax, state.drift_max),
+        runs=state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0)),
+        dtau=dtau,
+        stab_cnt=jnp.where(
+            accept,
+            jnp.where(state.stab_cnt >= cfg.grow_after, 0, state.stab_cnt + 1),
+            0,
+        ),
+        step=state.step + jnp.uint32(cfg.loops),
+    )
+    metrics = {
+        "stable": accept,
+        "dtau": dtau,
+        "drift_max": dmax,
+        "unitarity_norm": action.unitarity_norm(new_state.links, cfg.ndim),
+    }
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("action", "cfg", "n_frames", "interpret"))
+def run_gauge_frames_pallas(
+    state: GaugeState, action, cfg: GaugeConfig, n_frames: int, interpret: bool = False
+):
+    """Drop-in replacement for integrators.gauge.run_gauge_frames (2-D u1)."""
+    return lax.scan(
+        lambda s, _: gauge_frame_pallas(s, action, cfg, interpret=interpret),
+        state,
+        None,
+        length=n_frames,
+    )

@@ -125,3 +125,47 @@ def free_field_x2(shape, spacing: float, m2: float, dtau: float = 0.0) -> float:
     if np.any(denom <= 0):
         raise ValueError("EM unstable for this dtau")
     return float(np.mean(1.0 / denom))
+
+
+def transfer_matrix_moments(
+    V,
+    n_sites: int,
+    dt: float,
+    mass: float = 1.0,
+    x_max: float = 4.5,
+    n_grid: int = 800,
+):
+    """Exact lattice expectations ⟨x²⟩, ⟨x⁴⟩ for 1-D periodic Euclidean QM by
+    numerical transfer-matrix diagonalization — the fp64 ground truth for the
+    anharmonic regression gate (BASELINE.json config 2).
+
+    Z = Tr(T^N) with the symmetric transfer kernel
+
+        T(x, x') = exp(−m(x−x')²/(2Δt) − Δt·(V(x)+V(x'))/2)·w
+
+    on a uniform grid (w the quadrature weight).  Moments use the full
+    eigensum Σ_k r_k^N ⟨k|x^p|k⟩ / Σ_k r_k^N with r_k = λ_k/λ_max, so finite-N
+    effects are exact, not just the ground-state limit.  Grid truncation is
+    negligible when exp(−m·x_max²/(2Δt)) underflows the working precision —
+    validate by increasing ``n_grid``/``x_max`` (tests do).
+
+    This is the distribution the Langevin process targets as Δτ→0; the
+    integrator's finite-Δτ stationary bias (O(Δτ) for EM, O(Δτ²) for LM) is
+    on the *simulation* side of the comparison.
+    """
+    x = np.linspace(-x_max, x_max, n_grid, dtype=np.float64)
+    w = x[1] - x[0]
+    dx2 = (x[:, None] - x[None, :]) ** 2
+    v = V(x).astype(np.float64)
+    T = np.exp(-(mass / (2.0 * dt)) * dx2 - dt * 0.5 * (v[:, None] + v[None, :])) * w
+    lam, U = np.linalg.eigh(T)
+    # sort descending by |λ|; T is a positive kernel so λ_max > 0
+    order = np.argsort(lam)[::-1]
+    lam, U = lam[order], U[:, order]
+    ratios = np.clip(lam / lam[0], -1.0, 1.0) ** n_sites
+    weights = ratios / ratios.sum()
+    x2_k = (U * (x**2)[:, None] * U).sum(axis=0)  # ⟨k|x²|k⟩ (U columns orthonormal)
+    x4_k = (U * (x**4)[:, None] * U).sum(axis=0)
+    # E_k − E_0 = −ln(λ_k/λ_0)/Δt: the correlator decay rate (energy gap)
+    gap = float(np.log(lam[0] / lam[1]) / dt)
+    return float(weights @ x2_k), float(weights @ x4_k), gap

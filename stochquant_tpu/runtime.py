@@ -139,7 +139,11 @@ def run_chain(
     sink = sink or metrics_mod.MetricsSink()
     on_tpu = jax.devices()[0].platform != "cpu"
     if backend == "auto":
-        backend = "pallas" if on_tpu else "xla"
+        from stochquant_tpu.config import Scheme
+
+        # spectrum accumulation (FFT) and the LM scheme are XLA-path features
+        kernel_ok = not cfg.accumulate_spectrum and cfg.scheme != Scheme.LM
+        backend = "pallas" if (on_tpu and kernel_ok) else "xla"
 
     if checkpoint_in:
         state, loaded_cfg = ckpt_mod.load(checkpoint_in)
@@ -278,6 +282,7 @@ def run_complex(
 def run_gauge(
     cfg,
     *,
+    backend: str = "auto",
     burn_frames: int = 0,
     sink: Optional[metrics_mod.MetricsSink] = None,
     checkpoint_out: Optional[str] = None,
@@ -286,11 +291,19 @@ def run_gauge(
     stop=None,
     resume_progress: bool = False,
 ) -> RunResult:
-    """Run a lattice-gauge Langevin ensemble (``GaugeConfig``)."""
+    """Run a lattice-gauge Langevin ensemble (``GaugeConfig``).
+
+    backend: 'pallas' (fused U(1) kernel — 2-D compact u1 without cooling),
+    'xla' (group-agnostic scan), or 'auto' (fused kernel on TPU where it
+    applies)."""
     from stochquant_tpu.integrators import gauge as gauge_mod
+    from stochquant_tpu.kernels import gauge_kernel
 
     act = gauge_mod.resolve_gauge_action(cfg)
     sink = sink or metrics_mod.MetricsSink()
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if backend == "auto":
+        backend = "pallas" if (on_tpu and gauge_kernel.supports(act, cfg)) else "xla"
     if checkpoint_in:
         state, loaded_cfg = ckpt_mod.load(checkpoint_in)
         _check_resume_compat(
@@ -298,7 +311,12 @@ def run_gauge(
         )
     else:
         state = gauge_mod.init_gauge_state(cfg, act)
-    run_n = lambda s, n: gauge_mod.run_gauge_frames(s, act, cfg, n)
+    if backend in ("pallas", "pallas_tiled"):
+        run_n = lambda s, n: gauge_kernel.run_gauge_frames_pallas(
+            s, act, cfg, n, interpret=not on_tpu
+        )
+    else:
+        run_n = lambda s, n: gauge_mod.run_gauge_frames(s, act, cfg, n)
 
     frames_done = (
         _frames_already_done(state, cfg, checkpoint_in)

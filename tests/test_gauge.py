@@ -87,6 +87,7 @@ def test_u1_2d_plaquette_matches_bessel():
     assert abs(pm.mean() - want) < 6 * err + 10 * cfg.dtau, (pm.mean(), want, err)
 
 
+@pytest.mark.slow
 def test_su2_2d_plaquette_matches_bessel():
     beta = 2.0
     cfg = gi.GaugeConfig(
@@ -201,6 +202,7 @@ def test_weyl_integral_machinery_against_su2_bessel():
         assert abs(got - want) < 1e-10
 
 
+@pytest.mark.slow
 def test_su3_2d_plaquette_matches_weyl():
     beta = 2.0
     cfg = gi.GaugeConfig(

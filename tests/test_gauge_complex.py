@@ -260,6 +260,7 @@ def test_csu2_complex_beta_matches_weyl_integral():
     assert float(np.asarray(metrics["unitarity_norm"])[-1].max()) < 0.5
 
 
+@pytest.mark.slow
 def test_complex_group_real_beta_reduces_to_compact_answer():
     """csu3 with real β and cooling stays (statistically) on the compact
     answer — a cheap smoke gate that the full CL machinery at Im β = 0

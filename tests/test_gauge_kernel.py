@@ -1,0 +1,69 @@
+"""Fused U(1) gauge kernel (interpret mode on CPU) vs the XLA gauge
+integrator: identical Threefry counters and op order → identical
+trajectories; the plaquette frame sums agree to reduction-order tolerance."""
+
+import numpy as np
+import pytest
+
+from stochquant_tpu.integrators import gauge as gauge_mod
+from stochquant_tpu.integrators.gauge import GaugeConfig
+from stochquant_tpu.kernels import gauge_kernel
+
+
+def _cfg(**kw):
+    base = dict(
+        group="u1", beta=1.0, shape=(16, 128), n_chains=4, dtau=5e-3,
+        loops=10, seed=17, grow_after=10**9,
+    )
+    base.update(kw)
+    return GaugeConfig(**base)
+
+
+def test_u1_kernel_matches_xla_path():
+    cfg = _cfg()
+    act = gauge_mod.resolve_gauge_action(cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    ref, ref_m = gauge_mod.run_gauge_frames(s0, act, cfg, 3)
+    out, out_m = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 3, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref_m["stable"]), np.asarray(out_m["stable"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.links), np.asarray(out.links), rtol=2e-6, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.plaq_mean), np.asarray(out.plaq_mean), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.drift_max), np.asarray(out.drift_max), rtol=2e-6, atol=0
+    )
+    np.testing.assert_array_equal(np.asarray(ref.runs), np.asarray(out.runs))
+    np.testing.assert_allclose(
+        np.asarray(ref.dtau), np.asarray(out.dtau), rtol=1e-6
+    )
+
+
+def test_u1_kernel_odd_loops_and_hot_start():
+    cfg = _cfg(loops=5, hot_start=True, n_chains=2)
+    act = gauge_mod.resolve_gauge_action(cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    ref, _ = gauge_mod.run_gauge_frames(s0, act, cfg, 2)
+    out, _ = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref.links), np.asarray(out.links), rtol=2e-6, atol=2e-6
+    )
+
+
+def test_kernel_rejects_unsupported_configs():
+    from stochquant_tpu.integrators.gauge import init_gauge_state
+
+    for bad in (
+        _cfg(group="su2"),
+        _cfg(shape=(4, 4, 4, 4)),
+        _cfg(group="cu1", beta_im=0.2, cooling_rate=0.05),
+    ):
+        act = gauge_mod.resolve_gauge_action(bad)
+        assert not gauge_kernel.supports(act, bad)
+        s0 = init_gauge_state(bad, act)
+        with pytest.raises(ValueError, match="gauge kernel supports"):
+            gauge_kernel.gauge_frame_pallas(s0, act, bad, interpret=True)

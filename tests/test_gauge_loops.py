@@ -40,7 +40,12 @@ def test_wilson_loop_area_one_equals_plaquette():
 
 
 @pytest.mark.parametrize(
-    "group,beta,chains", [("u1", 2.0, 256), ("su2", 2.0, 128), ("su3", 5.0, 64)]
+    "group,beta,chains",
+    [
+        ("u1", 2.0, 256),
+        pytest.param("su2", 2.0, 128, marks=pytest.mark.slow),
+        pytest.param("su3", 5.0, 64, marks=pytest.mark.slow),
+    ],
 )
 def test_2d_wilson_loop_area_law(group, beta, chains):
     cfg = gi.GaugeConfig(

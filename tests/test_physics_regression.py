@@ -73,3 +73,87 @@ def test_double_well_kink_profile():
     # omega stayed inside the lattice
     om = np.asarray(state.omega)
     assert np.all((om >= 0) & (om <= (cfg.n_sites - 1) * cfg.dt))
+
+
+def _run_anharmonic(cfg, burn, measure):
+    act = actions.get(cfg.action)
+    state = langevin.init_chain_state(cfg, act)
+    state, _ = langevin.run_frames(state, act, cfg, burn)
+    state = langevin.reset_means(state)
+    state, metrics = langevin.run_frames(state, act, cfg, measure)
+    assert np.asarray(metrics["stable"])[-1].all()
+    return act, state
+
+
+def test_anharmonic_x2_matches_transfer_matrix():
+    """Config-2 physics gate (BASELINE.json:8): λφ⁴ chain ⟨x²⟩ against the
+    exact fp64 lattice transfer-matrix value (observables/exact.py), with
+    cross-chain errors.  LM scheme keeps the stationary Δτ bias at O(Δτ²)
+    so the comparison is statistics-limited."""
+    from stochquant_tpu.config import Scheme
+    from stochquant_tpu.observables import exact
+
+    cfg = ChainConfig(
+        action="anharmonic", n_sites=64, dt=0.25, dtau=0.01, n_chains=64,
+        loops=200, bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT, scheme=Scheme.LM, seed=6,
+        grow_after=10**9,
+    )
+    act, state = _run_anharmonic(cfg, 20, 100)
+
+    x2 = np.asarray(state.x2_mean, np.float64)
+    per_chain = x2.mean(axis=1)
+    mean, err = per_chain.mean(), per_chain.std() / np.sqrt(cfg.n_chains)
+
+    x2_exact, _, _ = exact.transfer_matrix_moments(
+        lambda x: np.asarray(act.V(x)), cfg.n_sites, cfg.dt
+    )
+    # grid-convergence of the oracle itself
+    x2_fine, _, _ = exact.transfer_matrix_moments(
+        lambda x: np.asarray(act.V(x)), cfg.n_sites, cfg.dt,
+        n_grid=1200, x_max=5.0,
+    )
+    assert abs(x2_exact - x2_fine) < 1e-8
+    assert abs(mean - x2_exact) < 6 * err + 2e-3, (mean, x2_exact, err)
+
+
+@pytest.mark.slow
+def test_config2_full_scale_x2_and_gap():
+    """BASELINE config 2 at its stated scale: N=1024 λφ⁴ chain (chains
+    reduced to stay CPU-feasible; the transfer-matrix oracle is exact at any
+    N).  Gates ⟨x²⟩ AND the correlator's energy gap via the
+    translation-averaged spectrum correlator."""
+    from stochquant_tpu.config import Scheme
+    from stochquant_tpu.observables import exact
+
+    cfg = ChainConfig(
+        action="anharmonic", n_sites=1024, dt=0.25, dtau=0.01, n_chains=32,
+        loops=200, bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT, scheme=Scheme.LM, seed=7,
+        accumulate_spectrum=True, grow_after=10**9,
+    )
+    act, state = _run_anharmonic(cfg, 20, 120)
+
+    x2 = np.asarray(state.x2_mean, np.float64)
+    per_chain = x2.mean(axis=1)
+    mean, err = per_chain.mean(), per_chain.std() / np.sqrt(cfg.n_chains)
+    x2_exact, _, gap_exact = exact.transfer_matrix_moments(
+        lambda x: np.asarray(act.V(x)), cfg.n_sites, cfg.dt
+    )
+    assert abs(mean - x2_exact) < 6 * err + 2e-3, (mean, x2_exact, err)
+
+    # energy gap from the translation-averaged two-point function: every
+    # site pair contributes (far better statistics than the reference's
+    # single midpoint column, tau_kernel.cl:144)
+    corr = np.asarray(langevin.translation_averaged_correlator(state), np.float64)
+    mean_c = corr.mean(axis=0)
+    err_c = corr.std(axis=0) / np.sqrt(cfg.n_chains)
+    # spectrum correlator is separation-indexed (mid=0); the gap here is
+    # large (ξ ≈ 2 sites) so fit the short-distance window before the noise
+    # floor, skipping the Δ=0 contact term
+    fit = analysis.energy_gap_from_correlator(
+        mean_c, cfg.dt, mid=0, fit_range=(1, 8), corr_err=err_c
+    )
+    assert abs(fit.gap - gap_exact) < 5 * fit.gap_err + 0.05, (
+        fit.gap, gap_exact, fit.gap_err
+    )
