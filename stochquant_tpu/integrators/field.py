@@ -46,6 +46,7 @@ __all__ = [
     "make_field_frame_fn",
     "run_field_frames",
     "susceptibility",
+    "binder_cumulant",
     "reset_field_means",
 ]
 
@@ -54,6 +55,7 @@ class FieldState(NamedTuple):
     phi: jax.Array        # (C, *shape)
     mag_mean: jax.Array   # (C,) running ⟨M⟩,  M = (1/V)Σφ
     mag2_mean: jax.Array  # (C,) running ⟨M²⟩
+    mag4_mean: jax.Array  # (C,) running ⟨M⁴⟩ — Binder cumulant / criticality
     absmag_mean: jax.Array  # (C,) running ⟨|M|⟩
     phi2_mean: jax.Array  # (C,) running ⟨φ²⟩ (site-averaged)
     act_mean: jax.Array   # (C,) running ⟨s⟩ action density (site-averaged)
@@ -76,6 +78,7 @@ def init_field_state(cfg: FieldConfig) -> FieldState:
         phi=phi,
         mag_mean=zc,
         mag2_mean=zc,
+        mag4_mean=zc,
         absmag_mean=zc,
         phi2_mean=zc,
         act_mean=zc,
@@ -121,7 +124,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             return newphi, jnp.abs(det), fin
 
         def micro_step(carry, eta):
-            phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step = carry
+            phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step = carry
 
             noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
                 (C,) + (1,) * ndim
@@ -151,8 +154,10 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
 
             # frame-local sample sums; merged once per frame in the epilogue
             # (two-level accumulation, integrators/accum.py)
+            mag2 = mag * mag
             ms2 = ms + mag
-            m2s2 = m2s + mag * mag
+            m2s2 = m2s + mag2
+            m4s2 = m4s + mag2 * mag2
             ams2 = ams + jnp.abs(mag)
             p2s2 = p2s + phi2
             acs2 = acs + act_d
@@ -165,13 +170,14 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             keep = lambda new, old: jnp.where(unstable, old, new)
             ms = keep(ms2, ms)
             m2s = keep(m2s2, m2s)
+            m4s = keep(m4s2, m4s)
             ams = keep(ams2, ams)
             p2s = keep(p2s2, p2s)
             acs = keep(acs2, acs)
             cs = jnp.where(unstable[:, None], cs, cs2)
             lrgvl = keep(lrgvl2, lrgvl)
             unstable = unstable | tripped
-            return (phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step + 1)
+            return (phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step + 1)
 
         def pair_step(carry, _):
             # two micro-steps per Threefry draw (both Box–Muller outputs)
@@ -188,6 +194,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             state.phi,
             zc,  # frame Σ M
             zc,  # frame Σ M²
+            zc,  # frame Σ M⁴
             zc,  # frame Σ |M|
             zc,  # frame Σ φ²
             zc,  # frame Σ s
@@ -202,7 +209,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
                 cfg.seed, rng.Stream.FIELD, carry[-1], (C,) + shape
             )
             carry = micro_step(carry, e0.astype(dtype))
-        phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step_end = carry
+        phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step_end = carry
 
         accept = ~unstable
         au = accept.reshape((C,) + (1,) * ndim)
@@ -211,6 +218,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
         n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32).astype(dtype)
         mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
         m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+        m4m = accum.merge_frame_sum(state.mag4_mean, m4s, cfg.loops, n_new)
         amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
         p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
         am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
@@ -218,6 +226,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
         sel = lambda new, old: jnp.where(accept, new, old)
         mm = sel(mm, state.mag_mean)
         m2m = sel(m2m, state.mag2_mean)
+        m4m = sel(m4m, state.mag4_mean)
         amm = sel(amm, state.absmag_mean)
         p2m = sel(p2m, state.phi2_mean)
         am = sel(am, state.act_mean)
@@ -239,6 +248,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             phi=phi,
             mag_mean=mm,
             mag2_mean=m2m,
+            mag4_mean=m4m,
             absmag_mean=amm,
             phi2_mean=p2m,
             act_mean=am,
@@ -266,11 +276,20 @@ def susceptibility(state: FieldState, volume: int) -> jax.Array:
     return volume * (state.mag2_mean - state.absmag_mean**2)
 
 
+def binder_cumulant(state: FieldState) -> jax.Array:
+    """U = 1 − ⟨M⁴⟩/(3⟨M²⟩²) per chain: → 0 in the symmetric (Gaussian-M)
+    phase, → 2/3 in the broken phase; its lattice-size crossing locates the
+    critical coupling."""
+    m2 = state.mag2_mean
+    return 1.0 - state.mag4_mean / jnp.maximum(3.0 * m2 * m2, 1e-300)
+
+
 def reset_field_means(state: FieldState) -> FieldState:
     zc = jnp.zeros_like(state.mag_mean)
     return state._replace(
         mag_mean=zc,
         mag2_mean=zc,
+        mag4_mean=zc,
         absmag_mean=zc,
         phi2_mean=zc,
         act_mean=zc,

@@ -61,6 +61,9 @@ class ChainState(NamedTuple):
     x_mean: jax.Array    # (C, N) running ⟨x_i⟩
     xx0_mean: jax.Array  # (C, N) running ⟨x_i·x_mid⟩
     x2_mean: jax.Array   # (C, N) running ⟨x_i²⟩
+    x4_mean: jax.Array   # (C, N) running ⟨x_i⁴⟩ — virial/Schwinger-Dyson
+                         # gates and quartic response (the reference has no
+                         # moment beyond the two-point row, tau_kernel.cl:144)
     runs: jax.Array      # (C,)  uint32 — accepted micro-step samples
     dtau: jax.Array      # (C,)  current Langevin step size
     stab_cnt: jax.Array  # (C,)  int32 — consecutive stable frames
@@ -100,6 +103,7 @@ def init_chain_state(cfg: ChainConfig, action: QMAction) -> ChainState:
         x_mean=zeros,
         xx0_mean=zeros,
         x2_mean=zeros,
+        x4_mean=zeros,
         runs=jnp.zeros((C,), jnp.uint32),
         dtau=jnp.full((C,), cfg.dtau, dtype),
         stab_cnt=jnp.zeros((C,), jnp.int32),
@@ -195,7 +199,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
     def frame(state: ChainState):
         def substep(vals, eta, eta_om):
             """One Euler–Maruyama micro-step given its noise field."""
-            f, omega, xs, xxs, x2s, specs, unstable, lrgvl = vals
+            f, omega, xs, xxs, x2s, x4s, specs, unstable, lrgvl = vals
             noise = c_amp * jnp.sqrt(2.0 * state.dtau[:, None] / dt) * eta
 
             if cfg.scheme == Scheme.HEUN:
@@ -228,9 +232,11 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             # the precision-hardened equivalent of the reference's per-sample
             # double-precision running means, tau_kernel.cl:144-145).
             x = full_x(f, omega)
+            x2 = x * x
             xs2 = xs + x
             xxs2 = xxs + x * x[:, mid : mid + 1]
-            x2s2 = x2s + x * x
+            x2s2 = x2s + x2
+            x4s2 = x4s + x2 * x2
             if cfg.accumulate_spectrum:
                 power = jnp.abs(jnp.fft.rfft(x, axis=-1)).astype(dtype) ** 2
                 specs2 = specs + power
@@ -256,10 +262,11 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             xsz = keep(xs2, xs)
             xxsz = keep(xxs2, xxs)
             x2sz = keep(x2s2, x2s)
+            x4sz = keep(x4s2, x4s)
             specsz = jnp.where(u, specs, specs2)
             lrgvlz = jnp.where(unstable, lrgvl, lrgvl2)
             unstable = unstable | tripped
-            return (fz, omega2, xsz, xxsz, x2sz, specsz, unstable, lrgvlz)
+            return (fz, omega2, xsz, xxsz, x2sz, x4sz, specsz, unstable, lrgvlz)
 
         def om_noise_pair(step):
             if not has_zm:
@@ -315,6 +322,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             zsum,  # frame Σ x
             zsum,  # frame Σ x·x_mid
             zsum,  # frame Σ x²
+            zsum,  # frame Σ x⁴
             jnp.zeros_like(state.spec_mean),  # frame Σ |x̂|²
             jnp.zeros((C,), bool),
             state.lrg_vl,
@@ -344,7 +352,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
                 zo0, _ = om_noise_pair(step)
                 vals = substep(tuple(vals), eta0, zo0)
                 carry = (*vals, step + 1)
-        f, omega, xs, xxs, x2s, specs, unstable, lrgvl, step_end = carry
+        f, omega, xs, xxs, x2s, x4s, specs, unstable, lrgvl, step_end = carry
 
         accept = ~unstable  # (C,)
         a1 = accept[:, None]
@@ -355,6 +363,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         xm = accum.merge_frame_sum(state.x_mean, xs, cfg.loops, n_new)
         xxm = accum.merge_frame_sum(state.xx0_mean, xxs, cfg.loops, n_new)
         x2m = accum.merge_frame_sum(state.x2_mean, x2s, cfg.loops, n_new)
+        x4m = accum.merge_frame_sum(state.x4_mean, x4s, cfg.loops, n_new)
         if cfg.accumulate_spectrum:
             spec = accum.merge_frame_sum(state.spec_mean, specs, cfg.loops, n_new)
         else:
@@ -364,6 +373,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         xm = sel(xm, state.x_mean)
         xxm = sel(xxm, state.xx0_mean)
         x2m = sel(x2m, state.x2_mean)
+        x4m = sel(x4m, state.x4_mean)
         spec = jnp.where(a1, spec, state.spec_mean)
         omega = jnp.where(accept, omega, state.omega)
         lrgvl = jnp.where(accept, lrgvl, state.lrg_vl)
@@ -386,6 +396,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             x_mean=xm,
             xx0_mean=xxm,
             x2_mean=x2m,
+            x4_mean=x4m,
             runs=runs,
             dtau=dtau,
             stab_cnt=stab_cnt,
@@ -428,6 +439,7 @@ def reset_means(state: ChainState) -> ChainState:
         x_mean=z,
         xx0_mean=z,
         x2_mean=z,
+        x4_mean=z,
         spec_mean=jnp.zeros_like(state.spec_mean),
         runs=jnp.zeros_like(state.runs),
     )

@@ -344,6 +344,7 @@ def import_reference(path, cfg: ChainConfig) -> ChainState:
         x_mean=rep(d["x"]),
         xx0_mean=rep(d["xx0"]),
         x2_mean=jnp.zeros((C, cfg.n_sites), cfg.jdtype),
+        x4_mean=jnp.zeros((C, cfg.n_sites), cfg.jdtype),
         runs=jnp.full((C,), d["runs"], jnp.uint32),
         dtau=jnp.full((C,), min(d["dtau"], cfg.dtau), cfg.jdtype),  # tauhost.c:131-137 clamp
         stab_cnt=jnp.zeros((C,), jnp.int32),

@@ -61,7 +61,8 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
     def kernel(
         scalars_ref,  # SMEM (3,): seed, step_base, chain_offset (uint32)
         f_ref, om_ref, lrg_ref, dtau_ref,
-        fo_ref, omo_ref, xso_ref, xxso_ref, x2so_ref, lrgo_ref, unst_ref,
+        fo_ref, omo_ref, xso_ref, xxso_ref, x2so_ref, x4so_ref, lrgo_ref,
+        unst_ref,
     ):
         g = pl.program_id(0)
         seed = scalars_ref[0]
@@ -132,6 +133,7 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             xs = xso_ref[:]
             xxs = xxso_ref[:]
             x2s = x2so_ref[:]
+            x4s = x4so_ref[:]
             lrg = lrgo_ref[:]
             unst = unst_ref[:] > 0
 
@@ -182,9 +184,11 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             # epilogue merges them into the running means once per frame —
             # integrators/accum.py); padded lanes pinned to 0
             x_mid = jnp.broadcast_to(x[:, mid : mid + 1], (cb, np_))
+            x2v = x * x
             xs2 = jnp.where(mask, xs + x, f32(0.0))
             xxs2 = jnp.where(mask, xxs + x * x_mid, f32(0.0))
-            x2s2 = jnp.where(mask, x2s + x * x, f32(0.0))
+            x2s2 = jnp.where(mask, x2s + x2v, f32(0.0))
+            x4s2 = jnp.where(mask, x4s + x2v * x2v, f32(0.0))
 
             absx_new = jnp.where(mask, jnp.abs(x_new), f32(0.0))
             lrg2 = jnp.maximum(lrg, jnp.max(absx_new, axis=1, keepdims=True))
@@ -199,6 +203,7 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
             xso_ref[:] = jnp.where(unst, xs, xs2)
             xxso_ref[:] = jnp.where(unst, xxs, xxs2)
             x2so_ref[:] = jnp.where(unst, x2s, x2s2)
+            x4so_ref[:] = jnp.where(unst, x4s, x4s2)
             lrgo_ref[:] = jnp.where(unst, lrg, lrg2)
             unst_ref[:] = (unst | tripped).astype(jnp.int32)
 
@@ -250,6 +255,7 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
         xso_ref[:] = jnp.zeros((cb, np_), jnp.float32)
         xxso_ref[:] = jnp.zeros((cb, np_), jnp.float32)
         x2so_ref[:] = jnp.zeros((cb, np_), jnp.float32)
+        x4so_ref[:] = jnp.zeros((cb, np_), jnp.float32)
         lrgo_ref[:] = lrg_ref[:]
         unst_ref[:] = jnp.zeros((cb, 1), jnp.int32)
         lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
@@ -275,6 +281,7 @@ def _frame_call(action: QMAction, cfg: ChainConfig, cb: int, np_: int, interpret
         jax.ShapeDtypeStruct((C, np_), jnp.float32),  # frame Σ x
         jax.ShapeDtypeStruct((C, np_), jnp.float32),  # frame Σ x·x_mid
         jax.ShapeDtypeStruct((C, np_), jnp.float32),  # frame Σ x²
+        jax.ShapeDtypeStruct((C, np_), jnp.float32),  # frame Σ x⁴
         jax.ShapeDtypeStruct((C, 1), jnp.float32),    # lrg_vl
         jax.ShapeDtypeStruct((C, 1), jnp.int32),      # unstable
     )
@@ -282,7 +289,7 @@ def _frame_call(action: QMAction, cfg: ChainConfig, cb: int, np_: int, interpret
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[blk(), col(), col(), col()],
-        out_specs=(blk(), col(), blk(), blk(), blk(), col(), col()),
+        out_specs=(blk(), col(), blk(), blk(), blk(), blk(), col(), col()),
     )
     return pl.pallas_call(
         kernel,
@@ -323,14 +330,14 @@ def chain_frame_pallas(
     call = _frame_call(action, cfg, cb, np_, interpret)
 
     scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
-    f, om, xs, xxs, x2s, lrg, unst = call(
+    f, om, xs, xxs, x2s, x4s, lrg, unst = call(
         scalars,
         _pad_sites(state.f, np_),
         state.omega[:, None],
         state.lrg_vl[:, None],
         state.dtau[:, None],
     )
-    f, xs, xxs, x2s = (a[:, :N] for a in (f, xs, xxs, x2s))
+    f, xs, xxs, x2s, x4s = (a[:, :N] for a in (f, xs, xxs, x2s, x4s))
     om, lrg = om[:, 0], lrg[:, 0]
     accept = unst[:, 0] == 0
 
@@ -340,6 +347,7 @@ def chain_frame_pallas(
     xm = accum.merge_frame_sum(state.x_mean, xs, cfg.loops, n_new)
     xxm = accum.merge_frame_sum(state.xx0_mean, xxs, cfg.loops, n_new)
     x2m = accum.merge_frame_sum(state.x2_mean, x2s, cfg.loops, n_new)
+    x4m = accum.merge_frame_sum(state.x4_mean, x4s, cfg.loops, n_new)
 
     a1 = accept[:, None]
     sel = lambda new, old: jnp.where(a1, new, old)
@@ -347,6 +355,7 @@ def chain_frame_pallas(
     xm = sel(xm, state.x_mean)
     xxm = sel(xxm, state.xx0_mean)
     x2m = sel(x2m, state.x2_mean)
+    x4m = sel(x4m, state.x4_mean)
     om = jnp.where(accept, om, state.omega)
     lrg = jnp.where(accept, lrg, state.lrg_vl)
     runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
@@ -362,7 +371,7 @@ def chain_frame_pallas(
     stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
 
     new_state = ChainState(
-        f=f, omega=om, x_mean=xm, xx0_mean=xxm, x2_mean=x2m,
+        f=f, omega=om, x_mean=xm, xx0_mean=xxm, x2_mean=x2m, x4_mean=x4m,
         runs=runs, dtau=dtau, stab_cnt=stab_cnt, lrg_vl=lrg,
         spec_mean=state.spec_mean,
         step=state.step + jnp.uint32(cfg.loops),

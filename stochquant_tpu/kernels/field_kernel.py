@@ -50,7 +50,7 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
     def kernel(
         scalars_ref,  # SMEM (3,): seed, step_base, chain_offset
         phi_ref, lrg_ref, dtau_ref,
-        phio_ref, ms_ref, m2s_ref, ams_ref, p2s_ref, acs_ref,
+        phio_ref, ms_ref, m2s_ref, m4s_ref, ams_ref, p2s_ref, acs_ref,
         corro_ref, lrgo_ref, unst_ref,
     ):
         i = pl.program_id(0)
@@ -127,8 +127,10 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
             # frame-local sample SUMS; the shared XLA epilogue merges them
             # into the running means (two-level accumulation, accum.py)
             keep = lambda new, old: jnp.where(unst, old, new)
+            mag2 = mag * mag
             ms_ref[i, 0] = keep(ms_ref[i, 0] + mag, ms_ref[i, 0])
-            m2s_ref[i, 0] = keep(m2s_ref[i, 0] + mag * mag, m2s_ref[i, 0])
+            m2s_ref[i, 0] = keep(m2s_ref[i, 0] + mag2, m2s_ref[i, 0])
+            m4s_ref[i, 0] = keep(m4s_ref[i, 0] + mag2 * mag2, m4s_ref[i, 0])
             ams_ref[i, 0] = keep(ams_ref[i, 0] + jnp.abs(mag), ams_ref[i, 0])
             p2s_ref[i, 0] = keep(p2s_ref[i, 0] + phi2, p2s_ref[i, 0])
             acs_ref[i, 0] = keep(acs_ref[i, 0] + act_d, acs_ref[i, 0])
@@ -160,6 +162,7 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
         unst_ref[i, 0] = 0
         ms_ref[i, 0] = 0.0
         m2s_ref[i, 0] = 0.0
+        m4s_ref[i, 0] = 0.0
         ams_ref[i, 0] = 0.0
         p2s_ref[i, 0] = 0.0
         acs_ref[i, 0] = 0.0
@@ -189,6 +192,7 @@ def _frame_call(action: FieldAction, cfg: FieldConfig, interpret: bool):
         jax.ShapeDtypeStruct((C, L0, L1), jnp.float32),  # phi
         jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ M
         jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ M²
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ M⁴
         jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ |M|
         jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ φ²
         jax.ShapeDtypeStruct((C, 1), jnp.float32),       # frame Σ s
@@ -200,7 +204,7 @@ def _frame_call(action: FieldAction, cfg: FieldConfig, interpret: bool):
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[lat, sca(), sca()],
-        out_specs=(lat_o, sca(), sca(), sca(), sca(), sca(), corr, sca(), sca()),
+        out_specs=(lat_o, sca(), sca(), sca(), sca(), sca(), sca(), corr, sca(), sca()),
     )
     return pl.pallas_call(
         kernel,
@@ -217,13 +221,15 @@ def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig,
     call = _frame_call(action, cfg, interpret)
     scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
     col = lambda v: v[:, None]
-    phi, ms, m2s, ams, p2s, acs, cs, lrg, unst = call(
+    phi, ms, m2s, m4s, ams, p2s, acs, cs, lrg, unst = call(
         scalars,
         state.phi,
         col(state.lrg_vl),
         col(state.dtau),
     )
-    ms, m2s, ams, p2s, acs, lrg = (v[:, 0] for v in (ms, m2s, ams, p2s, acs, lrg))
+    ms, m2s, m4s, ams, p2s, acs, lrg = (
+        v[:, 0] for v in (ms, m2s, m4s, ams, p2s, acs, lrg)
+    )
     cs = cs[:, :, 0]
     accept = unst[:, 0] == 0
 
@@ -235,6 +241,7 @@ def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig,
     n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
     mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
     m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+    m4m = accum.merge_frame_sum(state.mag4_mean, m4s, cfg.loops, n_new)
     amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
     p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
     am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
@@ -242,6 +249,7 @@ def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig,
     sel = lambda new, old: jnp.where(accept, new, old)
     mm = sel(mm, state.mag_mean)
     m2m = sel(m2m, state.mag2_mean)
+    m4m = sel(m4m, state.mag4_mean)
     amm = sel(amm, state.absmag_mean)
     p2m = sel(p2m, state.phi2_mean)
     am = sel(am, state.act_mean)
@@ -260,7 +268,7 @@ def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig,
     stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
 
     new_state = FieldState(
-        phi=phi, mag_mean=mm, mag2_mean=m2m, absmag_mean=amm,
+        phi=phi, mag_mean=mm, mag2_mean=m2m, mag4_mean=m4m, absmag_mean=amm,
         phi2_mean=p2m, act_mean=am, corr_mean=corr,
         runs=runs, dtau=dtau, stab_cnt=stab_cnt, lrg_vl=lrg,
         step=state.step + jnp.uint32(cfg.loops),

@@ -248,14 +248,14 @@ def field_frame_tiled(
     dtau_col = state.dtau[:, None]
 
     def pair_body(carry, _):
-        phi, ms, m2s, ams, p2s, acs, cs, unstable, lrg, step = carry
+        phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step = carry
         scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(step)
         phi2, sl0, sl1, stats = call(scalars, phi, phi, phi, dtau_col)
         sl0, sl1 = sl0[..., 0], sl1[..., 0]
 
         def obs_step(vals, s_slice, st):
             # frame-local sample sums (two-level accumulation, accum.py)
-            ms, m2s, ams, p2s, acs, cs, unstable, lrg = vals
+            ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
             mag = st[:, :, 0].sum(axis=1) / volume
             phi2m = st[:, :, 1].sum(axis=1) / volume
             act_d = st[:, :, 2].sum(axis=1) / volume
@@ -264,29 +264,31 @@ def field_frame_tiled(
             tripped = max_det > lrg
             corr = s_slice * s_slice[:, :1]
             keep = lambda new, old: jnp.where(unstable, old, new)
+            mag2 = mag * mag
             ms = keep(ms + mag, ms)
-            m2s = keep(m2s + mag * mag, m2s)
+            m2s = keep(m2s + mag2, m2s)
+            m4s = keep(m4s + mag2 * mag2, m4s)
             ams = keep(ams + jnp.abs(mag), ams)
             p2s = keep(p2s + phi2m, p2s)
             acs = keep(acs + act_d, acs)
             cs = jnp.where(unstable[:, None], cs, cs + corr)
             lrg = keep(jnp.maximum(lrg, max_new), lrg)
             unstable = unstable | tripped
-            return (ms, m2s, ams, p2s, acs, cs, unstable, lrg)
+            return (ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg)
 
-        vals = (ms, m2s, ams, p2s, acs, cs, unstable, lrg)
+        vals = (ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg)
         vals = obs_step(vals, sl0, stats[:, :, :5])
         vals = obs_step(vals, sl1, stats[:, :, 5:10])
-        ms, m2s, ams, p2s, acs, cs, unstable, lrg = vals
-        return (phi2, ms, m2s, ams, p2s, acs, cs, unstable, lrg, step + 2), None
+        ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
+        return (phi2, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step + 2), None
 
     zc = jnp.zeros((C,), jnp.float32)
     init = (
-        state.phi, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
+        state.phi, zc, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
         jnp.zeros((C,), bool), state.lrg_vl, state.step,
     )
     carry, _ = lax.scan(pair_body, init, None, length=cfg.loops // 2)
-    phi, ms, m2s, ams, p2s, acs, cs, unstable, lrg, step_end = carry
+    phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step_end = carry
 
     accept = ~unstable
     au = accept[:, None, None]
@@ -295,6 +297,7 @@ def field_frame_tiled(
     n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
     mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
     m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+    m4m = accum.merge_frame_sum(state.mag4_mean, m4s, cfg.loops, n_new)
     amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
     p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
     am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
@@ -302,6 +305,7 @@ def field_frame_tiled(
     sel = lambda new, old: jnp.where(accept, new, old)
     mm = sel(mm, state.mag_mean)
     m2m = sel(m2m, state.mag2_mean)
+    m4m = sel(m4m, state.mag4_mean)
     amm = sel(amm, state.absmag_mean)
     p2m = sel(p2m, state.phi2_mean)
     am = sel(am, state.act_mean)
@@ -320,7 +324,7 @@ def field_frame_tiled(
     stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
 
     new_state = FieldState(
-        phi=phi, mag_mean=mm, mag2_mean=m2m, absmag_mean=amm,
+        phi=phi, mag_mean=mm, mag2_mean=m2m, mag4_mean=m4m, absmag_mean=amm,
         phi2_mean=p2m, act_mean=am, corr_mean=cm,
         runs=runs, dtau=dtau, stab_cnt=stab_cnt, lrg_vl=lrg,
         step=step_end,

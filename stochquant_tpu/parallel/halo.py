@@ -206,7 +206,7 @@ def make_halo_runner(
 
     state_spec = FieldState(
         phi=P(ca, *lat_axes_spec),
-        mag_mean=P(ca), mag2_mean=P(ca), absmag_mean=P(ca),
+        mag_mean=P(ca), mag2_mean=P(ca), mag4_mean=P(ca), absmag_mean=P(ca),
         phi2_mean=P(ca), act_mean=P(ca),
         corr_mean=P(ca, lat_axes_spec[0]),
         runs=P(ca), dtau=P(ca), stab_cnt=P(ca), lrg_vl=P(ca), step=P(),
@@ -256,7 +256,7 @@ def make_halo_runner(
             )
 
         def micro_step(carry, eta):
-            phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step = carry
+            phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step = carry
 
             noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
                 (c_local,) + (1,) * ndim
@@ -303,8 +303,10 @@ def make_halo_runner(
             corr = s_slice * s0
 
             # frame-local sample sums (two-level accumulation, accum.py)
+            mag2 = mag * mag
             ms2 = ms + mag
-            m2s2 = m2s + mag * mag
+            m2s2 = m2s + mag2
+            m4s2 = m4s + mag2 * mag2
             ams2 = ams + jnp.abs(mag)
             p2s2 = p2s + phi2
             acs2 = acs + act_d
@@ -319,13 +321,14 @@ def make_halo_runner(
             keep = lambda new, old: jnp.where(unstable, old, new)
             ms = keep(ms2, ms)
             m2s = keep(m2s2, m2s)
+            m4s = keep(m4s2, m4s)
             ams = keep(ams2, ams)
             p2s = keep(p2s2, p2s)
             acs = keep(acs2, acs)
             cs = jnp.where(unstable[:, None], cs, cs2)
             lrgvl = jnp.where(unstable, lrgvl, lrgvl2)
             unstable = unstable | tripped
-            return (phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step + 1)
+            return (phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step + 1)
 
         def pair_step(carry, _):
             e0, e1 = noise_pair(carry[-1])
@@ -335,14 +338,14 @@ def make_halo_runner(
 
         zc = jnp.zeros((c_local,), dtype)
         init = (
-            state.phi, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
+            state.phi, zc, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
             jnp.zeros((c_local,), bool), state.lrg_vl, state.step,
         )
         carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
         if cfg.loops % 2:
             e0, _ = noise_pair(carry[-1])
             carry = micro_step(carry, e0.astype(dtype))
-        phi, ms, m2s, ams, p2s, acs, cs, unstable, lrgvl, step_end = carry
+        phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step_end = carry
 
         accept = ~unstable
         au = accept.reshape((c_local,) + (1,) * ndim)
@@ -351,6 +354,7 @@ def make_halo_runner(
         n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32).astype(dtype)
         mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
         m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+        m4m = accum.merge_frame_sum(state.mag4_mean, m4s, cfg.loops, n_new)
         amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
         p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
         am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
@@ -358,6 +362,7 @@ def make_halo_runner(
         sel = lambda new, old: jnp.where(accept, new, old)
         mm = sel(mm, state.mag_mean)
         m2m = sel(m2m, state.mag2_mean)
+        m4m = sel(m4m, state.mag4_mean)
         amm = sel(amm, state.absmag_mean)
         p2m = sel(p2m, state.phi2_mean)
         am = sel(am, state.act_mean)
@@ -376,7 +381,8 @@ def make_halo_runner(
         stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
 
         new_state = FieldState(
-            phi=phi, mag_mean=mm, mag2_mean=m2m, absmag_mean=amm,
+            phi=phi, mag_mean=mm, mag2_mean=m2m, mag4_mean=m4m,
+            absmag_mean=amm,
             phi2_mean=p2m, act_mean=am, corr_mean=cm,
             runs=runs, dtau=dtau, stab_cnt=stab_cnt, lrg_vl=lrgvl, step=step_end,
         )

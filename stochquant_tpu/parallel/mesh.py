@@ -44,6 +44,7 @@ def chain_state_sharding(mesh: Mesh, chain_axis: Optional[str]) -> ChainState:
     rep = NamedSharding(mesh, P())
     return ChainState(
         f=mat, omega=row, x_mean=mat, xx0_mean=mat, x2_mean=mat,
+        x4_mean=mat,
         runs=row, dtau=row, stab_cnt=row, lrg_vl=row, spec_mean=mat, step=rep,
     )
 
@@ -66,7 +67,7 @@ def field_state_sharding(
     phi = NamedSharding(mesh, P(ca, *lat))
     corr = NamedSharding(mesh, P(ca, lat[0]))
     return FieldState(
-        phi=phi, mag_mean=row, mag2_mean=row, absmag_mean=row,
+        phi=phi, mag_mean=row, mag2_mean=row, mag4_mean=row, absmag_mean=row,
         phi2_mean=row, act_mean=row, corr_mean=corr,
         runs=row, dtau=row, stab_cnt=row, lrg_vl=row, step=rep,
     )

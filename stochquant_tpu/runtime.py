@@ -538,6 +538,9 @@ def run_field(
             "susceptibility": float(
                 np.asarray(field_mod.susceptibility(state, volume)).mean()
             ),
+            "binder": float(
+                np.asarray(field_mod.binder_cumulant(state)).mean()
+            ),
         }
         sink.frame(
             frames_done - 1,

@@ -45,8 +45,8 @@ def place(path_leaf_spec):
 from stochquant_tpu.parallel.mesh import chain_state_sharding
 specs = langevin.ChainState(
     f=P("chain"), omega=P("chain"), x_mean=P("chain"), xx0_mean=P("chain"),
-    x2_mean=P("chain"), runs=P("chain"), dtau=P("chain"), stab_cnt=P("chain"),
-    lrg_vl=P("chain"), spec_mean=P("chain"), step=P(),
+    x2_mean=P("chain"), x4_mean=P("chain"), runs=P("chain"), dtau=P("chain"),
+    stab_cnt=P("chain"), lrg_vl=P("chain"), spec_mean=P("chain"), step=P(),
 )
 # make_array_from_process_local_data takes each process's OWN shard of the
 # chain axis
@@ -148,7 +148,7 @@ if phase == "first":
     state = langevin.init_chain_state(cfg, act)
     specs = langevin.ChainState(
         f=P("chain"), omega=P("chain"), x_mean=P("chain"), xx0_mean=P("chain"),
-        x2_mean=P("chain"), runs=P("chain"), dtau=P("chain"),
+        x2_mean=P("chain"), x4_mean=P("chain"), runs=P("chain"), dtau=P("chain"),
         stab_cnt=P("chain"), lrg_vl=P("chain"), spec_mean=P("chain"), step=P())
     per, off = distributed.process_local_chains(cfg.n_chains)
     def place(leaf, spec):

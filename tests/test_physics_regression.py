@@ -157,3 +157,60 @@ def test_config2_full_scale_x2_and_gap():
     assert abs(fit.gap - gap_exact) < 5 * fit.gap_err + 0.05, (
         fit.gap, gap_exact, fit.gap_err
     )
+
+
+def test_anharmonic_schwinger_dyson_identity():
+    """Lattice Schwinger–Dyson (virial) identity ⟨x_i·∂S/∂x_i⟩ = 1 per site:
+    the kinetic part comes from the translation-averaged correlator
+    (2C(0) − 2C(1)) and the potential part needs the new ⟨x⁴⟩ moment —
+    an independent stationarity gate on the sampled distribution."""
+    from stochquant_tpu.config import Scheme
+
+    cfg = ChainConfig(
+        action="anharmonic", n_sites=64, dt=0.25, dtau=0.01, n_chains=64,
+        loops=200, bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT, scheme=Scheme.LM, seed=8,
+        accumulate_spectrum=True, grow_after=10**9,
+    )
+    act = actions.get(cfg.action)
+    state = langevin.init_chain_state(cfg, act)
+    state, _ = langevin.run_frames(state, act, cfg, 20)
+    state = langevin.reset_means(state)
+    state, metrics = langevin.run_frames(state, act, cfg, 100)
+    assert np.asarray(metrics["stable"])[-1].all()
+
+    corr = np.asarray(
+        langevin.translation_averaged_correlator(state), np.float64
+    )  # (C, N), C(Δ)
+    x4 = np.asarray(state.x4_mean, np.float64).mean(axis=1)  # (C,)
+    c0 = corr[:, 0]
+    c1 = corr[:, 1]
+    sd = (act.mass / cfg.dt) * (2.0 * c0 - 2.0 * c1) + cfg.dt * (
+        act.mu2 * c0 + 4.0 * act.lam * x4
+    )
+    mean, err = sd.mean(), sd.std() / np.sqrt(cfg.n_chains)
+    assert abs(mean - 1.0) < 6 * err + 5e-3, (mean, err)
+
+
+def test_field_binder_cumulant_gaussian_phase():
+    """Free field: M is exactly Gaussian, so ⟨M⁴⟩ = 3⟨M²⟩² and the Binder
+    cumulant U = 1 − ⟨M⁴⟩/(3⟨M²⟩²) must vanish within statistics."""
+    from stochquant_tpu.actions import phi4 as phi4_mod
+    from stochquant_tpu.integrators import field as field_mod
+
+    from stochquant_tpu.config import FieldConfig
+
+    cfg = FieldConfig(
+        action="free_field", shape=(16, 16), dtau=0.02, n_chains=64,
+        loops=100, seed=9, grow_after=10**9,
+    )
+    act = phi4_mod.get_field(cfg.action)
+    state = field_mod.init_field_state(cfg)
+    state, _ = field_mod.run_field_frames(state, act, cfg, 10)
+    state = field_mod.reset_field_means(state)
+    state, metrics = field_mod.run_field_frames(state, act, cfg, 60)
+    assert np.asarray(metrics["stable"])[-1].all()
+
+    u = np.asarray(field_mod.binder_cumulant(state), np.float64)
+    mean, err = u.mean(), u.std() / np.sqrt(cfg.n_chains)
+    assert abs(mean) < 6 * err + 0.02, (mean, err)
