@@ -103,16 +103,16 @@ def test_checkerboard_free_field_stationary():
         shape=(16, 16),
         dtau=0.01,
         n_chains=64,
-        loops=200,
+        loops=100,
         seed=6,
         grow_after=10**9,
         sweep=Sweep.CHECKERBOARD,
     )
     act = phi4.get_field("free_field", m2=1.0)
     state = field.init_field_state(cfg)
-    state, _ = field.run_field_frames(state, act, cfg, 15)
+    state, _ = field.run_field_frames(state, act, cfg, 12)
     state = field.reset_field_means(state)
-    state, m = field.run_field_frames(state, act, cfg, 45)
+    state, m = field.run_field_frames(state, act, cfg, 30)
     assert np.all(np.asarray(m["stable"]))
     theory0 = exact.free_field_x2(cfg.shape, cfg.spacing, 1.0, dtau=0.0)
     est = np.asarray(state.phi2_mean, np.float64)

@@ -5,6 +5,7 @@ determinism/resume."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stochquant_tpu.actions import gauge as ga
 from stochquant_tpu.integrators import gauge as gi
@@ -75,9 +76,9 @@ def test_u1_2d_plaquette_matches_bessel():
     )
     act = ga.get_gauge("u1", beta=beta)
     s = gi.init_gauge_state(cfg, act)
-    s, _ = gi.run_gauge_frames(s, act, cfg, 30)
+    s, _ = gi.run_gauge_frames(s, act, cfg, 25)
     s = gi.reset_gauge_means(s)
-    s, m = gi.run_gauge_frames(s, act, cfg, 80)
+    s, m = gi.run_gauge_frames(s, act, cfg, 45)
     assert np.asarray(m["stable"]).all()
 
     want = gi.exact_plaquette_2d("u1", beta)
