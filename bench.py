@@ -224,6 +224,45 @@ def worker() -> None:
     glups_x = time_gauge(lambda s, n: gauge_mod.run_gauge_frames(s, gact, gcfg, n))
     log(f"u1 gauge link-updates/s: kernel {glups_k:.0f} vs XLA {glups_x:.0f} MLUPS")
 
+    # SU(2): quaternion links, same kernel shape (VERDICT r1 item 7 follow-on)
+    g2gate = GaugeConfig(group="su2", beta=2.0, shape=(16, 128), n_chains=4,
+                         dtau=2e-3, loops=10, seed=18, grow_after=10**9)
+    g2act = gauge_mod.resolve_gauge_action(g2gate)
+    g2s0 = gauge_mod.init_gauge_state(g2gate, g2act)
+    g2a, _ = gauge_mod.run_gauge_frames(g2s0, g2act, g2gate, 2)
+    g2b, _ = gauge_kernel.run_gauge_frames_pallas(g2s0, g2act, g2gate, 2,
+                                                  interpret=not on_tpu)
+    su2_gate = float(np.max(np.abs(np.asarray(g2a.links) - np.asarray(g2b.links))))
+    log(f"su2 kernel-vs-XLA max|diff| on this device: {su2_gate:.2e}")
+
+    g2cfg = GaugeConfig(group="su2", beta=2.0, shape=(128, 128),
+                        n_chains=16 if on_tpu else 2, dtau=2e-3,
+                        loops=100 if on_tpu else 4, seed=19, grow_after=10**9)
+    g2act = gauge_mod.resolve_gauge_action(g2cfg)
+    g2state = gauge_mod.init_gauge_state(g2cfg, g2act)
+
+    def time_su2(runner):
+        s, _ = runner(g2state, g_frames)
+        np.asarray(s.drift_max)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            s, _ = runner(g2state, g_frames)
+            np.asarray(s.drift_max)
+            times.append(time.time() - t0)
+        return (
+            g2cfg.n_chains * 2 * 128 * 128 * g2cfg.loops * g_frames
+            / sorted(times)[0] / 1e6
+        )
+
+    glups2_k = time_su2(
+        lambda s, n: gauge_kernel.run_gauge_frames_pallas(
+            s, g2act, g2cfg, n, interpret=not on_tpu
+        )
+    )
+    glups2_x = time_su2(lambda s, n: gauge_mod.run_gauge_frames(s, g2act, g2cfg, n))
+    log(f"su2 gauge link-updates/s: kernel {glups2_k:.0f} vs XLA {glups2_x:.0f} MLUPS")
+
     ref = oracle.run_reference(200, 0.02, 2e-4, frames=5, loops=1000, seed=7)
     ref_mlups = ref.updates_per_sec / 1e6
     log(f"oracle baseline: {ref_mlups:.1f} MLUPS (serial CPU)")
@@ -238,9 +277,14 @@ def worker() -> None:
         "field_runtime_pallas_mlups": round(field_mlups, 1),
         "u1_gauge_kernel_mlups": round(glups_k, 1),
         "u1_gauge_xla_mlups": round(glups_x, 1),
-        "kernel_equals_xla_on_device": kernel_equals_xla and gauge_gate <= 2e-6,
+        "su2_gauge_kernel_mlups": round(glups2_k, 1),
+        "su2_gauge_xla_mlups": round(glups2_x, 1),
+        "kernel_equals_xla_on_device": kernel_equals_xla
+        and gauge_gate <= 2e-6
+        and su2_gate <= 2e-6,
         "kernel_vs_xla_max_abs_diff": {
             "chain": chain_gate, "field": field_gate, "gauge": gauge_gate,
+            "su2": su2_gate,
         },
         "stable_fraction": stable,
     }))

@@ -35,13 +35,13 @@ __all__ = ["run_gauge_frames_pallas", "gauge_frame_pallas", "supports"]
 
 
 def supports(action, cfg: GaugeConfig) -> bool:
-    """The fused kernel covers compact U(1) on 2-D lattices without gauge
-    cooling (the reference surface of the kernel; other groups use the XLA
-    scan path)."""
-    from stochquant_tpu.actions.gauge import U1Wilson
+    """The fused kernels cover compact U(1) and quaternion SU(2) on 2-D
+    lattices without gauge cooling; SU(3)/complexified groups use the XLA
+    scan path."""
+    from stochquant_tpu.actions.gauge import SU2Wilson, U1Wilson
 
     return (
-        type(action) is U1Wilson
+        type(action) in (U1Wilson, SU2Wilson)
         and cfg.ndim == 2
         and not (cfg.cooling_rate > 0.0)
     )
@@ -180,23 +180,203 @@ def _frame_call(action, cfg: GaugeConfig, interpret: bool):
     )
 
 
+def _build_su2_kernel(action, cfg: GaugeConfig):
+    """2-D SU(2) frame kernel: quaternion links as 8 (component, direction)
+    planes of a (1, 8, L0, L1) VMEM block.  Reuses the exact quaternion
+    helpers of actions/gauge.py (qmul/qconj/qexp_su2/qnormalize are pure
+    jnp and lower unchanged in Pallas), so op order matches the XLA
+    integrator."""
+    from stochquant_tpu.actions.gauge import qconj, qexp_su2, qmul, qnormalize
+
+    L0, L1 = cfg.shape
+    f32 = np.float32
+    beta = f32(action.beta)
+    cap = f32(cfg.drift_cap)
+    plane = L0 * L1
+    inv_vol = f32(1.0 / plane)
+
+    def kernel(
+        scalars_ref,  # SMEM (3,): seed, step_base, chain_offset
+        q_ref, dmax_ref, dtau_ref,
+        qo_ref, ps_ref, dmaxo_ref, unst_ref,
+    ):
+        i = pl.program_id(0)
+        seed = scalars_ref[0]
+        step0 = scalars_ref[1]
+        chain = scalars_ref[2] + jnp.uint32(i)
+
+        # noise ids: C-order linearization of (3, D, L0, L1) — exactly
+        # rng.normal_pair_for_shape's counters for the SU(2) noise shape
+        p_idx = lax.broadcasted_iota(jnp.uint32, (1, 6, L0, L1), 1)
+        row = lax.broadcasted_iota(jnp.uint32, (1, 6, L0, L1), 2)
+        col = lax.broadcasted_iota(jnp.uint32, (1, 6, L0, L1), 3)
+        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
+        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
+
+        dtau = dtau_ref[i, 0]
+
+        def roll(x, shift, axis):
+            return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
+
+        def shq(t, d, sign):
+            """quaternion tuple at pos + sign·d̂ (mirrors actions.gauge.shift)."""
+            return tuple(roll(c, -sign, 2 + d) for c in t)
+
+        def substep(eta):
+            q = qo_ref[:]  # (1, 8, L0, L1): plane 2c+μ = component c of dir μ
+            ps = ps_ref[i, 0]
+            dmax = dmaxo_ref[i, 0]
+            unst = unst_ref[i, 0] > 0
+
+            link = lambda mu: tuple(
+                q[:, 2 * c + mu : 2 * c + mu + 1] for c in range(4)
+            )
+            u = [link(0), link(1)]
+
+            # drift, both directions, on the OLD links (synchronous update);
+            # op order mirrors SU2Wilson._staple_sum/drift
+            fs = []
+            for mu, nu in ((0, 1), (1, 0)):
+                u_mu, u_nu = u[mu], u[nu]
+                fwd = qmul(
+                    qmul(shq(u_nu, mu, +1), qconj(shq(u_mu, nu, +1))),
+                    qconj(u_nu),
+                )
+                bwd = qmul(
+                    qmul(
+                        qconj(shq(shq(u_nu, mu, +1), nu, -1)),
+                        qconj(shq(u_mu, nu, -1)),
+                    ),
+                    shq(u_nu, nu, -1),
+                )
+                v = tuple(ff + bb for ff, bb in zip(fwd, bwd))
+                w = qmul(u_mu, v)
+                fs.append(tuple(-0.5 * beta * w[c] for c in (1, 2, 3)))
+
+            # drift norm: max over (direction, sites) of √(Σ_a f_a²)
+            dnorm = jnp.maximum(
+                jnp.max(jnp.sqrt(sum(c * c for c in fs[0]))),
+                jnp.max(jnp.sqrt(sum(c * c for c in fs[1]))),
+            )
+            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+            dtau_eff = dtau * scale
+            namp = jnp.sqrt(2.0 * dtau_eff)
+
+            new_planes = []
+            bad = jnp.zeros((), f32)
+            for mu in (0, 1):
+                om = tuple(
+                    dtau_eff * fs[mu][a]
+                    + namp * eta[:, 2 * a + mu : 2 * a + mu + 1]
+                    for a in range(3)
+                )
+                r = qexp_su2(om[0], om[1], om[2])
+                nq = qnormalize(qmul(r, u[mu]))
+                for c in range(4):
+                    bad = bad + jnp.sum(
+                        jnp.where(jnp.isfinite(nq[c]), f32(0.0), f32(1.0))
+                    )
+                new_planes.append(nq)
+            tripped = bad > 0.0
+            # interleave back to plane layout 2c+μ
+            new_q = jnp.concatenate(
+                [new_planes[mu][c] for c in range(4) for mu in (0, 1)], axis=1
+            )
+
+            # ½Tr plaquette = scalar part, sampled on the pre-update links
+            p = qmul(
+                qmul(u[0], shq(u[1], 0, +1)),
+                qmul(qconj(shq(u[0], 1, +1)), qconj(u[1])),
+            )
+            ps2 = ps + jnp.sum(p[0]) * inv_vol
+            dmax2 = jnp.maximum(dmax, dnorm)
+
+            qo_ref[:] = jnp.where(unst, q, new_q)
+            ps_ref[i, 0] = jnp.where(unst, ps, ps2)
+            dmaxo_ref[i, 0] = jnp.where(unst, dmax, dmax2)
+            unst_ref[i, 0] = jnp.where(unst | tripped, 1, 0)
+
+        def normal_pair(step):
+            b0, b1 = rng.threefry2x32(seed, k1, site, step)
+            u1 = rng.uniform_from_bits(b0)
+            u2 = rng.uniform_from_bits(b1)
+            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+            theta = f32(rng._TWO_PI) * u2
+            return r * jnp.cos(theta), r * jnp.sin(theta)
+
+        def pair_body(k, _):
+            step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
+            z0, z1 = normal_pair(step)
+            substep(z0)
+            substep(z1)
+            return 0
+
+        qo_ref[:] = q_ref[:]
+        ps_ref[i, 0] = 0.0
+        dmaxo_ref[i, 0] = dmax_ref[i, 0]
+        unst_ref[i, 0] = 0
+        lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
+        if cfg.loops % 2:
+            step = step0 + jnp.uint32(cfg.loops - 1)
+            z0, _ = normal_pair(step)
+            substep(z0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _frame_call_su2(action, cfg: GaugeConfig, interpret: bool):
+    kernel = _build_su2_kernel(action, cfg)
+    C = cfg.n_chains
+    L0, L1 = cfg.shape
+    lat = pl.BlockSpec(
+        (1, 8, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((C, 8, L0, L1), jnp.float32),  # links (planes)
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),          # frame Σ ⟨½Tr P⟩
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),          # drift max
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),            # unstable
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[lat, sca(), sca()],
+        out_specs=(lat, sca(), sca(), sca()),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret
+    )
+
+
 def gauge_frame_pallas(state: GaugeState, action, cfg: GaugeConfig, *, interpret=False):
     """One frame through the fused U(1) kernel + the exact XLA epilogue of
     integrators/gauge.py's frame (accept/reject, adaptive Δτ, merge)."""
     if not supports(action, cfg):
         raise ValueError(
-            "gauge kernel supports 2-D compact u1 without cooling; use the "
-            "XLA path (integrators.gauge.run_gauge_frames) otherwise"
+            "gauge kernel supports 2-D compact u1/su2 without cooling; use "
+            "the XLA path (integrators.gauge.run_gauge_frames) otherwise"
         )
+    from stochquant_tpu.actions.gauge import SU2Wilson
+
     C = cfg.n_chains
-    call = _frame_call(action, cfg, interpret)
+    su2 = isinstance(action, SU2Wilson)
+    if su2:
+        call = _frame_call_su2(action, cfg, interpret)
+        links_in = state.links.reshape((C, 8) + tuple(cfg.shape))
+    else:
+        call = _frame_call(action, cfg, interpret)
+        links_in = state.links
     scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
     links, ps, dmax, unst = call(
         scalars,
-        state.links,
+        links_in,
         state.drift_max[:, None],
         state.dtau[:, None],
     )
+    if su2:
+        links = links.reshape((C, 4, 2) + tuple(cfg.shape))
     ps, dmax = ps[:, 0], dmax[:, 0]
     accept = unst[:, 0] == 0
 

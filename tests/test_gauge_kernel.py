@@ -58,7 +58,7 @@ def test_kernel_rejects_unsupported_configs():
     from stochquant_tpu.integrators.gauge import init_gauge_state
 
     for bad in (
-        _cfg(group="su2"),
+        _cfg(group="su3", shape=(8, 8)),
         _cfg(shape=(4, 4, 4, 4)),
         _cfg(group="cu1", beta_im=0.2, cooling_rate=0.05),
     ):
@@ -67,3 +67,43 @@ def test_kernel_rejects_unsupported_configs():
         s0 = init_gauge_state(bad, act)
         with pytest.raises(ValueError, match="gauge kernel supports"):
             gauge_kernel.gauge_frame_pallas(s0, act, bad, interpret=True)
+
+
+def test_su2_kernel_matches_xla_path():
+    """Quaternion SU(2) kernel vs the group-agnostic XLA integrator: same
+    Threefry counters, same qmul/qexp op order -> matching trajectories."""
+    cfg = _cfg(group="su2", beta=2.0, shape=(8, 128), n_chains=2, loops=8,
+               dtau=2e-3)
+    act = gauge_mod.resolve_gauge_action(cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    ref, ref_m = gauge_mod.run_gauge_frames(s0, act, cfg, 3)
+    out, out_m = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 3, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref_m["stable"]), np.asarray(out_m["stable"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.links), np.asarray(out.links), rtol=2e-6, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.plaq_mean), np.asarray(out.plaq_mean), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.drift_max), np.asarray(out.drift_max), rtol=2e-6, atol=0
+    )
+
+
+def test_su2_kernel_hot_start_and_odd_loops():
+    cfg = _cfg(group="su2", beta=1.5, shape=(8, 128), n_chains=2, loops=5,
+               dtau=2e-3, hot_start=True)
+    act = gauge_mod.resolve_gauge_action(cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    ref, _ = gauge_mod.run_gauge_frames(s0, act, cfg, 2)
+    out, _ = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ref.links), np.asarray(out.links), rtol=2e-6, atol=2e-6
+    )
+    # links stay unit quaternions
+    import jax.numpy as jnp
+
+    norm = np.asarray(jnp.sum(out.links**2, axis=1))
+    np.testing.assert_allclose(norm, 1.0, atol=1e-5)
