@@ -295,12 +295,38 @@ def _restore_array(a: np.ndarray):
     return _leaf_to_device(a)
 
 
+# moment channels added in r2; older checkpoints lack them.  Backfilled with
+# zeros shaped like the paired second moment — the restored trajectory and
+# all other observables stay bitwise continuous, but the backfilled fourth
+# moment is only unbiased after a reset_*_means (warned).
+_MOMENT_BACKFILL = {"x4_mean": "x2_mean", "mag4_mean": "mag2_mean"}
+
+
 def load(path):
     """Returns (state, cfg)."""
+    backfilled = []
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
         cls, cfg_cls = _KIND[meta["kind"]]
-        leaves = [z[f"state_{name}"] for name in cls._fields]
+        leaves = []
+        for name in cls._fields:
+            key = f"state_{name}"
+            if key in z:
+                leaves.append(z[key])
+            elif name in _MOMENT_BACKFILL:
+                leaves.append(np.zeros_like(z[f"state_{_MOMENT_BACKFILL[name]}"]))
+                backfilled.append(name)
+            else:
+                raise KeyError(f"checkpoint {path} is missing leaf {name!r}")
+    if backfilled:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path} predates the {backfilled} channel(s); "
+            "backfilled with zeros — the fourth-moment estimates are only "
+            "unbiased after the next reset of the running means",
+            stacklevel=2,
+        )
     cfg = cfg_cls.from_json(meta["config"])
     state = cls(*[_leaf_to_device(a) for a in leaves])
     return state, cfg

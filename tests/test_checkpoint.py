@@ -104,3 +104,42 @@ def test_export_reference_roundtrip(tmp_path):
     d = reference_fmt.read(p, 16)
     np.testing.assert_allclose(d["f"], np.asarray(s.f)[1], rtol=1e-7)
     assert d["runs"] == int(np.asarray(s.runs)[1])
+
+
+def test_load_backfills_pre_r2_moment_channels(tmp_path):
+    """Checkpoints written before the <x^4>/<M^4> channels existed must still
+    load: missing moment leaves are zero-backfilled (with a warning), and
+    the trajectory resumes bitwise."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from stochquant_tpu import actions
+    from stochquant_tpu.config import ChainConfig
+    from stochquant_tpu.integrators import langevin
+    from stochquant_tpu.io import checkpoint as ckpt
+
+    cfg = ChainConfig(action="harmonic", n_sites=16, dt=0.2, dtau=1e-3,
+                      n_chains=2, loops=10, seed=33)
+    act = actions.get(cfg.action)
+    state, _ = langevin.run_frames(langevin.init_chain_state(cfg, act), act, cfg, 2)
+    p = tmp_path / "new.npz"
+    ckpt.save(p, state, cfg)
+
+    # rewrite the file without the r2 moment channel (simulating r1 format)
+    z = dict(np.load(p))
+    del z["state_x4_mean"]
+    with open(tmp_path / "old.npz", "wb") as fh:
+        np.savez(fh, **z)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loaded, lcfg = ckpt.load(tmp_path / "old.npz")
+    assert any("x4_mean" in str(x.message) for x in w)
+    assert lcfg == cfg
+    np.testing.assert_array_equal(np.asarray(loaded.x4_mean), 0.0)
+    np.testing.assert_array_equal(np.asarray(loaded.f), np.asarray(state.f))
+    # resumes and runs
+    cont, _ = langevin.run_frames(loaded, act, cfg, 1)
+    ref, _ = langevin.run_frames(state, act, cfg, 1)
+    np.testing.assert_array_equal(np.asarray(cont.f), np.asarray(ref.f))
