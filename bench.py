@@ -181,6 +181,24 @@ def worker() -> None:
     log(f"field product path (256^2 x {fcfg.n_chains} chains): "
         f"{field_mlups:.0f} MLUPS")
 
+    field_hw_mlups = 0.0
+    if on_tpu:
+        import dataclasses as _dc
+
+        fhw = _dc.replace(fcfg, rng_impl="hardware")
+        runtime.run_field(fhw, backend="pallas",
+                          sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")))
+        fh_times = []
+        for _ in range(2):
+            t0 = time.time()
+            runtime.run_field(
+                fhw, backend="pallas",
+                sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")),
+            )
+            fh_times.append(time.time() - t0)
+        field_hw_mlups = f_updates / min(fh_times) / 1e6
+        log(f"field product path, hardware PRNG: {field_hw_mlups:.0f} MLUPS")
+
     # --- U(1) gauge fast path: fused link-update kernel (VERDICT r1 item 7)
     from stochquant_tpu.integrators import gauge as gauge_mod
     from stochquant_tpu.integrators.gauge import GaugeConfig
@@ -277,6 +295,7 @@ def worker() -> None:
         "threefry_mlups": round(mlups_tf, 1),
         "config2_anharmonic_mlups": round(mlups_c2, 1),
         "field_runtime_pallas_mlups": round(field_mlups, 1),
+        "field_runtime_hw_prng_mlups": round(field_hw_mlups, 1),
         "u1_gauge_kernel_mlups": round(glups_k, 1),
         "u1_gauge_xla_mlups": round(glups_x, 1),
         "su2_gauge_kernel_mlups": round(glups2_k, 1),

@@ -122,6 +122,12 @@ class FieldConfig:
     shape: Tuple[int, ...] = (256, 256)    # lattice sites per dimension
     spacing: float = 1.0                   # lattice spacing a (isotropic)
     sweep: "Sweep" = Sweep.SYNC
+    rng_impl: str = "threefry"
+    # "threefry": counter-based, layout-invariant (the default contract).
+    # "hardware": pltpu.prng_random_bits in the fused field kernels —
+    #   faster, deterministic for a fixed (seed, chain) assignment, but
+    #   trajectories differ from the threefry path and are not
+    #   layout-invariant; ignored by the XLA/halo paths.
     dtau: float = 0.01
     n_chains: int = 1
     noise_amp: float = 1.0

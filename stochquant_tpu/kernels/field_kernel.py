@@ -141,8 +141,19 @@ def _build_kernel(action: FieldAction, cfg: FieldConfig):
             lrgo_ref[i, 0] = jnp.where(unst, lrg, lrg2)
             unst_ref[i, 0] = jnp.where(unst | tripped, 1, 0)
 
+        hw_rng = cfg.rng_impl == "hardware"
+        if hw_rng:
+            # one seed per (chain program, frame): deterministic for a fixed
+            # chain assignment; rejected frames reseed (step0 advances
+            # regardless) — same contract as the chain kernel's fast path
+            pltpu.prng_seed(seed + chain * jnp.uint32(2654435761), step0)
+
         def normal_pair(step):
-            b0, b1 = rng.threefry2x32(seed, k1, site, step)
+            if hw_rng:
+                b0 = pltpu.bitcast(pltpu.prng_random_bits(site.shape), jnp.uint32)
+                b1 = pltpu.bitcast(pltpu.prng_random_bits(site.shape), jnp.uint32)
+            else:
+                b0, b1 = rng.threefry2x32(seed, k1, site, step)
             u1 = rng.uniform_from_bits(b0)
             u2 = rng.uniform_from_bits(b1)
             r = jnp.sqrt(f32(-2.0) * jnp.log(u1))

@@ -240,6 +240,13 @@ def field_frame_tiled(
         raise ValueError("tiled kernel supports 2-D lattices")
     if cfg.loops % 2:
         raise ValueError("tiled kernel needs an even loops count (pair launches)")
+    if cfg.rng_impl == "hardware":
+        raise ValueError(
+            "the tiled kernel requires counter-based noise: halo rows are "
+            "recomputed redundantly in neighboring strips, which only agrees "
+            "when noise is a pure function of (site, step) — use "
+            "rng_impl='threefry' or the whole-lattice kernel"
+        )
     C = cfg.n_chains
     L0, L1 = cfg.shape
     T0 = tile_rows or cfg.tile_rows or min(L0, 256)

@@ -48,3 +48,62 @@ def test_field_kernel_rejects_non_2d():
     act = phi4.get_field("phi4")
     with pytest.raises(ValueError):
         field_kernel._build_kernel(act, cfg)
+
+
+def test_field_hardware_rng_statistics():
+    """Hardware-PRNG fast path (TPU-only): trajectories differ from the
+    Threefry contract by design, but the free-field stationary ⟨φ²⟩ must
+    match the exact propagator sum, and runs must be reproducible for a
+    fixed seed + chain assignment."""
+    import jax
+    import pytest
+
+    if jax.devices()[0].platform == "cpu":
+        pytest.skip("hardware PRNG path requires a TPU")
+
+    import numpy as np
+
+    from stochquant_tpu.actions import phi4 as phi4_mod
+    from stochquant_tpu.config import FieldConfig
+    from stochquant_tpu.integrators import field as field_mod
+    from stochquant_tpu.kernels import field_kernel
+    from stochquant_tpu.observables import exact
+
+    cfg = FieldConfig(action="free_field", shape=(128, 128), dtau=0.05,
+                      n_chains=8, loops=100, seed=3, grow_after=10**9,
+                      rng_impl="hardware")
+    act = phi4_mod.get_field("free_field", m2=1.0)
+    s = field_mod.init_field_state(cfg)
+    s, _ = field_kernel.run_field_frames_pallas(s, act, cfg, 10)
+    s = field_mod.reset_field_means(s)
+    s, m = field_kernel.run_field_frames_pallas(s, act, cfg, 30)
+    assert np.asarray(m["stable"])[-1].all()
+    theory = exact.free_field_x2(cfg.shape, cfg.spacing, 1.0, dtau=cfg.dtau)
+    est = np.asarray(s.phi2_mean, np.float64)
+    err = est.std() / np.sqrt(cfg.n_chains)
+    assert abs(est.mean() - theory) < 6 * err + 1e-3, (est.mean(), theory)
+    a, _ = field_kernel.run_field_frames_pallas(
+        field_mod.init_field_state(cfg), act, cfg, 2
+    )
+    b, _ = field_kernel.run_field_frames_pallas(
+        field_mod.init_field_state(cfg), act, cfg, 2
+    )
+    np.testing.assert_array_equal(np.asarray(a.phi), np.asarray(b.phi))
+
+
+def test_tiled_rejects_hardware_rng():
+    import dataclasses
+
+    import pytest
+
+    from stochquant_tpu.actions import phi4 as phi4_mod
+    from stochquant_tpu.config import FieldConfig
+    from stochquant_tpu.integrators import field as field_mod
+    from stochquant_tpu.kernels import field_kernel_tiled as fkt
+
+    cfg = FieldConfig(action="phi4", shape=(16, 128), loops=4, n_chains=1,
+                      tile_rows=8, rng_impl="hardware")
+    act = phi4_mod.get_field(cfg.action)
+    s0 = field_mod.init_field_state(cfg)
+    with pytest.raises(ValueError, match="counter-based"):
+        fkt.field_frame_tiled(s0, act, cfg, tile_rows=8, interpret=True)
