@@ -281,7 +281,10 @@ def binder_cumulant(state: FieldState) -> jax.Array:
     phase, → 2/3 in the broken phase; its lattice-size crossing locates the
     critical coupling."""
     m2 = state.mag2_mean
-    return 1.0 - state.mag4_mean / jnp.maximum(3.0 * m2 * m2, 1e-300)
+    # dtype-aware floor: a literal like 1e-300 underflows to 0 in float32,
+    # making the guard a no-op (fresh/reset means would yield NaN/Inf)
+    floor = jnp.finfo(m2.dtype).tiny
+    return 1.0 - state.mag4_mean / jnp.maximum(3.0 * m2 * m2, floor)
 
 
 def reset_field_means(state: FieldState) -> FieldState:

@@ -73,6 +73,30 @@ def _leaf_to_device(a: np.ndarray):
     return jax.jit(lax.complex)(jnp.asarray(a.real.copy()), jnp.asarray(a.imag.copy()))
 
 
+def _prune_stale_shards(path, keep_count=None) -> None:
+    """Delete ``{path}.proc*-of-*.npz`` files from a previous generation.
+
+    A checkpoint re-saved under a different process count (or re-saved as a
+    single file) must not leave old shard files behind: stale ``proc0-of-4``
+    sorts after fresh ``proc0-of-2`` and would silently win in the loader,
+    and a leftover shard makes ``is_sharded_checkpoint`` prefer stale sharded
+    state over a fresh single-file save.  ``keep_count`` preserves the
+    current generation's ``*-of-{keep_count}`` files.  Multi-process safe:
+    concurrent deleters tolerate already-gone files."""
+    import glob as glob_mod
+    import os
+    import re
+
+    for f in glob_mod.glob(f"{glob_mod.escape(str(path))}.proc*-of-*.npz"):
+        m = re.search(r"\.proc\d+-of-(\d+)\.npz$", f)
+        if m and keep_count is not None and int(m.group(1)) == keep_count:
+            continue
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass  # another process pruned it first
+
+
 def save(path, state: Union[ChainState, FieldState], cfg, *, frames_done=None) -> None:
     """Write the full state + config (and, when given, the completed-frame
     count — the authoritative resume progress: the step-counter heuristic
@@ -88,6 +112,8 @@ def save(path, state: Union[ChainState, FieldState], cfg, *, frames_done=None) -
     payload["meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     with open(path, "wb") as fh:
         np.savez(fh, **payload)
+    # a single-file save supersedes any earlier sharded generation at `path`
+    _prune_stale_shards(path, keep_count=None)
 
 
 def read_meta(path) -> dict:
@@ -229,6 +255,9 @@ def save_sharded(path, state, cfg, *, frames_done=None) -> str:
     out = shard_path(path)
     with open(out, "wb") as fh:
         np.savez(fh, **payload)
+    # drop shards from any earlier generation saved under a different
+    # process count (they would mix with — and could shadow — this save)
+    _prune_stale_shards(path, keep_count=jax.process_count())
     return out
 
 
@@ -258,6 +287,16 @@ def load_sharded(path, mesh):
                     continue
                 name, key = k[len("shard_"):].rsplit("__", 1)
                 shards.setdefault(name, {})[key] = z[k]
+    # all shard files must come from ONE save generation: mixing files
+    # written under different process counts (or format versions) would
+    # silently interleave stale and fresh arrays per key
+    gens = {(m.get("version"), m.get("process_count")) for m in metas}
+    if len(gens) > 1:
+        raise ValueError(
+            f"checkpoint {path}: mixed shard generations "
+            f"{sorted(gens)} — files from different saves (version, "
+            "process_count) found; delete the stale ones"
+        )
     meta = metas[0]
     cls, cfg_cls = _KIND[meta["kind"]]
     cfg = cfg_cls.from_json(meta["config"])

@@ -186,7 +186,7 @@ def make_halo_runner(
 
     laplacian = laplacian_overlapped if overlap else laplacian_blocking
 
-    def action_density_local(phi):
+    def action_density_overlapped(phi):
         """Local block's action density (forward differences), with the same
         overlap structure: bulk forward-diffs run on local rolls while the
         right-edge halos fly, then only the last slice per exchanged dim is
@@ -203,6 +203,22 @@ def make_halo_runner(
             diff = up - phi
             kin = kin + 0.5 * diff * diff * inv_a2
         return kin + action.V(phi)
+
+    def action_density_blocking(phi):
+        """Non-overlapped reference: the forward-difference neighbours come
+        from halo_shifted (concatenate-then-diff), keeping the halo values on
+        the critical path of every site — so the bench_halo A/B comparison
+        isolates the *full* overlap effect (the laplacian's and this one's)."""
+        kin = jnp.zeros_like(phi)
+        for d in range(ndim):
+            up, _ = halo_shifted(phi, d + 1, lat_axes_spec[d])
+            diff = up - phi
+            kin = kin + 0.5 * diff * diff * inv_a2
+        return kin + action.V(phi)
+
+    action_density_local = (
+        action_density_overlapped if overlap else action_density_blocking
+    )
 
     state_spec = FieldState(
         phi=P(ca, *lat_axes_spec),

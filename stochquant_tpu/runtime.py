@@ -135,15 +135,30 @@ def run_chain(
     resume_progress: with checkpoint_in, count the checkpoint's completed
     frames toward cfg.frames instead of running cfg.frames more.
     """
+    from stochquant_tpu.config import Scheme
+
     act = actions_mod.get(cfg.action)
     sink = sink or metrics_mod.MetricsSink()
     on_tpu = jax.devices()[0].platform != "cpu"
+    # spectrum accumulation (FFT) and the LM scheme are XLA-path features
+    kernel_ok = not cfg.accumulate_spectrum and cfg.scheme != Scheme.LM
     if backend == "auto":
-        from stochquant_tpu.config import Scheme
-
-        # spectrum accumulation (FFT) and the LM scheme are XLA-path features
-        kernel_ok = not cfg.accumulate_spectrum and cfg.scheme != Scheme.LM
         backend = "pallas" if (on_tpu and kernel_ok) else "xla"
+    elif backend == "pallas":
+        # explicit kernel requests fail loudly instead of silently dropping
+        # features (the auto path guards these; explicit must too)
+        if cfg.accumulate_spectrum:
+            raise ValueError(
+                "backend='pallas' cannot accumulate the power spectrum "
+                "(no FFT in the fused kernel); use backend='xla'"
+            )
+        if cfg.scheme == Scheme.LM:
+            raise ValueError(
+                "backend='pallas' does not implement the LM scheme; use "
+                "backend='xla'"
+            )
+    elif backend != "xla":
+        raise ValueError(f"unknown chain backend {backend!r}")
 
     if checkpoint_in:
         state, loaded_cfg = ckpt_mod.load(checkpoint_in)
@@ -417,6 +432,9 @@ def select_field_backend(cfg: FieldConfig, backend: str, on_tpu: bool, use_halo:
         )
         if needs_tiled and cfg.loops % 2:
             return "xla"  # the tiled kernel launches micro-step *pairs*
+        if needs_tiled and cfg.rng_impl == "hardware":
+            return "xla"  # the tiled kernel is threefry-only (its strip
+            # revisits per micro-step can't replay a sequential HW stream)
         backend = "pallas" if on_tpu else "xla"
     if backend == "xla":
         return "xla"
@@ -440,6 +458,11 @@ def select_field_backend(cfg: FieldConfig, backend: str, on_tpu: bool, use_halo:
         backend = "pallas_tiled"
     if backend == "pallas_tiled" and cfg.loops % 2:
         raise ValueError("the tiled field kernel needs an even cfg.loops")
+    if backend == "pallas_tiled" and cfg.rng_impl == "hardware":
+        raise ValueError(
+            "the tiled field kernel supports rng_impl='threefry' only; use "
+            "the whole-lattice kernel or backend='xla'"
+        )
     return backend
 
 

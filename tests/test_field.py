@@ -135,3 +135,16 @@ def test_checkerboard_updates_all_sites():
     s1, _ = field.run_field_frames(s0, act, cfg, 1)
     moved = np.asarray(s1.phi) != np.asarray(s0.phi)
     assert moved.all()  # every site got its own noise kick
+
+
+def test_binder_cumulant_finite_on_fresh_state():
+    """mag2_mean == 0 (fresh init / right after a means reset) must not
+    yield NaN/Inf: the old 1e-300 guard underflowed to 0 in float32
+    (ADVICE r2 low #2)."""
+    import jax.numpy as jnp
+
+    cfg = FieldConfig(action="phi4", shape=(8, 8), n_chains=4)
+    state = field.init_field_state(cfg)
+    assert state.mag2_mean.dtype == jnp.float32
+    u = np.asarray(field.binder_cumulant(state))
+    assert np.all(np.isfinite(u)), u

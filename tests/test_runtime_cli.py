@@ -224,6 +224,37 @@ def test_field_backend_routing():
     # odd loops cannot run the pair-launch tiled kernel: auto falls back to xla
     odd = FieldConfig(action="phi4", shape=(1024, 1024), loops=5)
     assert sel(odd, "auto", on_tpu=True, use_halo=False) == "xla"
+    # the tiled kernel is threefry-only: auto must not route a hardware-RNG
+    # config into a frame-time ValueError (ADVICE r2 medium #2)
+    hw_big = FieldConfig(
+        action="phi4", shape=(1024, 1024), loops=4, rng_impl="hardware"
+    )
+    assert sel(hw_big, "auto", on_tpu=True, use_halo=False) == "xla"
+    with pytest.raises(ValueError, match="threefry"):
+        sel(hw_big, "pallas_tiled", on_tpu=True, use_halo=False)
+
+
+def test_chain_backend_explicit_validation():
+    """Explicit backend='pallas' with kernel-unsupported features must raise,
+    not silently drop the feature (ADVICE r2 low #1)."""
+    import pytest
+
+    from stochquant_tpu.config import Scheme
+
+    spec = ChainConfig(
+        action="harmonic", n_sites=8, n_chains=2, loops=2, frames=1,
+        accumulate_spectrum=True,
+    )
+    with pytest.raises(ValueError, match="spectrum"):
+        runtime.run_chain(spec, backend="pallas", sink=metrics.MetricsSink())
+    lm = ChainConfig(
+        action="harmonic", n_sites=8, n_chains=2, loops=2, frames=1,
+        scheme=Scheme.LM,
+    )
+    with pytest.raises(ValueError, match="LM"):
+        runtime.run_chain(lm, backend="pallas", sink=metrics.MetricsSink())
+    with pytest.raises(ValueError, match="unknown chain backend"):
+        runtime.run_chain(lm, backend="pallas_tiled", sink=metrics.MetricsSink())
 
 
 def test_resume_rejects_incompatible_checkpoint(tmp_path):

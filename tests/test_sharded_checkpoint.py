@@ -116,6 +116,61 @@ def test_load_sharded_rejects_misaligned_mesh():
             ckpt.load_sharded(path, bad_mesh)
 
 
+def test_resave_prunes_stale_shard_generations(tmp_path, monkeypatch):
+    """Re-saving under a different process count must not leave the old
+    generation's shard files behind (they sort after the fresh ones and
+    would shadow them in the loader) — ADVICE r2 medium #1."""
+    cfg = _halo_cfg()
+    mesh = _mesh()
+    state = shard_field_state(field_mod.init_field_state(cfg), mesh, cfg)
+    path = str(tmp_path / "ck")
+
+    # generation 1: pretend this single process is 1-of-4
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    ckpt.save_sharded(path, state, cfg)
+    monkeypatch.undo()
+    assert (tmp_path / "ck.proc0-of-4.npz").exists()
+
+    # generation 2 under the real count supersedes generation 1
+    ckpt.save_sharded(path, state, cfg)
+    assert not (tmp_path / "ck.proc0-of-4.npz").exists()
+    assert (tmp_path / "ck.proc0-of-1.npz").exists()
+    restored, _ = ckpt.load_sharded(path, mesh)
+    np.testing.assert_array_equal(np.asarray(restored.phi), np.asarray(state.phi))
+
+
+def test_single_file_resave_supersedes_sharded(tmp_path):
+    """A single-file re-save at the same path removes the shard files, so
+    resume no longer silently prefers the stale sharded state."""
+    cfg = _halo_cfg()
+    mesh = _mesh()
+    state = shard_field_state(field_mod.init_field_state(cfg), mesh, cfg)
+    path = str(tmp_path / "ck")
+    ckpt.save_sharded(path, state, cfg)
+    assert ckpt.is_sharded_checkpoint(path)
+    ckpt.save(path, state, cfg)
+    assert not ckpt.is_sharded_checkpoint(path)
+    restored, _ = ckpt.load(path)
+    np.testing.assert_array_equal(np.asarray(restored.phi), np.asarray(state.phi))
+
+
+def test_load_sharded_rejects_mixed_generations(tmp_path, monkeypatch):
+    """Files from two different save generations under one path must raise,
+    not silently interleave stale and fresh arrays."""
+    cfg = _halo_cfg()
+    mesh = _mesh()
+    state = shard_field_state(field_mod.init_field_state(cfg), mesh, cfg)
+    path = str(tmp_path / "ck")
+    ckpt.save_sharded(path, state, cfg)
+    # sneak a second generation in with pruning disabled
+    monkeypatch.setattr(ckpt, "_prune_stale_shards", lambda *a, **k: None)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    ckpt.save_sharded(path, state, cfg)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="mixed shard generations"):
+        ckpt.load_sharded(path, mesh)
+
+
 def test_save_auto_picks_single_file_when_addressable(tmp_path):
     cfg = FieldConfig(action="phi4", shape=(8, 8), n_chains=2, loops=2, frames=1)
     state = field_mod.init_field_state(cfg)
