@@ -122,7 +122,7 @@ def init_cfield_state(cfg: ComplexFieldConfig) -> ComplexFieldState:
         z2i_mean=zeros,
         zim_mean=zeros,
         drift_max=zeros,
-        runs=jnp.zeros((C,), jnp.uint32),
+        runs=accum.init_runs(C),
         dtau=jnp.full((C,), cfg.dtau, jnp.float32),
         stab_cnt=jnp.zeros((C,), jnp.int32),
         step=jnp.uint32(1),
@@ -215,7 +215,7 @@ def make_cfield_frame_fn(action: ComplexAction, cfg: ComplexFieldConfig):
             carry = (*vals, step + 1)
         zr, zi, z2r, z2i, zim, dmax, unstable, step_end = carry
 
-        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+        n_new = accum.runs_after(state.runs, cfg.loops)
         z2r = accum.merge_frame_sum(state.z2r_mean, z2r, cfg.loops, n_new)
         z2i = accum.merge_frame_sum(state.z2i_mean, z2i, cfg.loops, n_new)
         zim = accum.merge_frame_sum(state.zim_mean, zim, cfg.loops, n_new)
@@ -237,7 +237,7 @@ def make_cfield_frame_fn(action: ComplexAction, cfg: ComplexFieldConfig):
             z2i_mean=sel(z2i, state.z2i_mean),
             zim_mean=sel(zim, state.zim_mean),
             drift_max=sel(dmax, state.drift_max),
-            runs=state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0)),
+            runs=accum.bump_runs(state.runs, cfg.loops, accept),
             dtau=dtau,
             stab_cnt=jnp.where(
                 accept,

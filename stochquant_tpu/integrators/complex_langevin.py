@@ -100,7 +100,7 @@ def init_cl_state(cfg: ComplexLangevinConfig) -> CLState:
         zr_mean=zeros,
         zi_mean=zeros,
         drift_max=zeros,
-        runs=jnp.zeros((C,), jnp.uint32),
+        runs=accum.init_runs(C),
         dtau=jnp.full((C,), cfg.dtau, jnp.float32),
         stab_cnt=jnp.zeros((C,), jnp.int32),
         step=jnp.uint32(1),
@@ -171,7 +171,7 @@ def make_cl_frame_fn(action: ComplexAction, cfg: ComplexLangevinConfig):
             micro, init, None, length=cfg.loops
         )
 
-        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+        n_new = accum.runs_after(state.runs, cfg.loops)
         z2r = accum.merge_frame_sum(state.z2r_mean, z2r, cfg.loops, n_new)
         z2i = accum.merge_frame_sum(state.z2i_mean, z2i, cfg.loops, n_new)
         zrm = accum.merge_frame_sum(state.zr_mean, zrm, cfg.loops, n_new)
@@ -186,7 +186,7 @@ def make_cl_frame_fn(action: ComplexAction, cfg: ComplexLangevinConfig):
             zr_mean=sel(zrm, state.zr_mean),
             zi_mean=sel(zim, state.zi_mean),
             drift_max=sel(dmax, state.drift_max),
-            runs=state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0)),
+            runs=accum.bump_runs(state.runs, cfg.loops, accept),
             dtau=_adapt_dtau(state, accept, cfg),
             stab_cnt=jnp.where(
                 accept,
@@ -280,7 +280,7 @@ def init_ccl_state(cfg: ComplexChainConfig) -> ComplexChainState:
         z2r_mean=zeros,
         z2i_mean=zeros,
         drift_max=jnp.zeros((C,), jnp.float32),
-        runs=jnp.zeros((C,), jnp.uint32),
+        runs=accum.init_runs(C),
         dtau=jnp.full((C,), cfg.dtau, jnp.float32),
         stab_cnt=jnp.zeros((C,), jnp.int32),
         step=jnp.uint32(1),
@@ -361,7 +361,7 @@ def make_ccl_frame_fn(action: ComplexAction, cfg: ComplexChainConfig):
             carry = (*vals, step + 1)
         zr, zi, z2r, z2i, dmax, unstable, step_end = carry
 
-        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)[:, None]
+        n_new = accum.runs_after(state.runs, cfg.loops)[:, None]
         z2r = accum.merge_frame_sum(state.z2r_mean, z2r, cfg.loops, n_new)
         z2i = accum.merge_frame_sum(state.z2i_mean, z2i, cfg.loops, n_new)
         accept = ~unstable
@@ -374,7 +374,7 @@ def make_ccl_frame_fn(action: ComplexAction, cfg: ComplexChainConfig):
             z2r_mean=sel2(z2r, state.z2r_mean),
             z2i_mean=sel2(z2i, state.z2i_mean),
             drift_max=sel1(dmax, state.drift_max),
-            runs=state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0)),
+            runs=accum.bump_runs(state.runs, cfg.loops, accept),
             dtau=_adapt_dtau(state, accept, cfg),
             stab_cnt=jnp.where(
                 accept,

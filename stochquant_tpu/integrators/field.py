@@ -60,7 +60,7 @@ class FieldState(NamedTuple):
     phi2_mean: jax.Array  # (C,) running ⟨φ²⟩ (site-averaged)
     act_mean: jax.Array   # (C,) running ⟨s⟩ action density (site-averaged)
     corr_mean: jax.Array  # (C, L0) running ⟨s̄(t)·s̄(0)⟩, s̄ = slice mean
-    runs: jax.Array       # (C,) uint32
+    runs: jax.Array       # (C, 2) uint32 (lo, hi) 64-bit pair (accum.init_runs)
     dtau: jax.Array       # (C,)
     stab_cnt: jax.Array   # (C,) int32
     lrg_vl: jax.Array     # (C,)
@@ -83,7 +83,7 @@ def init_field_state(cfg: FieldConfig) -> FieldState:
         phi2_mean=zc,
         act_mean=zc,
         corr_mean=jnp.zeros((C, cfg.shape[0]), dtype),
-        runs=jnp.zeros((C,), jnp.uint32),
+        runs=accum.init_runs(C),
         dtau=jnp.full((C,), cfg.dtau, dtype),
         stab_cnt=jnp.zeros((C,), jnp.int32),
         lrg_vl=jnp.max(jnp.abs(phi), axis=tuple(range(1, phi.ndim))),
@@ -215,7 +215,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
         au = accept.reshape((C,) + (1,) * ndim)
         phi = jnp.where(au, phi, state.phi)
         # merge frame sums into the running means (two-level accumulation)
-        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32).astype(dtype)
+        n_new = accum.runs_after(state.runs, cfg.loops).astype(dtype)
         mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
         m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
         m4m = accum.merge_frame_sum(state.mag4_mean, m4s, cfg.loops, n_new)
@@ -232,7 +232,7 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
         am = sel(am, state.act_mean)
         cm = jnp.where(accept[:, None], cm, state.corr_mean)
         lrgvl = sel(lrgvl, state.lrg_vl)
-        runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+        runs = accum.bump_runs(state.runs, cfg.loops, accept)
 
         grow = accept & (state.stab_cnt >= cfg.grow_after)
         dtau = jnp.where(

@@ -123,7 +123,7 @@ def init_gauge_state(cfg: GaugeConfig, action=None) -> GaugeState:
         links=links,
         plaq_mean=jnp.zeros((C,), jnp.dtype(action.obs_dtype)),
         drift_max=zeros,
-        runs=jnp.zeros((C,), jnp.uint32),
+        runs=accum.init_runs(C),
         dtau=jnp.full((C,), cfg.dtau, jnp.float32),
         stab_cnt=jnp.zeros((C,), jnp.int32),
         step=jnp.uint32(1),
@@ -200,7 +200,7 @@ def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
             carry = (*vals, step + 1)
         links, ps, dmax, unstable, step_end = carry
 
-        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+        n_new = accum.runs_after(state.runs, cfg.loops)
         pm = accum.merge_frame_sum(state.plaq_mean, ps, cfg.loops, n_new)
         accept = ~unstable
         au = accept.reshape((C,) + (1,) * (links.ndim - 1))
@@ -217,7 +217,7 @@ def make_gauge_frame_fn(action: gauge_mod.GaugeAction, cfg: GaugeConfig):
             links=jnp.where(au, links, state.links),
             plaq_mean=sel(pm, state.plaq_mean),
             drift_max=sel(dmax, state.drift_max),
-            runs=state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0)),
+            runs=accum.bump_runs(state.runs, cfg.loops, accept),
             dtau=dtau,
             stab_cnt=jnp.where(
                 accept,

@@ -64,7 +64,9 @@ class ChainState(NamedTuple):
     x4_mean: jax.Array   # (C, N) running ⟨x_i⁴⟩ — virial/Schwinger-Dyson
                          # gates and quartic response (the reference has no
                          # moment beyond the two-point row, tau_kernel.cl:144)
-    runs: jax.Array      # (C,)  uint32 — accepted micro-step samples
+    runs: jax.Array      # (C, 2) uint32 (lo, hi) — accepted micro-step
+                         # samples as a 64-bit pair (accum.init_runs; a
+                         # single uint32 wraps at 4.3e9 — VERDICT r2 item 5)
     dtau: jax.Array      # (C,)  current Langevin step size
     stab_cnt: jax.Array  # (C,)  int32 — consecutive stable frames
     lrg_vl: jax.Array    # (C,)  running max |x| (divergence threshold, K5)
@@ -104,7 +106,7 @@ def init_chain_state(cfg: ChainConfig, action: QMAction) -> ChainState:
         xx0_mean=zeros,
         x2_mean=zeros,
         x4_mean=zeros,
-        runs=jnp.zeros((C,), jnp.uint32),
+        runs=accum.init_runs(C),
         dtau=jnp.full((C,), cfg.dtau, dtype),
         stab_cnt=jnp.zeros((C,), jnp.int32),
         lrg_vl=lrg_vl,
@@ -357,9 +359,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         accept = ~unstable  # (C,)
         a1 = accept[:, None]
         # merge the frame sums into the running means (two-level accumulation)
-        n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32).astype(
-            dtype
-        )[:, None]
+        n_new = accum.runs_after(state.runs, cfg.loops).astype(dtype)[:, None]
         xm = accum.merge_frame_sum(state.x_mean, xs, cfg.loops, n_new)
         xxm = accum.merge_frame_sum(state.xx0_mean, xxs, cfg.loops, n_new)
         x2m = accum.merge_frame_sum(state.x2_mean, x2s, cfg.loops, n_new)
@@ -377,7 +377,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         spec = jnp.where(a1, spec, state.spec_mean)
         omega = jnp.where(accept, omega, state.omega)
         lrgvl = jnp.where(accept, lrgvl, state.lrg_vl)
-        runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+        runs = accum.bump_runs(state.runs, cfg.loops, accept)
 
         # adaptive Δτ (H9, tauhost.c:523-545) — per chain
         grow = accept & (state.stab_cnt >= cfg.grow_after)

@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from stochquant_tpu.config import ChainConfig, FieldConfig
+from stochquant_tpu.integrators import accum as accum_mod
 from stochquant_tpu.integrators.complex_field import ComplexFieldConfig, ComplexFieldState
 from stochquant_tpu.integrators.complex_langevin import (
     CLState,
@@ -301,6 +302,13 @@ def load_sharded(path, mesh):
     cls, cfg_cls = _KIND[meta["kind"]]
     cfg = cfg_cls.from_json(meta["config"])
 
+    # pre-r3 sharded checkpoints: (C,) runs → (C, 2) pair (see _upgrade_runs)
+    if "runs" in shards and len(meta["shapes"].get("runs", ())) == 1:
+        shards["runs"] = {
+            f"{k},0:2": _upgrade_runs("runs", v) for k, v in shards["runs"].items()
+        }
+        meta["shapes"]["runs"] = list(meta["shapes"]["runs"]) + [2]
+
     leaves = []
     for name in cls._fields:
         shape = tuple(meta["shapes"][name])
@@ -334,6 +342,15 @@ def _restore_array(a: np.ndarray):
     return _leaf_to_device(a)
 
 
+def _upgrade_runs(name: str, a: np.ndarray) -> np.ndarray:
+    """Pre-r3 checkpoints store ``runs`` as a (C,) uint32; it is now a
+    (C, 2) (lo, hi) 64-bit pair (accum.init_runs).  Upgrade on load with
+    hi = 0 — bitwise-continuous resume for counts below 2³²."""
+    if name == "runs" and a.ndim == 1:
+        return np.stack([a, np.zeros_like(a)], axis=-1)
+    return a
+
+
 # moment channels added in r2; older checkpoints lack them.  Backfilled with
 # zeros shaped like the paired second moment — the restored trajectory and
 # all other observables stay bitwise continuous, but the backfilled fourth
@@ -351,7 +368,7 @@ def load(path):
         for name in cls._fields:
             key = f"state_{name}"
             if key in z:
-                leaves.append(z[key])
+                leaves.append(_upgrade_runs(name, z[key]))
             elif name in _MOMENT_BACKFILL:
                 leaves.append(np.zeros_like(z[f"state_{_MOMENT_BACKFILL[name]}"]))
                 backfilled.append(name)
@@ -386,7 +403,7 @@ def export_reference(path, state: ChainState, chain: int = 0) -> None:
         x=np.asarray(state.x_mean)[chain],
         f=np.asarray(state.f)[chain],
         omega=float(np.asarray(state.omega)[chain]),
-        runs=int(np.asarray(state.runs)[chain]),
+        runs=int(accum_mod.runs_total(state.runs)[chain]),
         dtau=float(np.asarray(state.dtau)[chain]),
     )
 
@@ -410,7 +427,13 @@ def import_reference(path, cfg: ChainConfig) -> ChainState:
         xx0_mean=rep(d["xx0"]),
         x2_mean=jnp.zeros((C, cfg.n_sites), cfg.jdtype),
         x4_mean=jnp.zeros((C, cfg.n_sites), cfg.jdtype),
-        runs=jnp.full((C,), d["runs"], jnp.uint32),
+        runs=jnp.stack(
+            [
+                jnp.full((C,), d["runs"] & 0xFFFFFFFF, jnp.uint32),
+                jnp.full((C,), d["runs"] >> 32, jnp.uint32),
+            ],
+            axis=-1,
+        ),
         dtau=jnp.full((C,), min(d["dtau"], cfg.dtau), cfg.jdtype),  # tauhost.c:131-137 clamp
         stab_cnt=jnp.zeros((C,), jnp.int32),
         lrg_vl=jnp.max(jnp.abs(rep(d["f"])), axis=-1),

@@ -343,7 +343,7 @@ def chain_frame_pallas(
 
     # merge frame sums into running means — the identical expression the XLA
     # path uses (integrators/accum.py), so both paths stay bitwise equal
-    n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)[:, None]
+    n_new = accum.runs_after(state.runs, cfg.loops)[:, None]
     xm = accum.merge_frame_sum(state.x_mean, xs, cfg.loops, n_new)
     xxm = accum.merge_frame_sum(state.xx0_mean, xxs, cfg.loops, n_new)
     x2m = accum.merge_frame_sum(state.x2_mean, x2s, cfg.loops, n_new)
@@ -358,7 +358,7 @@ def chain_frame_pallas(
     x4m = sel(x4m, state.x4_mean)
     om = jnp.where(accept, om, state.omega)
     lrg = jnp.where(accept, lrg, state.lrg_vl)
-    runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+    runs = accum.bump_runs(state.runs, cfg.loops, accept)
 
     grow = accept & (state.stab_cnt >= cfg.grow_after)
     dtau = jnp.where(

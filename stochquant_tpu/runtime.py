@@ -417,15 +417,43 @@ def run_gauge(
 _FIELD_VMEM_FIELD_BYTES = 1 << 20
 
 
-def select_field_backend(cfg: FieldConfig, backend: str, on_tpu: bool, use_halo: bool):
+def _halo_geometry(cfg: FieldConfig, mesh):
+    """(lattice_split, local_lattice_bytes) for a halo-runner config."""
+    axis_sizes = dict(zip(mesh.axis_names, np.shape(mesh.devices)))
+    lat = cfg.mesh_axes or (None,) * cfg.ndim
+    split = any(ax and axis_sizes.get(ax, 1) > 1 for ax in lat)
+    local = [
+        s // (axis_sizes.get(ax, 1) if ax else 1)
+        for s, ax in zip(cfg.shape, lat)
+    ]
+    return split, int(np.prod(local)) * np.dtype(cfg.dtype).itemsize
+
+
+def select_field_backend(
+    cfg: FieldConfig, backend: str, on_tpu: bool, use_halo: bool, mesh=None
+):
     """Resolve the field execution path: 'xla', 'pallas' (whole-lattice in
-    VMEM) or 'pallas_tiled' (HBM-resident, strip-tiled).  Mirrors the
-    reference where the fused kernel IS the only execution path
-    (tauhost.c:481 → tau_kernel.cl:25); here 'auto' = fused kernels on TPU,
+    VMEM), 'pallas_tiled' (HBM-resident, strip-tiled), or — under the halo
+    runner — 'pallas' meaning the composed fused-kernel decomposition
+    (parallel/halo.py backend='pallas').  Mirrors the reference where the
+    fused kernel IS the only execution path (tauhost.c:481 →
+    tau_kernel.cl:25); 'auto' = fused kernels on TPU wherever they apply,
     XLA elsewhere/for shapes the kernels don't cover."""
     if backend == "auto":
-        if use_halo or cfg.ndim != 2 or cfg.dtype != "float32":
+        if cfg.ndim != 2 or cfg.dtype != "float32":
             return "xla"
+        if use_halo:
+            # fused kernels composed with the shard_map decomposition
+            # (VERDICT r2 item 1): per-shard whole-frame kernel for pure
+            # chain-DP meshes, per-micro-step bulk kernel + exact halo fixup
+            # for split lattices (threefry-only there); local blocks past
+            # the VMEM budget fall back to XLA (no tiled halo kernel).
+            split, local_bytes = _halo_geometry(cfg, mesh)
+            if local_bytes > _FIELD_VMEM_FIELD_BYTES:
+                return "xla"
+            if split and cfg.rng_impl != "threefry":
+                return "xla"
+            return "pallas" if on_tpu else "xla"
         lattice_bytes = int(np.prod(cfg.shape)) * np.dtype(cfg.dtype).itemsize
         needs_tiled = (
             cfg.tile_rows is not None or lattice_bytes > _FIELD_VMEM_FIELD_BYTES
@@ -438,13 +466,18 @@ def select_field_backend(cfg: FieldConfig, backend: str, on_tpu: bool, use_halo:
         backend = "pallas" if on_tpu else "xla"
     if backend == "xla":
         return "xla"
+    if use_halo:
+        # explicit kernel request on the halo runner: 'pallas'/'pallas_step'
+        # are handled by make_halo_runner (which validates dim/dtype/rng)
+        if backend in ("pallas", "pallas_step"):
+            return backend
+        raise ValueError(
+            f"field backend {backend!r} is not available under the halo "
+            "runner (mesh + cfg.mesh_axes); use 'pallas', 'pallas_step' or "
+            "'xla'"
+        )
     if backend not in ("pallas", "pallas_tiled"):
         raise ValueError(f"unknown field backend {backend!r}")
-    if use_halo:
-        raise ValueError(
-            "backend='pallas' is incompatible with the explicit halo-exchange "
-            "runner (mesh + cfg.mesh_axes); use backend='xla' there"
-        )
     if cfg.ndim != 2:
         raise ValueError("the fused field kernels support 2-D lattices; use "
                          "backend='xla' for other dimensionalities")
@@ -490,7 +523,7 @@ def run_field(
     sink = sink or metrics_mod.MetricsSink()
     on_tpu = jax.devices()[0].platform != "cpu"
     use_halo = mesh is not None and cfg.mesh_axes is not None
-    backend = select_field_backend(cfg, backend, on_tpu, use_halo)
+    backend = select_field_backend(cfg, backend, on_tpu, use_halo, mesh)
 
     sharded_in = bool(checkpoint_in) and ckpt_mod.is_sharded_checkpoint(
         checkpoint_in
@@ -516,7 +549,9 @@ def run_field(
             )
         else:
             state = shard_field_state(state, mesh, cfg)
-        runner = make_halo_runner(act, cfg, mesh)
+        runner = make_halo_runner(
+            act, cfg, mesh, backend=backend, interpret=not on_tpu
+        )
         run_n = lambda s, n: runner(s, n)
     elif sharded_in:
         raise ValueError(

@@ -67,7 +67,7 @@ def test_chain_mean_does_not_stall_past_2pow24():
         run,
         s0,
         lambda s: s._replace(
-            runs=jnp.full_like(s.runs, BIG),
+            runs=s.runs.at[:, 0].set(BIG),
             x_mean=jnp.ones_like(s.x_mean),
         ),
         cfg.loops,
@@ -101,7 +101,7 @@ def test_field_mean_does_not_stall_past_2pow24():
         run,
         s0,
         lambda s: s._replace(
-            runs=jnp.full_like(s.runs, BIG),
+            runs=s.runs.at[:, 0].set(BIG),
             phi2_mean=jnp.ones_like(s.phi2_mean),
         ),
         cfg.loops,
@@ -130,7 +130,7 @@ def test_kernel_epilogue_merge_matches_xla_at_large_count():
     act = actions.get(cfg.action)
     s0 = langevin.init_chain_state(cfg, act)
     s0 = s0._replace(
-        runs=jnp.full_like(s0.runs, 20_000_000),
+        runs=s0.runs.at[:, 0].set(20_000_000),
         x_mean=jnp.ones_like(s0.x_mean),
         x2_mean=jnp.full_like(s0.x2_mean, 0.5),
     )
@@ -146,3 +146,41 @@ def test_kernel_epilogue_merge_matches_xla_at_large_count():
     db = np.asarray(b.x_mean, np.float64) - 1.0
     assert np.any(da != 0.0) and np.any(db != 0.0), "mean stalled at large count"
     np.testing.assert_allclose(da, db, rtol=0.1, atol=2.5e-7)
+
+
+def test_runs_counter_survives_uint32_overflow():
+    """4.3e9 accepted micro-steps used to wrap the uint32 `runs` silently
+    (VERDICT r2 item 5); the (lo, hi) pair must carry across 2**32 and keep
+    merging with the correct total count."""
+    from stochquant_tpu.actions import phi4 as phi4_mod
+    from stochquant_tpu.config import FieldConfig
+    from stochquant_tpu.integrators import field as field_mod
+
+    cfg = FieldConfig(action="phi4", shape=(8, 8), dtau=0.01, n_chains=2,
+                      loops=10, seed=3)
+    act = phi4_mod.get_field(cfg.action)
+    s0 = field_mod.init_field_state(cfg)
+    NEAR = 2**32 - 4  # + one frame of 10 accepted samples crosses 2**32
+    s0 = s0._replace(
+        runs=s0.runs.at[:, 0].set(np.uint32(NEAR)),
+        phi2_mean=jnp.ones_like(s0.phi2_mean),
+    )
+    s1, m = field_mod.run_field_frames(s0, act, cfg, 1)
+    assert np.all(np.asarray(m["stable"])), "frame must be accepted for this gate"
+    total = accum.runs_total(s1.runs)
+    np.testing.assert_array_equal(total, np.uint64(NEAR + cfg.loops))
+    assert np.all(np.asarray(s1.runs)[:, 1] == 1), "carry into the high word"
+    # the merge weight at n≈2³² is loops/n ≈ 2.3e-9: far below fp32 ulp of a
+    # mean of O(1) — the mean must *not* move (and must not blow up)
+    got = np.asarray(s1.phi2_mean)
+    assert np.all(np.isfinite(got))
+
+    # helper self-checks: runs_after crosses the boundary (to f32 relative
+    # accuracy — the count feeds only the merge *weight*, ulp(2³²) = 512)
+    r = jnp.asarray([[2**32 - 4, 0]], jnp.uint32)
+    n = float(accum.runs_after(r, 10)[0])
+    assert abs(n - (2**32 + 6)) <= 2**32 * 2**-23, n
+    b = accum.bump_runs(r, 10, jnp.asarray([True]))
+    np.testing.assert_array_equal(np.asarray(b), [[6, 1]])
+    nb = accum.bump_runs(r, 10, jnp.asarray([False]))
+    np.testing.assert_array_equal(np.asarray(nb), np.asarray(r))

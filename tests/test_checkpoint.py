@@ -2,6 +2,8 @@
 codec round-trips, and C++-vs-Python reference-format parity."""
 
 import numpy as np
+
+from stochquant_tpu.integrators import accum
 import pytest
 
 from stochquant_tpu import actions, oracle
@@ -103,7 +105,7 @@ def test_export_reference_roundtrip(tmp_path):
     checkpoint.export_reference(p, s, chain=1)
     d = reference_fmt.read(p, 16)
     np.testing.assert_allclose(d["f"], np.asarray(s.f)[1], rtol=1e-7)
-    assert d["runs"] == int(np.asarray(s.runs)[1])
+    assert d["runs"] == int(accum.runs_total(s.runs)[1])
 
 
 def test_load_backfills_pre_r2_moment_channels(tmp_path):
@@ -143,3 +145,34 @@ def test_load_backfills_pre_r2_moment_channels(tmp_path):
     cont, _ = langevin.run_frames(loaded, act, cfg, 1)
     ref, _ = langevin.run_frames(state, act, cfg, 1)
     np.testing.assert_array_equal(np.asarray(cont.f), np.asarray(ref.f))
+
+
+def test_load_upgrades_pre_r3_scalar_runs(tmp_path):
+    """Pre-r3 checkpoints stored `runs` as a (C,) uint32; the loader must
+    upgrade it to the (C, 2) (lo, hi) pair with hi = 0 so old checkpoints
+    resume bitwise-continuously."""
+    import json
+
+    from stochquant_tpu.actions import phi4 as phi4_mod
+    from stochquant_tpu.config import FieldConfig
+    from stochquant_tpu.integrators import field as field_mod
+    from stochquant_tpu.io import checkpoint as ckpt
+
+    cfg = FieldConfig(action="phi4", shape=(8, 8), n_chains=2, loops=4, frames=1)
+    act = phi4_mod.get_field(cfg.action)
+    state, _ = field_mod.run_field_frames(field_mod.init_field_state(cfg), act, cfg, 1)
+    p = tmp_path / "old.npz"
+    ckpt.save(str(p), state, cfg)
+    # rewrite as the old schema: scalar (C,) runs
+    with np.load(str(p)) as z:
+        payload = {k: z[k] for k in z.files}
+    assert payload["state_runs"].shape == (2, 2)
+    payload["state_runs"] = payload["state_runs"][:, 0]
+    np.savez(str(p), **payload)
+
+    restored, _ = ckpt.load(str(p))
+    assert np.asarray(restored.runs).shape == (2, 2)
+    np.testing.assert_array_equal(np.asarray(restored.runs), np.asarray(state.runs))
+    # and the restored state keeps running
+    s2, _ = field_mod.run_field_frames(restored, act, cfg, 1)
+    assert np.all(np.asarray(s2.runs)[:, 0] > 0)

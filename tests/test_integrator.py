@@ -167,7 +167,7 @@ def test_adaptive_dtau_recovers_stability():
     # (tauhost.c:523-545).  Late-run acceptance must dominate.
     assert stable[-50:].mean() > 0.8
     assert np.all(np.asarray(state.dtau) < 1.0)
-    assert np.all(np.asarray(state.runs) > 0)
+    assert np.all(np.asarray(state.runs)[:, 0] > 0)
 
 
 def test_dtau_growth_after_stable_frames():
