@@ -205,11 +205,31 @@ def test_run_field_pallas_backend_matches_xla():
 
 
 def test_field_backend_routing():
+    from stochquant_tpu.parallel import make_mesh
+
     base = FieldConfig(action="phi4", shape=(16, 128), loops=4)
     sel = runtime.select_field_backend
     assert sel(base, "auto", on_tpu=True, use_halo=False) == "pallas"
     assert sel(base, "auto", on_tpu=False, use_halo=False) == "xla"
-    assert sel(base, "auto", on_tpu=True, use_halo=True) == "xla"
+    # the halo runner now composes with the fused kernels (VERDICT r2 item 1)
+    halo = FieldConfig(
+        action="phi4", shape=(16, 128), loops=4, mesh_axes=("x", None)
+    )
+    mesh = make_mesh([("x", 2)])
+    assert sel(halo, "auto", on_tpu=True, use_halo=True, mesh=mesh) == "pallas"
+    assert sel(halo, "auto", on_tpu=False, use_halo=True, mesh=mesh) == "xla"
+    assert sel(halo, "pallas", on_tpu=True, use_halo=True, mesh=mesh) == "pallas"
+    # split lattice + hardware RNG cannot re-derive edge noise: auto → xla
+    halo_hw = FieldConfig(
+        action="phi4", shape=(16, 128), loops=4, mesh_axes=("x", None),
+        rng_impl="hardware",
+    )
+    assert sel(halo_hw, "auto", on_tpu=True, use_halo=True, mesh=mesh) == "xla"
+    # local block past the VMEM budget: auto → xla (no tiled halo kernel)
+    halo_big = FieldConfig(
+        action="phi4", shape=(2048, 1024), loops=4, mesh_axes=("x", None)
+    )
+    assert sel(halo_big, "auto", on_tpu=True, use_halo=True, mesh=mesh) == "xla"
     # explicit tile_rows or a lattice too big for VMEM routes to the tiled kernel
     tiled = FieldConfig(action="phi4", shape=(16, 128), loops=4, tile_rows=8)
     assert sel(tiled, "pallas", on_tpu=True, use_halo=False) == "pallas_tiled"
@@ -219,8 +239,8 @@ def test_field_backend_routing():
 
     with pytest.raises(ValueError):
         sel(FieldConfig(shape=(4, 4, 4)), "pallas", on_tpu=True, use_halo=False)
-    with pytest.raises(ValueError):
-        sel(base, "pallas", on_tpu=True, use_halo=True)
+    with pytest.raises(ValueError, match="halo"):
+        sel(base, "pallas_tiled", on_tpu=True, use_halo=True, mesh=mesh)
     # odd loops cannot run the pair-launch tiled kernel: auto falls back to xla
     odd = FieldConfig(action="phi4", shape=(1024, 1024), loops=5)
     assert sel(odd, "auto", on_tpu=True, use_halo=False) == "xla"
