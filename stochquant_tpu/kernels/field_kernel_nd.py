@@ -1,0 +1,444 @@
+"""Tiled Pallas kernel for D-dimensional (D ≥ 3) scalar-field lattices.
+
+Closes VERDICT r2 missing #3: config 4's 32⁴ lattice (BASELINE.md:94) had no
+fused path — both 2-D kernels refused D > 2.  This is the general-D analog
+of the HBM-tiled 2-D kernel (field_kernel_tiled.py): each launch advances
+one micro-step PAIR on a strip of ``tile_rows`` dim-0 slabs, reading the
+strip plus an H-slab halo above/below (H = stencil applications per pair:
+2 sync / 4 checkerboard), recomputing halo slabs redundantly (trapezoidal
+temporal blocking), with per-strip observable partials reduced in the XLA
+epilogue.  ``tile_rows == L0`` degenerates to the whole-lattice-in-VMEM
+regime (periodic strip, H = 0) — the fused path for small D-dim lattices.
+
+TPU-native lane layout: the kernel views the lattice as
+
+    (chain, L0, L1, L2·L3·…·L_{D−1})
+
+i.e. dims ≥ 2 flattened into the lane axis (C order, so global site linear
+ids are unchanged), giving full 128-lane vregs for shapes like 32⁴ (1024
+lanes) instead of a 32-lane minor dim at 4× padding waste.  Rolls per
+lattice dim decompose exactly on this layout:
+
+- dim 0 (strip axis, untiled): slice+concat (register renaming);
+- dim 1 (sublane axis):        ``pltpu.roll``;
+- dim 2 (outermost flattened): one flat lane-roll by ±stride — the flat
+  axis wraps the whole block, so the wraparound is already correct;
+- dims ≥ 3 (inner flattened):  flat lane-roll by ±stride plus a boundary
+  fix selected at the dim's wrap coordinate (a second roll + iota mask).
+
+Noise is the usual global-(chain, site, step)-keyed Threefry, so
+trajectories are bit-identical to integrators/field.py (interpret mode) and
+invariant under the tile size; the accept/reject + Δτ epilogue matches the
+XLA frame exactly.  Reference anchor: one fused kernel per frame is the
+reference's only execution mode (``tauhost.c:481`` → ``tau_kernel.cl:25``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stochquant_tpu import rng
+from stochquant_tpu.actions.phi4 import FieldAction
+from stochquant_tpu.config import FieldConfig, Sweep
+from stochquant_tpu.integrators import accum
+from stochquant_tpu.integrators.field import FieldState
+
+__all__ = ["run_field_frames_nd", "field_frame_nd", "default_tile_rows"]
+
+
+def _halo_depth(cfg: FieldConfig) -> int:
+    return 4 if cfg.sweep == Sweep.CHECKERBOARD else 2
+
+
+#: per-chain extended-strip bytes the kernel working set tolerates (the
+#: kernel holds ~10 strip-sized temporaries; Mosaic's scoped-vmem window is
+#: raised below like the 2-D tiled kernel's)
+_STRIP_BUDGET_BYTES = 1 << 20
+
+
+def default_tile_rows(cfg: FieldConfig) -> int:
+    """Largest dim-0 tile whose extended strip fits the VMEM budget (whole
+    lattice if it fits — the fused fast path for small D-dim lattices)."""
+    L0 = cfg.shape[0]
+    slab = int(np.prod(cfg.shape[1:])) * 4
+    H = _halo_depth(cfg)
+    best = None
+    for t in range(1, L0 + 1):
+        if L0 % t:
+            continue
+        ext = t if t == L0 else t + 2 * H
+        if ext * slab <= _STRIP_BUDGET_BYTES:
+            best = t
+    return best or 1
+
+
+def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
+    shape = tuple(cfg.shape)
+    D = len(shape)
+    L0, L1 = shape[0], shape[1]
+    LF = int(np.prod(shape[2:]))
+    f32 = np.float32
+    a = cfg.spacing
+    inv_a2 = f32(1.0 / (a * a))
+    measure = f32(a**D)
+    c_amp = f32(cfg.noise_amp)
+    clamp = f32(cfg.clamp)
+    checkerboard = cfg.sweep == Sweep.CHECKERBOARD
+    periodic = T0 == L0  # whole lattice per strip: no halo slabs
+    E = T0 if periodic else T0 + 2 * H
+    # flattened-dim strides: lattice dim d >= 2 has lane stride s_d
+    strides = []
+    s = 1
+    for n in reversed(shape[2:]):
+        strides.append(s)
+        s *= n
+    strides = list(reversed(strides))  # strides[k] for lattice dim k+2
+
+    def kernel(scalars_ref, *refs):
+        if periodic:
+            phic_ref, dtau_ref = refs[0], refs[1]
+            out = refs[2:]
+        else:
+            phic_ref, phiu_ref, phid_ref, dtau_ref = refs[:4]
+            out = refs[4:]
+        phio_ref, sl0_ref, sl1_ref, stats_ref = out
+
+        c = pl.program_id(0)
+        i = pl.program_id(1)
+        seed = scalars_ref[0]
+        step0 = scalars_ref[1]
+        chain = scalars_ref[2] + jnp.uint32(c)
+
+        if periodic:
+            phi0 = phic_ref[:]
+        else:
+            phi0 = jnp.concatenate(
+                [phiu_ref[:], phic_ref[:], phid_ref[:]], axis=1
+            )
+
+        # global coordinates / site ids on the extended strip.  The flat
+        # lane index IS the C-order linear index of dims >= 2, so
+        # site = ((row0 * L1) + x1) * LF + flat — identical counters to the
+        # unflattened XLA path.
+        r_loc = lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 1)
+        row_g = r_loc if periodic else (i * T0 - H + r_loc) % L0
+        x1 = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 2)
+        flat = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 3)
+        site = (
+            row_g.astype(jnp.uint32) * jnp.uint32(L1) + x1
+        ) * jnp.uint32(LF) + flat
+        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
+
+        dtau = dtau_ref[c, 0]
+        namp = c_amp * jnp.sqrt(2.0 * dtau / measure)
+
+        if checkerboard:
+            # global parity = Σ coords; for flattened dims Σ coords ≡
+            # popcount-free sum via per-dim iota reconstruction
+            par = row_g + lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 2)
+            rem = lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 3)
+            for k, n in enumerate(shape[2:]):
+                sd = strides[k]
+                par = par + (rem // jnp.int32(sd)) % jnp.int32(n)
+            even = par % 2 == 0
+
+        def roll0(x, shift):
+            # strip axis (untiled): slice+concat; periodic wrap is exact in
+            # the whole-lattice regime and recomputed-garbage otherwise
+            if shift == 1:
+                return jnp.concatenate([x[:, E - 1 :], x[:, : E - 1]], axis=1)
+            return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+
+        def roll_flat(x, lat_d, shift):
+            """±1 roll along flattened lattice dim ``lat_d`` (>= 2)."""
+            sd = strides[lat_d - 2]
+            nd = shape[lat_d]
+            main = pltpu.roll(x, (shift * sd) % LF, 3)
+            if sd * nd == LF:
+                return main  # outermost flattened dim: flat wrap is exact
+            coord = (
+                lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 3)
+                // jnp.int32(sd)
+            ) % jnp.int32(nd)
+            fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 3)
+            edge = coord == (0 if shift == 1 else nd - 1)
+            return jnp.where(edge, fix, main)
+
+        def roll(x, shift, lat_d):
+            if lat_d == 0:
+                return roll0(x, shift)
+            if lat_d == 1:
+                return pltpu.roll(x, shift % L1, 2)
+            return roll_flat(x, lat_d, shift)
+
+        def laplacian(phi):
+            lap = jnp.zeros_like(phi)
+            for d in range(D):
+                lap = lap + (roll(phi, -1, d) + roll(phi, 1, d) - 2.0 * phi)
+            return lap * inv_a2
+
+        def action_density(phi):
+            kin = jnp.zeros_like(phi)
+            for d in range(D):
+                diff = roll(phi, -1, d) - phi
+                kin = kin + 0.5 * diff * diff * inv_a2
+            return kin + action.V(phi)
+
+        def em_apply(phi, mask, noise):
+            det = (laplacian(phi) - action.dV(phi).astype(f32)) * dtau
+            new_raw = phi + det + noise
+            newphi = jnp.clip(new_raw, -clamp, clamp)
+            newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+            absdet = jnp.abs(det)
+            absdet = jnp.where(jnp.isfinite(new_raw), absdet, f32(np.inf))
+            if mask is not None:
+                newphi = jnp.where(mask, newphi, phi)
+                absdet = jnp.where(mask, absdet, f32(0.0))
+            return newphi, absdet
+
+        def micro(phi, noise):
+            if checkerboard:
+                phi_e, absdet_e = em_apply(phi, even, noise)
+                newphi, absdet_o = em_apply(phi_e, ~even, noise)
+                return newphi, jnp.maximum(absdet_e, absdet_o)
+            return em_apply(phi, None, noise)
+
+        strip = (lambda x: x) if periodic else (lambda x: x[:, H : H + T0])
+
+        def stats(phi_pre, phi_post, absdet, base):
+            p = strip(phi_pre)
+            stats_ref[c, i, base + 0] = jnp.sum(p)
+            stats_ref[c, i, base + 1] = jnp.sum(p * p)
+            stats_ref[c, i, base + 2] = jnp.sum(strip(action_density(phi_pre)))
+            stats_ref[c, i, base + 3] = jnp.max(strip(absdet))
+            stats_ref[c, i, base + 4] = jnp.max(jnp.abs(strip(phi_post)))
+
+        b0, b1 = rng.threefry2x32(seed, k1, site, step0)
+        u1 = rng.uniform_from_bits(b0)
+        u2 = rng.uniform_from_bits(b1)
+        rr = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+        th = f32(rng._TWO_PI) * u2
+        z0 = rr * jnp.cos(th)
+        z1 = rr * jnp.sin(th)
+
+        phi1, absdet0 = micro(phi0, namp * z0)
+        phi2, absdet1 = micro(phi1, namp * z1)
+
+        inv_sl = f32(1.0 / (L1 * LF))
+        sl0_ref[:] = (
+            jnp.sum(strip(phi0), axis=(2, 3), keepdims=True)[:, :, :, 0] * inv_sl
+        )
+        sl1_ref[:] = (
+            jnp.sum(strip(phi1), axis=(2, 3), keepdims=True)[:, :, :, 0] * inv_sl
+        )
+        stats(phi0, phi1, absdet0, 0)
+        stats(phi1, phi2, absdet1, 5)
+        phio_ref[:] = strip(phi2)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _pair_call(action: FieldAction, cfg: FieldConfig, T0: int, interpret: bool):
+    H = _halo_depth(cfg)
+    shape = tuple(cfg.shape)
+    L0, L1 = shape[0], shape[1]
+    LF = int(np.prod(shape[2:]))
+    C = cfg.n_chains
+    if L0 % T0:
+        raise ValueError(f"tile_rows={T0} must divide L0={L0}")
+    periodic = T0 == L0
+    if not periodic and T0 % H:
+        raise ValueError(f"tile_rows={T0} must be a multiple of the halo depth {H}")
+    nt = L0 // T0
+    kernel = _build_pair_kernel(action, cfg, T0, H)
+
+    lat = pl.BlockSpec(
+        (1, T0, L1, LF), lambda c, i, *_: (c, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    dtau_spec = pl.BlockSpec((C, 1), lambda c, i, *_: (0, 0), memory_space=pltpu.SMEM)
+    sl = pl.BlockSpec((1, T0, 1), lambda c, i, *_: (c, i, 0), memory_space=pltpu.VMEM)
+    stats = pl.BlockSpec(
+        (C, nt, 16), lambda c, i, *_: (0, 0, 0), memory_space=pltpu.SMEM
+    )
+    in_specs = [lat]
+    if not periodic:
+        # H-slab halos via index maps on the (untiled) dim-0 axis — the same
+        # φ array passed again, so XLA pipelines the halo DMAs with compute
+        halo_u = pl.BlockSpec(
+            (1, H, L1, LF),
+            lambda c, i, *_: (c, ((i * T0 - H) % L0) // H, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        halo_d = pl.BlockSpec(
+            (1, H, L1, LF),
+            lambda c, i, *_: (c, (((i + 1) * T0) % L0) // H, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [halo_u, halo_d]
+    in_specs += [dtau_spec]
+    out_shapes = (
+        jax.ShapeDtypeStruct((C, L0, L1, LF), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, nt, 16), jnp.float32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C, nt),
+        in_specs=in_specs,
+        out_specs=(lat, sl, sl, stats),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+def field_frame_nd(
+    state: FieldState, action: FieldAction, cfg: FieldConfig, *,
+    tile_rows=None, interpret=False,
+):
+    """One frame (cfg.loops micro-steps, loops even) through the D-dim tiled
+    kernel; exact accept/reject + adaptive-Δτ epilogue of
+    integrators/field.py."""
+    if cfg.ndim < 3:
+        raise ValueError("field_kernel_nd covers D >= 3 (2-D has its own kernels)")
+    if cfg.loops % 2:
+        raise ValueError("the D-dim kernel needs an even loops count (pair launches)")
+    if cfg.rng_impl == "hardware":
+        raise ValueError(
+            "the D-dim tiled kernel requires counter-based noise (halo slabs "
+            "are recomputed redundantly across strips) — rng_impl='threefry'"
+        )
+    C = cfg.n_chains
+    shape = tuple(cfg.shape)
+    L0 = shape[0]
+    LF = int(np.prod(shape[2:]))
+    T0 = tile_rows or cfg.tile_rows or default_tile_rows(cfg)
+    volume = int(np.prod(shape))
+    call = _pair_call(action, cfg, T0, interpret)
+    dtau_col = state.dtau[:, None]
+    periodic = T0 == L0
+
+    def pair_body(carry, _):
+        phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step = carry
+        scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(step)
+        if periodic:
+            phi2, sl0, sl1, stats = call(scalars, phi, dtau_col)
+        else:
+            phi2, sl0, sl1, stats = call(scalars, phi, phi, phi, dtau_col)
+        sl0, sl1 = sl0[..., 0], sl1[..., 0]
+
+        def obs_step(vals, s_slice, st):
+            ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
+            mag = st[:, :, 0].sum(axis=1) / volume
+            phi2m = st[:, :, 1].sum(axis=1) / volume
+            act_d = st[:, :, 2].sum(axis=1) / volume
+            max_det = st[:, :, 3].max(axis=1)
+            max_new = st[:, :, 4].max(axis=1)
+            tripped = max_det > lrg
+            corr = s_slice * s_slice[:, :1]
+            keep = lambda new, old: jnp.where(unstable, old, new)
+            mag2 = mag * mag
+            ms = keep(ms + mag, ms)
+            m2s = keep(m2s + mag2, m2s)
+            m4s = keep(m4s + mag2 * mag2, m4s)
+            ams = keep(ams + jnp.abs(mag), ams)
+            p2s = keep(p2s + phi2m, p2s)
+            acs = keep(acs + act_d, acs)
+            cs = jnp.where(unstable[:, None], cs, cs + corr)
+            lrg = keep(jnp.maximum(lrg, max_new), lrg)
+            unstable = unstable | tripped
+            return (ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg)
+
+        vals = (ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg)
+        vals = obs_step(vals, sl0, stats[:, :, :5])
+        vals = obs_step(vals, sl1, stats[:, :, 5:10])
+        ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
+        return (phi2, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step + 2), None
+
+    zc = jnp.zeros((C,), jnp.float32)
+    phi_flat = state.phi.reshape((C, L0, shape[1], LF))
+    init = (
+        phi_flat, zc, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
+        jnp.zeros((C,), bool), state.lrg_vl, state.step,
+    )
+    carry, _ = lax.scan(pair_body, init, None, length=cfg.loops // 2)
+    phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step_end = carry
+    phi = phi.reshape((C,) + shape)
+
+    accept = ~unstable
+    au = accept.reshape((C,) + (1,) * cfg.ndim)
+    phi = jnp.where(au, phi, state.phi)
+    n_new = accum.runs_after(state.runs, cfg.loops)
+    mm = accum.merge_frame_sum(state.mag_mean, ms, cfg.loops, n_new)
+    m2m = accum.merge_frame_sum(state.mag2_mean, m2s, cfg.loops, n_new)
+    m4m = accum.merge_frame_sum(state.mag4_mean, m4s, cfg.loops, n_new)
+    amm = accum.merge_frame_sum(state.absmag_mean, ams, cfg.loops, n_new)
+    p2m = accum.merge_frame_sum(state.phi2_mean, p2s, cfg.loops, n_new)
+    am = accum.merge_frame_sum(state.act_mean, acs, cfg.loops, n_new)
+    cm = accum.merge_frame_sum(state.corr_mean, cs, cfg.loops, n_new[:, None])
+    sel = lambda new, old: jnp.where(accept, new, old)
+    mm = sel(mm, state.mag_mean)
+    m2m = sel(m2m, state.mag2_mean)
+    m4m = sel(m4m, state.mag4_mean)
+    amm = sel(amm, state.absmag_mean)
+    p2m = sel(p2m, state.phi2_mean)
+    am = sel(am, state.act_mean)
+    cm = jnp.where(accept[:, None], cm, state.corr_mean)
+    lrg = sel(lrg, state.lrg_vl)
+    runs = accum.bump_runs(state.runs, cfg.loops, accept)
+
+    grow = accept & (state.stab_cnt >= cfg.grow_after)
+    dtau = jnp.where(
+        grow,
+        state.dtau / cfg.shrink,
+        jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+    )
+    if cfg.dtau_max is not None:
+        dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, jnp.float32))
+    stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
+
+    new_state = FieldState(
+        phi=phi, mag_mean=mm, mag2_mean=m2m, mag4_mean=m4m, absmag_mean=amm,
+        phi2_mean=p2m, act_mean=am, corr_mean=cm,
+        runs=runs, dtau=dtau, stab_cnt=stab_cnt, lrg_vl=lrg,
+        step=step_end,
+    )
+    return new_state, {"stable": accept, "dtau": dtau, "max_phi": lrg}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("action", "cfg", "n_frames", "tile_rows", "interpret")
+)
+def run_field_frames_nd(
+    state: FieldState,
+    action: FieldAction,
+    cfg: FieldConfig,
+    n_frames: int,
+    tile_rows=None,
+    interpret: bool = False,
+):
+    """Drop-in replacement for integrators.field.run_field_frames, D >= 3."""
+    return lax.scan(
+        lambda s, _: field_frame_nd(
+            s, action, cfg, tile_rows=tile_rows, interpret=interpret
+        ),
+        state,
+        None,
+        length=n_frames,
+    )

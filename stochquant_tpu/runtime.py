@@ -440,8 +440,21 @@ def select_field_backend(
     tau_kernel.cl:25); 'auto' = fused kernels on TPU wherever they apply,
     XLA elsewhere/for shapes the kernels don't cover."""
     if backend == "auto":
-        if cfg.ndim != 2 or cfg.dtype != "float32":
+        if cfg.dtype != "float32":
             return "xla"
+        if cfg.ndim >= 3:
+            # D-dim tiled kernel (kernels/field_kernel_nd.py): config 4's
+            # 32^4 fused path (VERDICT r2 item 3).  Pair launches (even
+            # loops), counter RNG only, single-program (halo composition for
+            # D > 2 stays XLA).
+            if (
+                use_halo
+                or cfg.loops % 2
+                or cfg.rng_impl != "threefry"
+                or not on_tpu
+            ):
+                return "xla"
+            return "pallas_nd"
         if use_halo:
             # fused kernels composed with the shard_map decomposition
             # (VERDICT r2 item 1): per-shard whole-frame kernel for pure
@@ -476,8 +489,19 @@ def select_field_backend(
             "runner (mesh + cfg.mesh_axes); use 'pallas', 'pallas_step' or "
             "'xla'"
         )
-    if backend not in ("pallas", "pallas_tiled"):
+    if backend not in ("pallas", "pallas_tiled", "pallas_nd"):
         raise ValueError(f"unknown field backend {backend!r}")
+    if cfg.ndim >= 3:
+        if backend == "pallas_tiled":
+            raise ValueError(
+                "pallas_tiled is the 2-D strip kernel; D >= 3 lattices use "
+                "backend='pallas' (auto-tiled) or 'pallas_nd'"
+            )
+        # explicit kernel request on a D-dim lattice → the tiled ND kernel
+        # (it validates loops parity / rng itself)
+        return "pallas_nd"
+    if backend == "pallas_nd":
+        raise ValueError("pallas_nd covers D >= 3 lattices; 2-D uses 'pallas'")
     if cfg.ndim != 2:
         raise ValueError("the fused field kernels support 2-D lattices; use "
                          "backend='xla' for other dimensionalities")
@@ -568,6 +592,12 @@ def run_field(
         from stochquant_tpu.kernels import field_kernel_tiled
 
         run_n = lambda s, n: field_kernel_tiled.run_field_frames_tiled(
+            s, act, cfg, n, tile_rows=cfg.tile_rows, interpret=not on_tpu
+        )
+    elif backend == "pallas_nd":
+        from stochquant_tpu.kernels import field_kernel_nd
+
+        run_n = lambda s, n: field_kernel_nd.run_field_frames_nd(
             s, act, cfg, n, tile_rows=cfg.tile_rows, interpret=not on_tpu
         )
     else:

@@ -58,7 +58,6 @@ def test_kernel_rejects_unsupported_configs():
     from stochquant_tpu.integrators.gauge import init_gauge_state
 
     for bad in (
-        _cfg(group="su3", shape=(8, 8)),
         _cfg(shape=(4, 4, 4, 4)),
         _cfg(group="cu1", beta_im=0.2, cooling_rate=0.05),
     ):
@@ -107,3 +106,49 @@ def test_su2_kernel_hot_start_and_odd_loops():
 
     norm = np.asarray(jnp.sum(out.links**2, axis=1))
     np.testing.assert_allclose(norm, 1.0, atol=1e-5)
+
+
+def test_su3_kernel_matches_xla_interpret():
+    """Fused SU(3) kernel (split-complex 3x3 algebra) vs the complex64 XLA
+    scan: trajectories to float tolerance (split-complex lowering cannot be
+    bitwise vs complex64), trip decisions exact, links stay on SU(3)."""
+    from stochquant_tpu.integrators import gauge as gauge_mod
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+    from stochquant_tpu.kernels import gauge_kernel
+
+    cfg = GaugeConfig(group="su3", beta=5.0, shape=(8, 8), n_chains=2,
+                      dtau=1e-3, loops=5, seed=23, grow_after=10**9)
+    act = gauge_mod.resolve_gauge_action(cfg)
+    assert gauge_kernel.supports(act, cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    a, ma = gauge_mod.run_gauge_frames(s0, act, cfg, 2)
+    b, mb = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(a.links), np.asarray(b.links), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.plaq_mean), np.asarray(b.plaq_mean), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+    np.testing.assert_array_equal(np.asarray(a.runs), np.asarray(b.runs))
+    # links stay unitary (project_su3 per step)
+    L = np.asarray(b.links)
+    uu = np.einsum("...ab,...cb->...ac", L, L.conj())
+    assert np.max(np.abs(uu - np.eye(3))) < 5e-7
+
+
+def test_su3_kernel_through_runtime_auto():
+    """runtime.run_gauge auto-routing covers su3 now (explicit backend on
+    CPU = interpret mode)."""
+    from stochquant_tpu import metrics, runtime
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+
+    cfg = GaugeConfig(group="su3", beta=5.0, shape=(8, 8), n_chains=2,
+                      dtau=1e-3, loops=4, frames=2, seed=3, grow_after=10**9)
+    a = runtime.run_gauge(cfg, backend="xla", sink=metrics.MetricsSink())
+    b = runtime.run_gauge(cfg, backend="pallas", sink=metrics.MetricsSink())
+    np.testing.assert_allclose(
+        np.asarray(a.state.links), np.asarray(b.state.links), rtol=2e-5, atol=2e-6
+    )
