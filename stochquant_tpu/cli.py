@@ -82,6 +82,10 @@ def _apply_overrides(cfg, args):
         updates["measure_loops"] = True
     if getattr(args, "tile_rows", None) is not None and hasattr(cfg, "tile_rows"):
         updates["tile_rows"] = args.tile_rows
+    if getattr(args, "frames_per_launch", None) is not None and hasattr(
+        cfg, "frames_per_launch"
+    ):
+        updates["frames_per_launch"] = args.frames_per_launch
     return dataclasses.replace(cfg, **updates) if updates else cfg
 
 
@@ -194,6 +198,11 @@ def main(argv=None):
     r.add_argument(
         "--tile-rows", type=int,
         help="field presets: strip height for the HBM-tiled Pallas kernel",
+    )
+    r.add_argument(
+        "--frames-per-launch", type=int,
+        help="chain presets, Pallas backend: batch this many frames per "
+        "kernel launch with the accept/reject + Δτ epilogue in-kernel",
     )
     r.add_argument(
         "--measure-loops",

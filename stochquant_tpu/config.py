@@ -78,6 +78,13 @@ class ChainConfig:
     # boundary() ignores `pot`) — so set (−0.8, 0.8) for exact parity there.
     loops: int = 1000                  # micro-steps per frame (kernel launch)
     frames: int = 5000                 # macro-steps
+    frames_per_launch: int = 1         # Pallas backend: frames batched per
+                                       # kernel launch with the accept/reject
+                                       # + Δτ epilogue in-kernel (>1 removes
+                                       # the per-frame launch/epilogue
+                                       # round-trip — the win at small chain
+                                       # counts; per-frame semantics
+                                       # unchanged)
     fps: int = 1                       # stream observables every `fps` frames
     seed: int = 0
     dtype: str = "float32"             # TPU-native; fp64 only for CPU checks

@@ -173,7 +173,8 @@ def run_chain(
             from stochquant_tpu.kernels import chain_kernel
 
             return chain_kernel.run_frames_pallas(
-                state, act, cfg, n, interpret=not on_tpu
+                state, act, cfg, n, interpret=not on_tpu,
+                frames_per_launch=min(cfg.frames_per_launch, n),
             )
         return langevin.run_frames(state, act, cfg, n)
 

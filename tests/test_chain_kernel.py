@@ -143,3 +143,59 @@ def test_hardware_rng_statistics():
     a, _ = chain_kernel.run_frames_pallas(s2, act, cfg, 2, block_chains=32)
     b, _ = chain_kernel.run_frames_pallas(s2, act, cfg, 2, block_chains=32)
     np.testing.assert_array_equal(np.asarray(a.f), np.asarray(b.f))
+
+
+def test_multiframe_kernel_matches_single_frame_launches():
+    """K frames per launch with the IN-KERNEL epilogue (VERDICT r2 item 7)
+    vs K single-frame launches: same Threefry counters and epilogue
+    expressions — decisions (accept/reject, runs, stab_cnt) exact, float
+    state to 1-ulp (XLA fuses the two program shapes with different FMA
+    contractions)."""
+    cfg = ChainConfig(action="double_well", n_sites=32, dt=0.05, dtau=1e-4,
+                      n_chains=4, loops=6, seed=5)
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+
+    a, ma = chain_kernel.run_frames_pallas(s0, act, cfg, 7, interpret=True)
+    b, mb = chain_kernel.run_frames_pallas(
+        s0, act, cfg, 7, interpret=True, frames_per_launch=3
+    )  # 2 multi-launches + 1 single-frame tail
+    exact = ("runs", "stab_cnt", "step")
+    for name, x, y in zip(a._fields, a, b):
+        if name in exact:
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=3e-6, atol=3e-6, err_msg=name
+            )
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ma["dtau"]), np.asarray(mb["dtau"]), rtol=1e-6
+    )
+
+
+def test_multiframe_kernel_rejection_schedule():
+    """Rejected frames must revert in-kernel exactly like the XLA epilogue:
+    Δτ shrink schedule, frozen means, runs not counted."""
+    cfg = ChainConfig(action="double_well", n_sites=32, dt=0.05, dtau=0.05,
+                      n_chains=4, loops=6, seed=5)
+    act = actions.get(cfg.action)
+    s0 = langevin.init_chain_state(cfg, act)
+    a, ma = chain_kernel.run_frames_pallas(s0, act, cfg, 6, interpret=True)
+    b, mb = chain_kernel.run_frames_pallas(
+        s0, act, cfg, 6, interpret=True, frames_per_launch=2
+    )
+    assert (~np.asarray(ma["stable"])).any(), "test needs rejections"
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+    np.testing.assert_array_equal(np.asarray(a.runs), np.asarray(b.runs))
+    np.testing.assert_array_equal(np.asarray(a.stab_cnt), np.asarray(b.stab_cnt))
+    np.testing.assert_allclose(
+        np.asarray(a.dtau), np.asarray(b.dtau), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.f), np.asarray(b.f), rtol=3e-6, atol=3e-6
+    )
