@@ -71,6 +71,13 @@ class ChainConfig:
     # "hardware": pltpu.prng_random_bits in the fused kernel — faster, still
     #   deterministic for a fixed (seed, chain blocking), but trajectories
     #   differ from the threefry path and are not layout-invariant.
+    parisi: bool = True
+    # BACKGROUND formulation: update the collective coordinate ω every
+    # micro-step (the "Parisi trick", tau_kernel.cl:103-110).  False freezes
+    # ω at its initial value — the reference's Windows launcher exposed
+    # exactly this toggle (`parisi=0`, taumain_windows.py:145), and the
+    # frozen-ω chain is an exactly solvable Gaussian, giving the BACKGROUND
+    # moment oracle gates (observables/exact.py:background_gaussian_moments).
     ghost_override: Optional[Tuple[float, float]] = None
     # FIXED_BG ghost values (left, right) for the *full field*; overrides the
     # action's asymptotes.  The reference's BC mode 1 pins ±η for every

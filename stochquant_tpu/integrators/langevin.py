@@ -150,7 +150,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
     background = cfg.formulation == Formulation.BACKGROUND
     inv_dt2 = jnp.asarray(action.mass / (dt * dt), dtype)
     zm_const = jnp.asarray(action.zero_mode_const(), dtype)
-    has_zm = background and action.has_zero_mode
+    has_zm = background and action.has_zero_mode and cfg.parisi
     upper = jnp.asarray((N - 1) * dt, dtype)
     c_amp = jnp.asarray(cfg.noise_amp, dtype)
     clamp = jnp.asarray(cfg.clamp, dtype)

@@ -49,7 +49,7 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
     clamp = f32(cfg.clamp)
     zm_const = f32(action.zero_mode_const())
     background = cfg.formulation == Formulation.BACKGROUND
-    has_zm = background and action.has_zero_mode
+    has_zm = background and action.has_zero_mode and cfg.parisi
     heun = cfg.scheme == Scheme.HEUN
     upper = f32((N - 1) * dt)
     if cfg.ghost_override is not None:
@@ -323,7 +323,7 @@ def _build_multiframe_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: i
     clamp = f32(cfg.clamp)
     zm_const = f32(action.zero_mode_const())
     background = cfg.formulation == Formulation.BACKGROUND
-    has_zm = background and action.has_zero_mode
+    has_zm = background and action.has_zero_mode and cfg.parisi
     heun = cfg.scheme == Scheme.HEUN
     upper = f32((N - 1) * dt)
     loops = cfg.loops

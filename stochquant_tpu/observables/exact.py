@@ -127,6 +127,53 @@ def free_field_x2(shape, spacing: float, m2: float, dtau: float = 0.0) -> float:
     return float(np.mean(1.0 / denom))
 
 
+def background_gaussian_moments(
+    action,
+    n_sites: int,
+    dt: float,
+    dtau: float,
+    omega: float,
+    ghost_override=None,
+):
+    """Exact per-site (⟨x⟩, ⟨x²⟩, ⟨x⁴⟩) of the BACKGROUND-formulation chain
+    at *frozen* collective coordinate (``cfg.parisi=False`` — the reference
+    Windows launcher's ``parisi=0`` mode, ``taumain_windows.py:145``).
+
+    Conditional on ω, the fluctuation update (``tau_kernel.cl:111-117``) is
+    linear: drift = −B·f + s with B = −m∇²/Δt² + diag(V''(x_cl(t, ω))) and
+    the FIXED_BG ghosts entering as the affine source
+    s₀ = m·g_l/Δt², s_{N−1} = m·g_r/Δt² (g = asymptote − x_cl at the ghost
+    time).  The EM chain is then exactly Gaussian: stationary mean B⁻¹s
+    (unbiased), covariance em_stationary_cov(B, Δt, Δτ), and x = f + x_cl
+    has ⟨x²⟩ = m_x² + σ², ⟨x⁴⟩ = m_x⁴ + 6m_x²σ² + 3σ⁴ per site — an fp64
+    oracle for the full BACKGROUND machinery (kink background, ghost
+    construction, linearized drift) including its soft near-zero mode."""
+    t = np.arange(n_sites, dtype=np.float64) * dt
+    x_cl = np.asarray(action.x_cl(t, omega), np.float64)
+    ddv = np.asarray(action.ddV(x_cl), np.float64)
+    inv = action.mass / (dt * dt)
+    B = np.diag(2.0 * inv + ddv)
+    idx = np.arange(n_sites - 1)
+    B[idx, idx + 1] = -inv
+    B[idx + 1, idx] = -inv
+    if ghost_override is not None:
+        asym_l, asym_r = ghost_override
+    else:
+        asym_l = action.boundary_asymptote(-1)
+        asym_r = action.boundary_asymptote(+1)
+    gl = asym_l - float(np.asarray(action.x_cl(-dt, omega)))
+    gr = asym_r - float(np.asarray(action.x_cl(n_sites * dt, omega)))
+    s = np.zeros(n_sites)
+    s[0] = inv * gl
+    s[-1] = inv * gr
+    mu_f = np.linalg.solve(B, s)
+    var = np.diag(em_stationary_cov(B, dt, dtau))
+    m_x = mu_f + x_cl
+    x2 = m_x**2 + var
+    x4 = m_x**4 + 6.0 * m_x**2 * var + 3.0 * var**2
+    return m_x, x2, x4
+
+
 def transfer_matrix_moments(
     V,
     n_sites: int,

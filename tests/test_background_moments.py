@@ -1,0 +1,134 @@
+"""BACKGROUND-formulation moment gates vs exact fp64 oracles (VERDICT r2
+item 8 — ⟨x⁴⟩/moment gates previously covered DIRECT only).
+
+The BACKGROUND chain evolves Gaussian fluctuations around x_cl with the
+linearized drift, so conditional on the collective coordinate ω it is an
+exactly solvable Ornstein–Uhlenbeck process:
+
+- harmonic oscillator: x_cl ≡ 0, V'' ≡ k — BACKGROUND ≡ DIRECT, and the EM
+  stationary state is the exact Gaussian of observables/exact.py, with
+  ⟨x⁴⟩ = 3σ⁴ per site;
+- double well at frozen ω (``cfg.parisi=False``, the reference Windows
+  launcher's ``parisi=0`` toggle, taumain_windows.py:145): kink background,
+  FIXED_BG ghost sources and the (lifted) soft mode included —
+  exact.background_gaussian_moments.  Geometry note: the frozen-ω operator's
+  soft eigenvalue is only positive for short lattices (T ≲ 1.5 here);
+  longer lattices make the frozen kink *metastable* (b_soft < 0), which is
+  exactly why the Parisi trick exists.  Chains start FROM the exact
+  stationary Gaussian so every step is stationary — the z-score gate needs
+  no burn-in and chain independence calibrates the error bars.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from stochquant_tpu import actions
+from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation
+from stochquant_tpu.integrators import langevin
+from stochquant_tpu.observables import exact
+
+
+def _z(sim, theory, n_chains):
+    est = sim.mean(0)
+    se = sim.std(0) / np.sqrt(n_chains)
+    return np.abs(est - theory) / (se + 1e-12)
+
+
+def test_harmonic_background_x2_x4_exact_gate():
+    cfg = ChainConfig(
+        action="harmonic", n_sites=32, dt=0.2, dtau=2e-3, n_chains=64,
+        loops=200, seed=31, grow_after=10**9,
+        formulation=Formulation.BACKGROUND, bc=BoundaryCondition.FIXED_BG,
+    )
+    act = actions.get("harmonic")
+    s = langevin.init_chain_state(cfg, act)
+    s, _ = langevin.run_frames(s, act, cfg, 30)
+    s = langevin.reset_means(s)
+    s, m = langevin.run_frames(s, act, cfg, 90)
+    assert np.all(np.asarray(m["stable"]))
+    B = exact.harmonic_drift_matrix(cfg.n_sites, cfg.dt, bc=cfg.bc)
+    sig2 = np.diag(exact.em_stationary_cov(B, cfg.dt, cfg.dtau))
+    z2 = _z(np.asarray(s.x2_mean, np.float64), sig2, cfg.n_chains)
+    z4 = _z(np.asarray(s.x4_mean, np.float64), 3.0 * sig2**2, cfg.n_chains)
+    # 32 sites × per-site z-test; 5σ + slack for residual autocorrelation
+    assert z2.max() < 6.0, z2.max()
+    assert z4.max() < 6.0, z4.max()
+
+
+def test_double_well_background_frozen_omega_moment_gate():
+    """Full BACKGROUND machinery (kink x_cl, FIXED_BG ghost sources,
+    linearized drift, soft mode) vs the exact conditional Gaussian."""
+    cfg = ChainConfig(
+        action="double_well", n_sites=24, dt=0.05, dtau=5e-4, n_chains=64,
+        loops=100, seed=7, grow_after=10**9,
+        formulation=Formulation.BACKGROUND, bc=BoundaryCondition.FIXED_BG,
+        parisi=False,
+    )
+    act = actions.get("double_well")
+    om0 = 0.5 * (cfg.n_sites - 1) * cfg.dt
+
+    # exact stationary Gaussian (fp64) → initial ensemble
+    t = np.arange(cfg.n_sites) * cfg.dt
+    x_cl = np.asarray(act.x_cl(t, om0), np.float64)
+    ddv = np.asarray(act.ddV(x_cl), np.float64)
+    inv = act.mass / cfg.dt**2
+    B = np.diag(2.0 * inv + ddv)
+    i_ = np.arange(cfg.n_sites - 1)
+    B[i_, i_ + 1] = -inv
+    B[i_ + 1, i_] = -inv
+    b_soft = np.linalg.eigvalsh(B).min()
+    assert b_soft > 0.5, f"geometry must lift the soft mode, b_soft={b_soft}"
+    gl = act.boundary_asymptote(-1) - float(np.asarray(act.x_cl(-cfg.dt, om0)))
+    gr = act.boundary_asymptote(+1) - float(
+        np.asarray(act.x_cl(cfg.n_sites * cfg.dt, om0))
+    )
+    src = np.zeros(cfg.n_sites)
+    src[0] = inv * gl
+    src[-1] = inv * gr
+    mu = np.linalg.solve(B, src)
+    cov = exact.em_stationary_cov(B, cfg.dt, cfg.dtau)
+    rs = np.random.RandomState(3)
+    L = np.linalg.cholesky(cov)
+    f0 = mu[None, :] + rs.standard_normal((cfg.n_chains, cfg.n_sites)) @ L.T
+
+    s = langevin.init_chain_state(cfg, act)
+    s = s._replace(
+        omega=jnp.full((cfg.n_chains,), om0, jnp.float32),
+        f=jnp.asarray(f0, jnp.float32),
+        lrg_vl=jnp.asarray(np.abs(f0 + x_cl).max(1), jnp.float32),
+    )
+    s, m = langevin.run_frames(s, act, cfg, 100)
+    assert np.all(np.asarray(m["stable"]))
+    assert float(np.asarray(s.omega).std()) == 0.0, "parisi=False must freeze ω"
+
+    mx, x2t, x4t = exact.background_gaussian_moments(
+        act, cfg.n_sites, cfg.dt, cfg.dtau, om0
+    )
+    np.testing.assert_allclose(mu + x_cl, mx)  # oracle self-consistency
+    zx = _z(np.asarray(s.x_mean, np.float64), mx, cfg.n_chains)
+    z2 = _z(np.asarray(s.x2_mean, np.float64), x2t, cfg.n_chains)
+    z4 = _z(np.asarray(s.x4_mean, np.float64), x4t, cfg.n_chains)
+    assert zx.max() < 6.0, zx.max()
+    assert z2.max() < 6.0, z2.max()
+    assert z4.max() < 6.0, z4.max()
+
+
+def test_parisi_toggle_changes_only_omega_updates():
+    """parisi=False must freeze ω and leave the field update machinery
+    untouched (kernel path honours the toggle too)."""
+    from stochquant_tpu.kernels import chain_kernel
+
+    cfg = ChainConfig(
+        action="double_well", n_sites=32, dt=0.05, dtau=1e-4, n_chains=4,
+        loops=6, seed=5, formulation=Formulation.BACKGROUND,
+        bc=BoundaryCondition.FIXED_BG, parisi=False,
+    )
+    act = actions.get("double_well")
+    s0 = langevin.init_chain_state(cfg, act)
+    a, _ = langevin.run_frames(s0, act, cfg, 2)
+    np.testing.assert_array_equal(np.asarray(a.omega), np.asarray(s0.omega))
+    b, _ = chain_kernel.run_frames_pallas(s0, act, cfg, 2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b.omega), np.asarray(s0.omega))
+    np.testing.assert_allclose(
+        np.asarray(a.f), np.asarray(b.f), rtol=2e-6, atol=2e-6
+    )
