@@ -96,9 +96,8 @@ def cmd_run(args):
     if args.preset not in presets:
         sys.exit(f"unknown preset {args.preset!r}; known: {sorted(presets)}")
     cfg = _apply_overrides(presets[args.preset], args)
-    sink = metrics_mod.MetricsSink(
-        stream=open(args.metrics, "w") if args.metrics else sys.stdout
-    )
+    metrics_fh = open(args.metrics, "w") if args.metrics else None
+    sink = metrics_mod.MetricsSink(stream=metrics_fh or sys.stdout)
     resume = args.resume
     resume_progress = False
     if args.auto_resume:
@@ -141,6 +140,8 @@ def cmd_run(args):
                 else:
                     runtime.run_complex(cfg, **common)
     finally:
+        if metrics_fh is not None:
+            metrics_fh.close()
         if prof:
             import jax
 

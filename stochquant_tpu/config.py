@@ -71,6 +71,11 @@ class ChainConfig:
     # "hardware": pltpu.prng_random_bits in the fused kernel — faster, still
     #   deterministic for a fixed (seed, chain blocking), but trajectories
     #   differ from the threefry path and are not layout-invariant.
+    # Rejection semantics are identical on BOTH paths: the step counter
+    #   advances by `loops` whether a frame is accepted or rejected, so the
+    #   retry frame always draws fresh noise (threefry: new counters;
+    #   hardware: per-frame reseed keyed by the advanced step) — and a
+    #   checkpoint-resumed replay of any frame is exact on either path.
     parisi: bool = True
     # BACKGROUND formulation: update the collective coordinate ω every
     # micro-step (the "Parisi trick", tau_kernel.cl:103-110).  False freezes

@@ -10,8 +10,17 @@ swap (K7) replaced by a functional ``fori_loop`` carry.
 Layout: chains on sublanes, Euclidean-time sites on lanes, padded to a
 multiple of 128; a grid dimension tiles large chain batches.  Noise uses
 the same Threefry counters as rng.py keyed by *global* (chain, site, step),
-so kernel trajectories are bit-compatible with the XLA integrator path
-(tests/test_chain_kernel.py) and invariant under chain-block tiling.
+and every expression mirrors the XLA integrator's operand order, so kernel
+trajectories are invariant under chain-block tiling and bitwise equal to
+the XLA path in interpret mode (tests/test_chain_kernel.py).
+
+Tolerance contract on real TPUs: Mosaic's transcendental lowering (tanh/exp
+in the background field and potentials) rounds differently from XLA's, so
+on-device trajectories track the XLA path to |Δx| ≤ ~1e-6 over a
+1000-micro-step double-well frame (the bench gate `chain` in
+`kernel_vs_xla_max_abs_diff`, threshold 2e-6).  Kernels whose math avoids
+those transcendentals hit 0.0 on device (U(1) gauge) — the bound is
+rounding drift, not an algorithmic difference.
 """
 
 from __future__ import annotations

@@ -12,7 +12,45 @@ from __future__ import annotations
 import json
 
 
-def live_plot(path: str, poll_s: float = 0.5):
+class MetricsTail:
+    """Incremental reader of a metrics .jsonl file: each ``poll()`` returns
+    the newest complete ``frame`` record carrying a correlator (or None),
+    tolerating partially written trailing lines.  Context-managed so the
+    file handle is released deterministically (the r2 advisor flagged the
+    leak)."""
+
+    def __init__(self, path: str):
+        self._fh = open(path)
+
+    def poll(self):
+        last = None
+        while True:
+            pos = self._fh.tell()
+            line = self._fh.readline()
+            if not line:
+                break
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                # partial line mid-write: rewind so the next poll rereads it
+                self._fh.seek(pos)
+                break
+            if rec.get("type") == "frame" and "log_abs_corr" in rec:
+                last = rec
+        return last
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def live_plot(path: str, poll_s: float = 0.5, show: bool = True):
     """Tail a metrics .jsonl file and animate log|C(t)| (the quantity whose
     slope gives the energy gap, streamed by tauhost.c:491)."""
     import matplotlib.pyplot as plt
@@ -21,26 +59,10 @@ def live_plot(path: str, poll_s: float = 0.5):
     fig, ax = plt.subplots()
     (ln,) = ax.plot([], [], "ro-", markersize=2)
     txt = ax.text(0.02, 0.95, "", transform=ax.transAxes)
-    state = {"pos": 0, "y": None}
-
-    fh = open(path)
-
-    def poll():
-        last = None
-        while True:
-            line = fh.readline()
-            if not line:
-                break
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                break  # partial line; retry next poll
-            if rec.get("type") == "frame" and "log_abs_corr" in rec:
-                last = rec
-        return last
+    tail = MetricsTail(path)
 
     def update(_):
-        rec = poll()
+        rec = tail.poll()
         if rec is not None:
             y = rec["log_abs_corr"]
             ln.set_data(range(len(y)), y)
@@ -55,5 +77,9 @@ def live_plot(path: str, poll_s: float = 0.5):
     ani = animation.FuncAnimation(fig, update, interval=int(poll_s * 1000))
     plt.xlabel("site")
     plt.ylabel("log |C(t)|")
-    plt.show()
+    if show:
+        try:
+            plt.show()
+        finally:
+            tail.close()
     return ani
