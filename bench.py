@@ -283,6 +283,162 @@ def worker() -> None:
     glups2_x = time_su2(lambda s, n: gauge_mod.run_gauge_frames(s, g2act, g2cfg, n))
     log(f"su2 gauge link-updates/s: kernel {glups2_k:.0f} vs XLA {glups2_x:.0f} MLUPS")
 
+    # --- SU(3) fused gauge kernel (VERDICT r2 item 2): matrix links as split
+    # re/im planes, Cayley–Hamilton exponential in-kernel.
+    g3gate = GaugeConfig(group="su3", beta=5.0, shape=(8, 128), n_chains=2,
+                         dtau=1e-3, loops=10, seed=23, grow_after=10**9)
+    g3act = gauge_mod.resolve_gauge_action(g3gate)
+    g3s0 = gauge_mod.init_gauge_state(g3gate, g3act)
+    g3a, _ = gauge_mod.run_gauge_frames(g3s0, g3act, g3gate, 2)
+    g3b, _ = gauge_kernel.run_gauge_frames_pallas(g3s0, g3act, g3gate, 2,
+                                                  interpret=not on_tpu)
+    su3_gate = float(np.max(np.abs(np.asarray(g3a.links) - np.asarray(g3b.links))))
+    log(f"su3 kernel-vs-XLA max|dlinks| on this device: {su3_gate:.2e}")
+
+    g3cfg = GaugeConfig(group="su3", beta=5.0, shape=(64, 64),
+                        n_chains=8 if on_tpu else 2, dtau=1e-3,
+                        loops=50 if on_tpu else 4, seed=19, grow_after=10**9)
+    g3act = gauge_mod.resolve_gauge_action(g3cfg)
+    g3state = gauge_mod.init_gauge_state(g3cfg, g3act)
+
+    def time_su3(runner):
+        s, _ = runner(g3state, 2)
+        np.asarray(s.drift_max)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            s, _ = runner(g3state, 2)
+            np.asarray(s.drift_max)
+            times.append(time.time() - t0)
+        return (
+            g3cfg.n_chains * 2 * 64 * 64 * g3cfg.loops * 2
+            / sorted(times)[0] / 1e6
+        )
+
+    glups3_k = time_su3(
+        lambda s, n: gauge_kernel.run_gauge_frames_pallas(
+            s, g3act, g3cfg, n, interpret=not on_tpu
+        )
+    )
+    glups3_x = time_su3(lambda s, n: gauge_mod.run_gauge_frames(s, g3act, g3cfg, n))
+    log(f"su3 gauge link-updates/s: kernel {glups3_k:.0f} vs XLA {glups3_x:.0f} MLUPS")
+
+    # --- D-dim tiled kernel (VERDICT r2 item 3): config 4's 32^4 fused path.
+    from stochquant_tpu.kernels import field_kernel_nd
+
+    nd_gate_cfg = FieldConfig(action="phi4", shape=(8, 8, 4, 128), n_chains=2,
+                              loops=10, seed=12, grow_after=10**9)
+    nds0 = field_mod.init_field_state(nd_gate_cfg)
+    nda, _ = field_mod.run_field_frames(nds0, fact, nd_gate_cfg, 2)
+    ndb, _ = field_kernel_nd.run_field_frames_nd(
+        nds0, fact, nd_gate_cfg, 2, interpret=not on_tpu
+    )
+    nd_gate = float(np.max(np.abs(np.asarray(nda.phi) - np.asarray(ndb.phi))))
+    log(f"nd kernel-vs-XLA max|dphi| on this device: {nd_gate:.2e}")
+
+    nd_cfg = FieldConfig(
+        action="phi4", shape=(32, 32, 32, 32) if on_tpu else (8, 8, 4, 4),
+        n_chains=1, loops=20 if on_tpu else 4, seed=9, grow_after=10**9,
+    )
+    nd_state = field_mod.init_field_state(nd_cfg)
+    nd_vol = int(np.prod(nd_cfg.shape))
+
+    def time_nd(runner):
+        s, _ = runner(nd_state, 2)
+        np.asarray(s.lrg_vl)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            s, _ = runner(nd_state, 2)
+            np.asarray(s.lrg_vl)
+            times.append(time.time() - t0)
+        return nd_cfg.n_chains * nd_vol * nd_cfg.loops * 2 / sorted(times)[0] / 1e6
+
+    nd_k = time_nd(
+        lambda s, n: field_kernel_nd.run_field_frames_nd(
+            s, fact, nd_cfg, n, interpret=not on_tpu
+        )
+    )
+    nd_x = time_nd(lambda s, n: field_mod.run_field_frames(s, fact, nd_cfg, n))
+    log(f"32^4 site-updates/s: nd kernel {nd_k:.0f} vs XLA {nd_x:.0f} MLUPS")
+
+    # --- fused kernels × shard_map decomposition (VERDICT r2 item 1): on
+    # the single chip, a 1-device mesh exercises both composition paths —
+    # the whole-frame kernel per shard (chain-DP) and the per-micro-step
+    # bulk kernel + halo fixup (forced).
+    from stochquant_tpu.parallel import make_mesh, shard_field_state
+    from stochquant_tpu.parallel.halo import make_halo_runner
+    import dataclasses as _dc2
+
+    hcfg = _dc2.replace(
+        fcfg, mesh_axes=("x", None), frames=1,
+        loops=50 if on_tpu else 4,
+        n_chains=16 if on_tpu else 2,
+        shape=(256, 256) if on_tpu else (16, 128),
+    )
+    hmesh = make_mesh([("x", 1)])
+    hs0 = field_mod.init_field_state(hcfg)
+    hs0_sh = shard_field_state(hs0, hmesh, hcfg)
+    h_frames = 5 if on_tpu else 2
+    h_updates = hcfg.n_chains * int(np.prod(hcfg.shape)) * hcfg.loops * h_frames
+
+    def time_halo(runner):
+        out, _ = runner(hs0_sh, h_frames)
+        np.asarray(out.lrg_vl)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            out, _ = runner(hs0_sh, h_frames)
+            np.asarray(out.lrg_vl)
+            times.append(time.time() - t0)
+        return out, h_updates / sorted(times)[0] / 1e6
+
+    hb = "pallas" if on_tpu else "xla"
+    _, halo_frame_mlups = time_halo(
+        make_halo_runner(fact, hcfg, hmesh, backend=hb, interpret=not on_tpu)
+    )
+    out_step, halo_step_mlups = time_halo(
+        make_halo_runner(fact, hcfg, hmesh, backend="pallas_step",
+                         interpret=not on_tpu)
+    )
+    out_hx, halo_xla_mlups = time_halo(
+        make_halo_runner(fact, hcfg, hmesh, backend="xla")
+    )
+    halo_gate = float(
+        np.max(np.abs(np.asarray(out_step.phi) - np.asarray(out_hx.phi)))
+    )
+    log(f"halo composition: frame {halo_frame_mlups:.0f} / step "
+        f"{halo_step_mlups:.0f} / xla {halo_xla_mlups:.0f} MLUPS, "
+        f"step-vs-xla gate {halo_gate:.2e}")
+
+    # --- multi-frame chain kernel (VERDICT r2 item 7): config-2 chain count,
+    # epilogue in-kernel, K=8 frames per launch.
+    mf_s0 = langevin.init_chain_state(c2, actions.get("anharmonic"))
+    mf_frames = 8
+
+    def time_mf(k):
+        s, _ = chain_kernel.run_frames_pallas(
+            mf_s0, actions.get("anharmonic"), c2, mf_frames, block_chains=64,
+            interpret=not on_tpu, frames_per_launch=k,
+        )
+        np.asarray(s.lrg_vl)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            s, _ = chain_kernel.run_frames_pallas(
+                mf_s0, actions.get("anharmonic"), c2, mf_frames,
+                block_chains=64, interpret=not on_tpu, frames_per_launch=k,
+            )
+            np.asarray(s.lrg_vl)
+            times.append(time.time() - t0)
+        return (
+            c2.n_chains * c2.n_sites * c2.loops * mf_frames
+            / sorted(times)[0] / 1e6
+        )
+
+    mf_mlups = time_mf(8 if on_tpu else 2)
+    log(f"config-2 multiframe (K=8): {mf_mlups:.0f} MLUPS (K=1: {mlups_c2:.0f})")
+
     ref = oracle.run_reference(200, 0.02, 2e-4, frames=5, loops=1000, seed=7)
     ref_mlups = ref.updates_per_sec / 1e6
     log(f"oracle baseline: {ref_mlups:.1f} MLUPS (serial CPU)")
@@ -300,12 +456,21 @@ def worker() -> None:
         "u1_gauge_xla_mlups": round(glups_x, 1),
         "su2_gauge_kernel_mlups": round(glups2_k, 1),
         "su2_gauge_xla_mlups": round(glups2_x, 1),
+        "su3_gauge_kernel_mlups": round(glups3_k, 1),
+        "su3_gauge_xla_mlups": round(glups3_x, 1),
+        "nd4d_kernel_mlups": round(nd_k, 1),
+        "nd4d_xla_mlups": round(nd_x, 1),
+        "halo_pallas_frame_mlups": round(halo_frame_mlups, 1),
+        "halo_pallas_step_mlups": round(halo_step_mlups, 1),
+        "halo_xla_mlups": round(halo_xla_mlups, 1),
+        "config2_multiframe_k8_mlups": round(mf_mlups, 1),
         "kernel_equals_xla_on_device": kernel_equals_xla
         and gauge_gate <= 2e-6
         and su2_gate <= 2e-6,
         "kernel_vs_xla_max_abs_diff": {
             "chain": chain_gate, "field": field_gate, "gauge": gauge_gate,
-            "su2": su2_gate,
+            "su2": su2_gate, "su3": su3_gate, "nd4d": nd_gate,
+            "halo_step_vs_xla": halo_gate,
         },
         "stable_fraction": stable,
     }))
@@ -321,7 +486,7 @@ def main() -> None:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
                 stdout=subprocess.PIPE,
-                timeout=560,
+                timeout=1500,
             )
             lines = [l for l in out.stdout.decode().splitlines() if l.strip()]
             if out.returncode == 0 and lines:

@@ -212,13 +212,23 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
 
         strip = (lambda x: x) if periodic else (lambda x: x[:, H : H + T0])
 
+        # Mosaic rejects multi-axis vector reductions on rank-4 operands
+        # (vector.multi_reduction over dims {2,3}); reduce the lane axis
+        # first, then finish on the rank-3 result (the 2-D kernels' proven
+        # pattern)
+        def sum_all(x):
+            return jnp.sum(jnp.sum(x, axis=3))
+
+        def max_all(x):
+            return jnp.max(jnp.max(x, axis=3))
+
         def stats(phi_pre, phi_post, absdet, base):
             p = strip(phi_pre)
-            stats_ref[c, i, base + 0] = jnp.sum(p)
-            stats_ref[c, i, base + 1] = jnp.sum(p * p)
-            stats_ref[c, i, base + 2] = jnp.sum(strip(action_density(phi_pre)))
-            stats_ref[c, i, base + 3] = jnp.max(strip(absdet))
-            stats_ref[c, i, base + 4] = jnp.max(jnp.abs(strip(phi_post)))
+            stats_ref[c, i, base + 0] = sum_all(p)
+            stats_ref[c, i, base + 1] = sum_all(p * p)
+            stats_ref[c, i, base + 2] = sum_all(strip(action_density(phi_pre)))
+            stats_ref[c, i, base + 3] = max_all(strip(absdet))
+            stats_ref[c, i, base + 4] = max_all(jnp.abs(strip(phi_post)))
 
         b0, b1 = rng.threefry2x32(seed, k1, site, step0)
         u1 = rng.uniform_from_bits(b0)
@@ -232,12 +242,13 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
         phi2, absdet1 = micro(phi1, namp * z1)
 
         inv_sl = f32(1.0 / (L1 * LF))
-        sl0_ref[:] = (
-            jnp.sum(strip(phi0), axis=(2, 3), keepdims=True)[:, :, :, 0] * inv_sl
-        )
-        sl1_ref[:] = (
-            jnp.sum(strip(phi1), axis=(2, 3), keepdims=True)[:, :, :, 0] * inv_sl
-        )
+
+        def slice_mean(x):
+            # (1, T0, L1, LF) → (1, T0, 1): one axis per reduction (Mosaic)
+            return jnp.sum(jnp.sum(x, axis=3), axis=2, keepdims=True) * inv_sl
+
+        sl0_ref[:] = slice_mean(strip(phi0))
+        sl1_ref[:] = slice_mean(strip(phi1))
         stats(phi0, phi1, absdet0, 0)
         stats(phi1, phi2, absdet1, 5)
         phio_ref[:] = strip(phi2)

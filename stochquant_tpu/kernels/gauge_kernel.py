@@ -105,6 +105,51 @@ def _cmat_map(A, d, sign, roll):
     ]
 
 
+# Mosaic TC lowers sin/cos/tan/sqrt/exp/log but has NO acos/atan2 primitives
+# (NotImplementedError at lowering); the SU(3) exponential needs arccos and
+# the re-unitarization needs the det phase.  Cephes-style float32 atan with
+# two-stage range reduction (~1-ulp on ℝ), plus the standard quadrant logic
+# and acos(x) = atan2(√((1−x)(1+x)), x) — accuracy far inside the kernel's
+# ≤1e-5 on-device gate.
+
+
+def _atanf(x):
+    f32 = np.float32
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    big = ax > f32(2.414213562373095)  # tan(3π/8)
+    mid = (ax > f32(0.4142135623730950)) & ~big  # tan(π/8)
+    xr = jnp.where(
+        big, -1.0 / jnp.where(big, ax, f32(1.0)),
+        jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax),
+    )
+    off = jnp.where(
+        big, f32(np.pi / 2), jnp.where(mid, f32(np.pi / 4), f32(0.0))
+    )
+    z = xr * xr
+    y = (
+        ((f32(8.05374449538e-2) * z - f32(1.38776856032e-1)) * z
+         + f32(1.99777106478e-1)) * z
+        - f32(3.33329491539e-1)
+    ) * z * xr + xr
+    return sign * (off + y)
+
+
+def _atan2f(y, x):
+    f32 = np.float32
+    safe_x = jnp.where(x == 0.0, f32(1.0), x)
+    base = _atanf(y / safe_x)
+    base = base + jnp.where(
+        x < 0.0, jnp.where(y >= 0.0, f32(np.pi), f32(-np.pi)), f32(0.0)
+    )
+    vert = jnp.where(y >= 0.0, f32(np.pi / 2), f32(-np.pi / 2))
+    return jnp.where(x == 0.0, vert, base)
+
+
+def _acosf(x):
+    return _atan2f(jnp.sqrt(jnp.maximum((1.0 - x) * (1.0 + x), 0.0)), x)
+
+
 def _build_kernel(action, cfg: GaugeConfig):
     L0, L1 = cfg.shape
     f32 = np.float32
@@ -528,7 +573,7 @@ def _build_su3_kernel(action, cfg: GaugeConfig):
             c1s = jnp.where(small, f32(1.0), c1)
             c0a = jnp.abs(c0)
             c0max = 2.0 * (c1s / 3.0) ** 1.5
-            theta = jnp.arccos(jnp.clip(c0a / c0max, 0.0, 1.0 - 1e-6))
+            theta = _acosf(jnp.clip(c0a / c0max, 0.0, 1.0 - 1e-6))
             uu = jnp.sqrt(c1s / 3.0) * jnp.cos(theta / 3.0)
             w = jnp.sqrt(c1s) * jnp.sin(theta / 3.0)
             w2 = w * w
@@ -619,7 +664,7 @@ def _build_su3_kernel(action, cfg: GaugeConfig):
                 csub(_cmul(v[0][0], m0), _cmul(v[0][1], m1)),
                 _cmul(v[0][2], m2),
             )
-            ang = jnp.arctan2(det[1], det[0])
+            ang = _atan2f(det[1], det[0])  # no atan2 in Mosaic (see _atanf)
             ph = (jnp.cos(ang * f32(-1.0 / 3.0)), jnp.sin(ang * f32(-1.0 / 3.0)))
             return [[_cmul(v[r][c], ph) for c in range(3)] for r in range(3)]
 

@@ -2,6 +2,7 @@
 determinism, and observable sanity."""
 
 import numpy as np
+import pytest
 
 from stochquant_tpu.actions import phi4
 from stochquant_tpu.config import FieldConfig
@@ -45,6 +46,7 @@ def test_field_determinism():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_broken_phase_magnetization():
     """φ⁴ with m²<0 magnetizes: ⟨|M|⟩ well above the symmetric-phase value."""
     cfg = FieldConfig(
@@ -90,6 +92,7 @@ def test_correlator_slice_shape_and_symmetry():
     np.testing.assert_allclose(corr[1:], corr[1:][::-1], rtol=0.5, atol=0.02)
 
 
+@pytest.mark.slow
 def test_checkerboard_free_field_stationary():
     """Checkerboard (Gauss–Seidel-colored) EM still targets exp(−S): for
     small Δτ the free-field ⟨φ²⟩ matches the Δτ→0 propagator sum within a

@@ -196,6 +196,7 @@ def test_cu1_cooling_gauge_invariance():
 # ------------------------------------------------------- physics (known answer)
 
 
+@pytest.mark.slow
 def test_cu1_complex_beta_matches_analytic_continuation():
     """2-D complexified U(1) at β = 1 + 0.5i: CL mean plaquette must match
     I₁(β)/I₀(β) continued to complex β."""

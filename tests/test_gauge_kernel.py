@@ -139,6 +139,7 @@ def test_su3_kernel_matches_xla_interpret():
     assert np.max(np.abs(uu - np.eye(3))) < 5e-7
 
 
+@pytest.mark.slow
 def test_su3_kernel_through_runtime_auto():
     """runtime.run_gauge auto-routing covers su3 now (explicit backend on
     CPU = interpret mode)."""

@@ -69,6 +69,7 @@ def test_2d_wilson_loop_area_law(group, beta, chains):
     assert abs(w.mean() - want) < 6 * err + 10 * cfg.dtau, (w.mean(), want, err)
 
 
+@pytest.mark.slow
 def test_polyakov_loop_vanishes_in_confined_phase():
     """2-D U(1) at finite β is confining: ⟨Tr P⟩ = 0 up to statistics."""
     cfg = gi.GaugeConfig(group="u1", beta=1.0, shape=(8, 8), n_chains=256,
@@ -82,6 +83,7 @@ def test_polyakov_loop_vanishes_in_confined_phase():
     assert abs(p[:, 1].mean()) < 6 * err + 1e-3
 
 
+@pytest.mark.slow
 def test_wilson_flow_monotone_and_smooths():
     for group in ("u1", "su2", "su3"):
         act = ga.get_gauge(group, beta=2.0)

@@ -215,6 +215,7 @@ def test_zero_mode_updates_omega_for_double_well():
     np.testing.assert_array_equal(np.asarray(h1.omega), np.asarray(h0.omega))
 
 
+@pytest.mark.slow
 def test_heun_x2_matches_exact_heun_covariance():
     """Stochastic Heun at a LARGE step (Δτ·b_max ≈ 1.3): site ⟨x²⟩ matches
     the exact Heun stationary covariance, and its bias vs the true Δτ→0

@@ -192,6 +192,7 @@ def test_anharmonic_schwinger_dyson_identity():
     assert abs(mean - 1.0) < 6 * err + 5e-3, (mean, err)
 
 
+@pytest.mark.slow
 def test_field_binder_cumulant_gaussian_phase():
     """Free field: M is exactly Gaussian, so ⟨M⁴⟩ = 3⟨M²⟩² and the Binder
     cumulant U = 1 − ⟨M⁴⟩/(3⟨M²⟩²) must vanish within statistics."""

@@ -237,8 +237,12 @@ def test_field_backend_routing():
     assert sel(big, "auto", on_tpu=True, use_halo=False) == "pallas_tiled"
     import pytest
 
-    with pytest.raises(ValueError):
-        sel(FieldConfig(shape=(4, 4, 4)), "pallas", on_tpu=True, use_halo=False)
+    # D >= 3 explicit kernel requests resolve to the tiled ND kernel (r3)
+    assert (
+        sel(FieldConfig(shape=(4, 4, 4), loops=4), "pallas", on_tpu=True,
+            use_halo=False)
+        == "pallas_nd"
+    )
     with pytest.raises(ValueError, match="halo"):
         sel(base, "pallas_tiled", on_tpu=True, use_halo=True, mesh=mesh)
     # odd loops cannot run the pair-launch tiled kernel: auto falls back to xla
