@@ -46,6 +46,8 @@ def worker() -> None:
     from stochquant_tpu.integrators import langevin
     from stochquant_tpu.kernels import chain_kernel
 
+    from dataclasses import replace as dataclasses_replace
+
     on_tpu = jax.devices()[0].platform != "cpu"
     log(f"devices: {jax.devices()}")
 
@@ -97,6 +99,13 @@ def worker() -> None:
     log("chain bench, Threefry (layout-invariant default) path:")
     mlups_tf, _ = time_chain(
         ChainConfig(**base, rng_impl="threefry"), act, n_frames,
+        2 if on_tpu else 1, block,
+    )
+    # threefry13 (r3): Random123's reduced-round BigCrush-passing minimum —
+    # same counter keying/layout invariance, ~35% fewer key-schedule ops
+    log("chain bench, Threefry-13 (reduced-round, layout-invariant) path:")
+    mlups_tf13, _ = time_chain(
+        ChainConfig(**base, rng_impl="threefry13"), act, n_frames,
         2 if on_tpu else 1, block,
     )
 
@@ -180,6 +189,21 @@ def worker() -> None:
     field_mlups = f_updates / min(f_times) / 1e6
     log(f"field product path (256^2 x {fcfg.n_chains} chains): "
         f"{field_mlups:.0f} MLUPS")
+
+    # field multiframe (r3): K frames per launch, epilogue in-kernel
+    fmf = dataclasses_replace(fcfg, frames_per_launch=10)
+    runtime.run_field(fmf, backend="pallas" if on_tpu else "xla",
+                      sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")))
+    fmf_times = []
+    for _ in range(2):
+        t0 = time.time()
+        runtime.run_field(
+            fmf, backend="pallas" if on_tpu else "xla",
+            sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")),
+        )
+        fmf_times.append(time.time() - t0)
+    field_mf_mlups = f_updates / min(fmf_times) / 1e6
+    log(f"field product path, multiframe K=10: {field_mf_mlups:.0f} MLUPS")
 
     field_hw_mlups = 0.0
     if on_tpu:
@@ -449,8 +473,10 @@ def worker() -> None:
         "unit": "MLUPS",
         "vs_baseline": round(mlups / ref_mlups, 2),
         "threefry_mlups": round(mlups_tf, 1),
+        "threefry13_mlups": round(mlups_tf13, 1),
         "config2_anharmonic_mlups": round(mlups_c2, 1),
         "field_runtime_pallas_mlups": round(field_mlups, 1),
+        "field_runtime_multiframe_mlups": round(field_mf_mlups, 1),
         "field_runtime_hw_prng_mlups": round(field_hw_mlups, 1),
         "u1_gauge_kernel_mlups": round(glups_k, 1),
         "u1_gauge_xla_mlups": round(glups_x, 1),

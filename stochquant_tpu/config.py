@@ -66,8 +66,12 @@ class ChainConfig:
                                        # translation-averaged correlator
                                        # (XLA path only; no FFT in Pallas)
     rng_impl: str = "threefry"
-    # "threefry": counter-based, layout-invariant, bit-reproducible across
-    #   any sharding/blocking (the default contract).
+    # "threefry": counter-based (20 rounds), layout-invariant,
+    #   bit-reproducible across any sharding/blocking (the default contract).
+    # "threefry13": the Random123 reduced-round variant (13 rounds — the
+    #   library's documented BigCrush-passing minimum): same counter keying
+    #   and layout invariance, ~35% fewer key-schedule ops on the noise
+    #   path; a *different* stream than the 20-round default.
     # "hardware": pltpu.prng_random_bits in the fused kernel — faster, still
     #   deterministic for a fixed (seed, chain blocking), but trajectories
     #   differ from the threefry path and are not layout-invariant.
@@ -142,7 +146,10 @@ class FieldConfig:
     spacing: float = 1.0                   # lattice spacing a (isotropic)
     sweep: "Sweep" = Sweep.SYNC
     rng_impl: str = "threefry"
-    # "threefry": counter-based, layout-invariant (the default contract).
+    # "threefry": counter-based (20 rounds), layout-invariant (the default
+    #   contract).
+    # "threefry13": reduced-round counter variant (see ChainConfig) — still
+    #   layout-invariant, a different stream.
     # "hardware": pltpu.prng_random_bits in the fused field kernels —
     #   faster, deterministic for a fixed (seed, chain) assignment, but
     #   trajectories differ from the threefry path and are not
@@ -152,6 +159,10 @@ class FieldConfig:
     noise_amp: float = 1.0
     loops: int = 100
     frames: int = 100
+    frames_per_launch: int = 1         # whole-lattice Pallas backend: frames
+                                       # batched per kernel launch with the
+                                       # accept/reject + Δτ epilogue in-kernel
+                                       # (per-frame semantics unchanged)
     fps: int = 1
     seed: int = 0
     dtype: str = "float32"

@@ -71,7 +71,9 @@ def init_field_state(cfg: FieldConfig) -> FieldState:
     C = cfg.n_chains
     dtype = cfg.jdtype
     shape = (C,) + tuple(cfg.shape)
-    z = rng.normal_for_shape(cfg.seed, rng.Stream.INIT, 0, shape).astype(dtype)
+    z = rng.normal_for_shape(
+        cfg.seed, rng.Stream.INIT, 0, shape, rounds=rng.rounds_of(cfg.rng_impl)
+    ).astype(dtype)
     phi = jnp.sqrt(jnp.asarray(2.0 * cfg.dtau, dtype)) * z
     zc = jnp.zeros((C,), dtype)
     return FieldState(
@@ -183,7 +185,8 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
             # two micro-steps per Threefry draw (both Box–Muller outputs)
             step = carry[-1]
             e0, e1 = rng.normal_pair_for_shape(
-                cfg.seed, rng.Stream.FIELD, step, (C,) + shape
+                cfg.seed, rng.Stream.FIELD, step, (C,) + shape,
+                rounds=rng.rounds_of(cfg.rng_impl),
             )
             carry = micro_step(carry, e0.astype(dtype))
             carry = micro_step(carry, e1.astype(dtype))
@@ -206,7 +209,8 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
         carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
         if cfg.loops % 2:
             e0, _ = rng.normal_pair_for_shape(
-                cfg.seed, rng.Stream.FIELD, carry[-1], (C,) + shape
+                cfg.seed, rng.Stream.FIELD, carry[-1], (C,) + shape,
+                rounds=rng.rounds_of(cfg.rng_impl),
             )
             carry = micro_step(carry, e0.astype(dtype))
         phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step_end = carry

@@ -82,11 +82,16 @@ def init_chain_state(cfg: ChainConfig, action: QMAction) -> ChainState:
     into [0, (N−1)Δt]."""
     C, N = cfg.n_chains, cfg.n_sites
     dtype = cfg.jdtype
-    z = rng.normal_for_shape(cfg.seed, rng.Stream.INIT, 0, (C, N)).astype(dtype)
+    R = rng.rounds_of(cfg.rng_impl)
+    z = rng.normal_for_shape(
+        cfg.seed, rng.Stream.INIT, 0, (C, N), rounds=R
+    ).astype(dtype)
     f = jnp.sqrt(jnp.asarray(2.0 * cfg.dtau, dtype)) * z
     half = 0.5 * cfg.n_sites * cfg.dt
     chain_ids = jnp.arange(C, dtype=jnp.uint32)
-    z_om = rng.normal(cfg.seed, rng.Stream.INIT, chain_ids, jnp.uint32(0), jnp.uint32(1))
+    z_om = rng.normal(
+        cfg.seed, rng.Stream.INIT, chain_ids, jnp.uint32(0), jnp.uint32(1), R
+    )
     omega = jnp.asarray(half, dtype) + math.sqrt(cfg.dt) * z_om.astype(dtype)
     omega = _reflect(omega, (N - 1) * cfg.dt)
     zeros = jnp.zeros((C, N), dtype)
@@ -277,13 +282,15 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
                 chain_ids, jnp.uint32(8)
             )
             z0, z1 = rng.normal_pair(
-                jnp.uint32(cfg.seed), k1, jnp.zeros_like(chain_ids), step
+                jnp.uint32(cfg.seed), k1, jnp.zeros_like(chain_ids), step,
+                rng.rounds_of(cfg.rng_impl),
             )
             return z0.astype(dtype), z1.astype(dtype)
 
         def field_pair(step):
             e0, e1 = rng.normal_pair_for_shape(
-                cfg.seed, rng.Stream.FIELD, step, (C, N)
+                cfg.seed, rng.Stream.FIELD, step, (C, N),
+                rounds=rng.rounds_of(cfg.rng_impl),
             )
             return e0.astype(dtype), e1.astype(dtype)
 

@@ -237,7 +237,9 @@ def _build_frame_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: int):
                 b0 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
                 b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
             else:
-                b0, b1 = rng.threefry2x32(seed, k1, counter, step)
+                b0, b1 = rng.threefry2x32(
+                    seed, k1, counter, step, rng.rounds_of(cfg.rng_impl)
+                )
             return _box_muller(b0, b1)
 
         def om_noise_pair(step, z0, z1):
@@ -422,7 +424,9 @@ def _build_multiframe_kernel(action: QMAction, cfg: ChainConfig, cb: int, np_: i
                 b0 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
                 b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
             else:
-                b0, b1 = rng.threefry2x32(seed, k1, counter, step)
+                b0, b1 = rng.threefry2x32(
+                    seed, k1, counter, step, rng.rounds_of(cfg.rng_impl)
+                )
             return _box_muller(b0, b1)
 
         def om_noise_pair(step, z0, z1):

@@ -117,7 +117,9 @@ def _build_kernel(
         # Box–Muller pair from the pair-base counter; bit0 selects which of
         # the two outputs this micro-step consumes (the XLA runner draws the
         # pair once for two steps — same counters, same values)
-        b0, b1 = rng.threefry2x32(seed, k1, site, pair_base)
+        b0, b1 = rng.threefry2x32(
+            seed, k1, site, pair_base, rng.rounds_of(cfg.rng_impl)
+        )
         u1 = rng.uniform_from_bits(b0)
         u2 = rng.uniform_from_bits(b1)
         r = jnp.sqrt(f32(-2.0) * jnp.log(u1))

@@ -50,7 +50,13 @@ from stochquant_tpu.config import FieldConfig, Sweep
 from stochquant_tpu.integrators import accum
 from stochquant_tpu.integrators.field import FieldState
 
-__all__ = ["run_field_frames_nd", "field_frame_nd", "default_tile_rows"]
+__all__ = [
+    "run_field_frames_nd",
+    "field_frame_nd",
+    "default_tile_rows",
+    "make_sharded_pair_step",
+    "sharded_tile_rows",
+]
 
 
 def _halo_depth(cfg: FieldConfig) -> int:
@@ -230,7 +236,9 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
             stats_ref[c, i, base + 3] = max_all(strip(absdet))
             stats_ref[c, i, base + 4] = max_all(jnp.abs(strip(phi_post)))
 
-        b0, b1 = rng.threefry2x32(seed, k1, site, step0)
+        b0, b1 = rng.threefry2x32(
+            seed, k1, site, step0, rng.rounds_of(cfg.rng_impl)
+        )
         u1 = rng.uniform_from_bits(b0)
         u2 = rng.uniform_from_bits(b1)
         rr = jnp.sqrt(f32(-2.0) * jnp.log(u1))
@@ -319,13 +327,325 @@ def _pair_call(action: FieldAction, cfg: FieldConfig, T0: int, interpret: bool):
     )
 
 
+# ---------------------------------------------------------------------------
+# Sharded pair kernel: the D-dim analog of the 2-D halo composition
+# (kernels/field_halo_kernel.py), built on this module's trapezoidal halo
+# recompute instead of an XLA edge fixup.  Per micro-step PAIR the runner
+# ring-``ppermute``s an H-slab dim-0 halo (H = stencil applications per pair)
+# from the neighbour shards, and the kernel recomputes the halo slabs
+# redundantly — because the noise is keyed by *global* (chain, site, step)
+# Threefry counters, the recomputed halo sites take exactly the values the
+# owning shard computes, so per-site trajectories are bitwise equal to the
+# unsharded kernel BY CONSTRUCTION (no operand-order fixup needed; the
+# communication-avoiding "wide halo" scheme, ROADMAP r3 perf item).  Strips
+# are DMA'd from the HBM-resident extended slab, so no block-alignment
+# constraint ties T0 to H.
+# ---------------------------------------------------------------------------
+
+
+def _build_sharded_pair_kernel(
+    action: FieldAction, cfg: FieldConfig, T0: int, H: int, L0_loc: int
+):
+    shape = tuple(cfg.shape)  # GLOBAL lattice shape (RNG counters, wrap)
+    D = len(shape)
+    L0g, L1 = shape[0], shape[1]
+    LF = int(np.prod(shape[2:]))
+    f32 = np.float32
+    a = cfg.spacing
+    inv_a2 = f32(1.0 / (a * a))
+    measure = f32(a**D)
+    c_amp = f32(cfg.noise_amp)
+    clamp = f32(cfg.clamp)
+    checkerboard = cfg.sweep == Sweep.CHECKERBOARD
+    E = T0 + 2 * H
+    strides = []
+    s = 1
+    for n in reversed(shape[2:]):
+        strides.append(s)
+        s *= n
+    strides = list(reversed(strides))
+
+    def kernel(
+        scalars_ref,  # SMEM (4,): seed, step_base, chain_off, row_off (uint32)
+        ext_ref,      # ANY (HBM): (C, L0_loc + 2H, L1, LF) halo-extended slab
+        dtau_ref,
+        phio_ref, sl0_ref, sl1_ref, stats_ref,
+        strip_ref, sem_ref,
+    ):
+        c = pl.program_id(0)
+        i = pl.program_id(1)
+        seed = scalars_ref[0]
+        step0 = scalars_ref[1]
+        chain = scalars_ref[2] + jnp.uint32(c)
+        row_off = scalars_ref[3]  # global row of local row 0
+
+        # one contiguous DMA: this strip's extended rows (ext row i*T0 is
+        # local row i*T0 − H, i.e. the strip's upper halo)
+        dma = pltpu.make_async_copy(
+            ext_ref.at[pl.ds(c, 1), pl.ds(i * T0, E)], strip_ref, sem_ref
+        )
+        dma.start()
+        dma.wait()
+        phi0 = strip_ref[:]
+
+        # global row ids: local row (i*T0 − H + r) + row_off, wrapped mod L0g
+        # (+L0g first: uint arithmetic, the −H underflow must stay positive)
+        r_loc = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 1)
+        row_g = (
+            row_off + jnp.uint32(L0g + i * T0 - H) + r_loc
+        ) % jnp.uint32(L0g)
+        x1 = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 2)
+        flat = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 3)
+        site = (row_g * jnp.uint32(L1) + x1) * jnp.uint32(LF) + flat
+        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
+
+        dtau = dtau_ref[c, 0]
+        namp = c_amp * jnp.sqrt(2.0 * dtau / measure)
+
+        if checkerboard:
+            par = row_g.astype(jnp.int32) + lax.broadcasted_iota(
+                jnp.int32, (1, E, L1, LF), 2
+            )
+            rem = lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 3)
+            for k, n in enumerate(shape[2:]):
+                sd = strides[k]
+                par = par + (rem // jnp.int32(sd)) % jnp.int32(n)
+            even = par % 2 == 0
+
+        def roll0(x, shift):
+            if shift == 1:
+                return jnp.concatenate([x[:, E - 1 :], x[:, : E - 1]], axis=1)
+            return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+
+        def roll_flat(x, lat_d, shift):
+            sd = strides[lat_d - 2]
+            nd = shape[lat_d]
+            main = pltpu.roll(x, (shift * sd) % LF, 3)
+            if sd * nd == LF:
+                return main
+            coord = (
+                lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 3)
+                // jnp.int32(sd)
+            ) % jnp.int32(nd)
+            fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 3)
+            edge = coord == (0 if shift == 1 else nd - 1)
+            return jnp.where(edge, fix, main)
+
+        def roll(x, shift, lat_d):
+            if lat_d == 0:
+                return roll0(x, shift)
+            if lat_d == 1:
+                return pltpu.roll(x, shift % L1, 2)
+            return roll_flat(x, lat_d, shift)
+
+        def laplacian(phi):
+            lap = jnp.zeros_like(phi)
+            for d in range(D):
+                lap = lap + (roll(phi, -1, d) + roll(phi, 1, d) - 2.0 * phi)
+            return lap * inv_a2
+
+        def action_density(phi):
+            kin = jnp.zeros_like(phi)
+            for d in range(D):
+                diff = roll(phi, -1, d) - phi
+                kin = kin + 0.5 * diff * diff * inv_a2
+            return kin + action.V(phi)
+
+        def em_apply(phi, mask, noise):
+            det = (laplacian(phi) - action.dV(phi).astype(f32)) * dtau
+            new_raw = phi + det + noise
+            newphi = jnp.clip(new_raw, -clamp, clamp)
+            newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+            absdet = jnp.abs(det)
+            absdet = jnp.where(jnp.isfinite(new_raw), absdet, f32(np.inf))
+            if mask is not None:
+                newphi = jnp.where(mask, newphi, phi)
+                absdet = jnp.where(mask, absdet, f32(0.0))
+            return newphi, absdet
+
+        def micro(phi, noise):
+            if checkerboard:
+                phi_e, absdet_e = em_apply(phi, even, noise)
+                newphi, absdet_o = em_apply(phi_e, ~even, noise)
+                return newphi, jnp.maximum(absdet_e, absdet_o)
+            return em_apply(phi, None, noise)
+
+        strip = lambda x: x[:, H : H + T0]
+
+        def sum_all(x):
+            return jnp.sum(jnp.sum(x, axis=3))
+
+        def max_all(x):
+            return jnp.max(jnp.max(x, axis=3))
+
+        def stats(phi_pre, phi_post, absdet, base):
+            p = strip(phi_pre)
+            stats_ref[c, i, base + 0] = sum_all(p)
+            stats_ref[c, i, base + 1] = sum_all(p * p)
+            stats_ref[c, i, base + 2] = sum_all(strip(action_density(phi_pre)))
+            stats_ref[c, i, base + 3] = max_all(strip(absdet))
+            stats_ref[c, i, base + 4] = max_all(jnp.abs(strip(phi_post)))
+
+        b0, b1 = rng.threefry2x32(
+            seed, k1, site, step0, rng.rounds_of(cfg.rng_impl)
+        )
+        u1 = rng.uniform_from_bits(b0)
+        u2 = rng.uniform_from_bits(b1)
+        rr = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+        th = f32(rng._TWO_PI) * u2
+        z0 = rr * jnp.cos(th)
+        z1 = rr * jnp.sin(th)
+
+        phi1, absdet0 = micro(phi0, namp * z0)
+        phi2, absdet1 = micro(phi1, namp * z1)
+
+        inv_sl = f32(1.0 / (L1 * LF))
+
+        def slice_mean(x):
+            return jnp.sum(jnp.sum(x, axis=3), axis=2, keepdims=True) * inv_sl
+
+        sl0_ref[:] = slice_mean(strip(phi0))
+        sl1_ref[:] = slice_mean(strip(phi1))
+        stats(phi0, phi1, absdet0, 0)
+        stats(phi1, phi2, absdet1, 5)
+        phio_ref[:] = strip(phi2)
+
+    return kernel
+
+
+def sharded_tile_rows(cfg: FieldConfig, L0_loc: int) -> int:
+    """Largest dim-0 tile of the local slab whose extended strip fits the
+    per-chain VMEM budget (DMA'd strips: no H-divisibility constraint)."""
+    slab = int(np.prod(cfg.shape[1:])) * 4
+    H = _halo_depth(cfg)
+    best = None
+    for t in range(1, L0_loc + 1):
+        if L0_loc % t:
+            continue
+        if (t + 2 * H) * slab <= _STRIP_BUDGET_BYTES:
+            best = t
+    return best or 1
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_pair_call(
+    action: FieldAction,
+    cfg: FieldConfig,
+    c_local: int,
+    L0_loc: int,
+    T0: int,
+    interpret: bool,
+):
+    H = _halo_depth(cfg)
+    shape = tuple(cfg.shape)
+    L1 = shape[1]
+    LF = int(np.prod(shape[2:]))
+    C = c_local
+    if L0_loc % T0:
+        raise ValueError(f"tile_rows={T0} must divide the local slab {L0_loc}")
+    nt = L0_loc // T0
+    E = T0 + 2 * H
+    kernel = _build_sharded_pair_kernel(action, cfg, T0, H, L0_loc)
+
+    ext = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; strips DMA'd
+    lat_o = pl.BlockSpec(
+        (1, T0, L1, LF), lambda c, i, *_: (c, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    dtau_spec = pl.BlockSpec((C, 1), lambda c, i, *_: (0, 0), memory_space=pltpu.SMEM)
+    sl = pl.BlockSpec((1, T0, 1), lambda c, i, *_: (c, i, 0), memory_space=pltpu.VMEM)
+    stats = pl.BlockSpec(
+        (C, nt, 16), lambda c, i, *_: (0, 0, 0), memory_space=pltpu.SMEM
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((C, L0_loc, L1, LF), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0_loc, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0_loc, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, nt, 16), jnp.float32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C, nt),
+        in_specs=[ext, dtau_spec],
+        out_specs=(lat_o, sl, sl, stats),
+        scratch_shapes=[
+            pltpu.VMEM((1, E, L1, LF), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+def make_sharded_pair_step(
+    action: FieldAction,
+    cfg: FieldConfig,
+    c_local: int,
+    L0_loc: int,
+    *,
+    tile_rows=None,
+    interpret: bool = False,
+):
+    """Returns ``step(ext, dtau, pair_base, (chain_off, row_off)) ->
+    (phi2, sl0, sl1, stats)`` advancing one micro-step pair on the local
+    dim-0 slab.
+
+    ``ext`` is the halo-extended slab ``concat([up_halo, phi_local,
+    down_halo], axis=1)`` with H = 2 (sync) / 4 (checkerboard) rows per side,
+    flattened to ``(C, L0_loc + 2H, L1, Π dims≥2)``; ``row_off`` is the
+    shard's global dim-0 origin (the RNG counters and the checkerboard
+    parity use *global* coordinates, so the recomputed halo sites reproduce
+    the owning shard's values exactly).
+    """
+    if cfg.loops % 2:
+        raise ValueError("the sharded D-dim kernel needs an even loops count")
+    if not rng.counter_based(cfg.rng_impl):
+        raise ValueError(
+            "the sharded D-dim kernel requires counter-based noise "
+            "(halo slabs are recomputed redundantly) — rng_impl='threefry'"
+        )
+    if L0_loc < _halo_depth(cfg):
+        raise ValueError(
+            f"local dim-0 slab ({L0_loc} rows) is thinner than the halo "
+            f"depth {_halo_depth(cfg)}; use fewer shards along dim 0"
+        )
+    T0 = tile_rows or sharded_tile_rows(cfg, L0_loc)
+    call = _sharded_pair_call(action, cfg, c_local, L0_loc, T0, interpret)
+    H = _halo_depth(cfg)
+    L1 = cfg.shape[1]
+    LF = int(np.prod(cfg.shape[2:]))
+
+    def step(ext, dtau, pair_base, offs):
+        u32 = lambda v: jnp.asarray(v, jnp.uint32)
+        scalars = jnp.stack(
+            [u32(cfg.seed), u32(pair_base), u32(offs[0]), u32(offs[1])]
+        )
+        ext_flat = ext.reshape((c_local, L0_loc + 2 * H, L1, LF))
+        phi2, sl0, sl1, stats = call(scalars, ext_flat, dtau[:, None])
+        return phi2, sl0[..., 0], sl1[..., 0], stats
+
+    return step, H
+
+
 def field_frame_nd(
     state: FieldState, action: FieldAction, cfg: FieldConfig, *,
-    tile_rows=None, interpret=False,
+    tile_rows=None, interpret=False, chain_offset=0,
 ):
     """One frame (cfg.loops micro-steps, loops even) through the D-dim tiled
     kernel; exact accept/reject + adaptive-Δτ epilogue of
-    integrators/field.py."""
+    integrators/field.py.
+
+    ``chain_offset``: this block's first *global* chain index — pass the
+    shard offset when running per-shard inside a chain-sharded ``shard_map``
+    (parallel/halo.py) so the Threefry streams stay keyed by global chain
+    ids and the trajectory is placement-invariant."""
     if cfg.ndim < 3:
         raise ValueError("field_kernel_nd covers D >= 3 (2-D has its own kernels)")
     if cfg.loops % 2:
@@ -347,7 +667,11 @@ def field_frame_nd(
 
     def pair_body(carry, _):
         phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step = carry
-        scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(step)
+        scalars = (
+            jnp.array([cfg.seed, 0, 0], jnp.uint32)
+            .at[1].set(step)
+            .at[2].set(jnp.asarray(chain_offset, jnp.uint32))
+        )
         if periodic:
             phi2, sl0, sl1, stats = call(scalars, phi, dtau_col)
         else:
@@ -443,11 +767,13 @@ def run_field_frames_nd(
     n_frames: int,
     tile_rows=None,
     interpret: bool = False,
+    chain_offset=0,
 ):
     """Drop-in replacement for integrators.field.run_field_frames, D >= 3."""
     return lax.scan(
         lambda s, _: field_frame_nd(
-            s, action, cfg, tile_rows=tile_rows, interpret=interpret
+            s, action, cfg, tile_rows=tile_rows, interpret=interpret,
+            chain_offset=chain_offset,
         ),
         state,
         None,

@@ -151,7 +151,9 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
             stats_ref[c, i, base + 4] = jnp.max(jnp.abs(strip(phi_post)))
 
         # one Threefry draw serves both micro-steps (both BM outputs)
-        b0, b1 = rng.threefry2x32(seed, k1, site, step0)
+        b0, b1 = rng.threefry2x32(
+            seed, k1, site, step0, rng.rounds_of(cfg.rng_impl)
+        )
         u1 = rng.uniform_from_bits(b0)
         u2 = rng.uniform_from_bits(b1)
         rr = jnp.sqrt(f32(-2.0) * jnp.log(u1))

@@ -125,18 +125,45 @@ def make_halo_runner(
 
     # --- fused-kernel composition (VERDICT r2 item 1) -----------------------
     # 'pallas' resolves to the whole-frame kernel when no lattice axis is
-    # actually split (pure chain-DP: full kernel speed per shard) and to the
-    # per-micro-step bulk kernel + halo fixup when it is.
+    # actually split (pure chain-DP: full kernel speed per shard); to the 2-D
+    # per-micro-step bulk kernel + exact halo fixup when a 2-D lattice is
+    # split; and to the D-dim pair kernel with ring-exchanged H-slab halos +
+    # trapezoidal recompute when a D ≥ 3 lattice is split on dim 0
+    # ('pallas_nd' — noise keyed by global counters makes the recomputed halo
+    # sites bitwise equal to the owning shard's, no fixup needed).
     sharded_dims = tuple(bool(ax) and axis_sizes[ax] > 1 for ax in lat_axes_spec)
     if backend == "pallas":
-        backend = "pallas_step" if any(sharded_dims) else "pallas_frame"
-    if backend in ("pallas_frame", "pallas_step"):
-        if ndim != 2 or cfg.dtype != "float32":
+        if not any(sharded_dims):
+            backend = "pallas_frame"
+        elif ndim >= 3:
+            if any(sharded_dims[1:]):
+                raise ValueError(
+                    "the D-dim composed kernel shards lattice dim 0 only "
+                    "(+ chains); use backend='xla' for multi-dim lattice "
+                    "splits"
+                )
+            backend = "pallas_nd"
+        else:
+            backend = "pallas_step"
+    if backend in ("pallas_frame", "pallas_step", "pallas_nd"):
+        if cfg.dtype != "float32":
             raise ValueError(
-                "the fused halo kernels support 2-D float32 lattices; use "
-                "backend='xla' otherwise"
+                "the fused halo kernels are float32-only; use backend='xla' "
+                "for other dtypes"
             )
-    if backend == "pallas_step" and cfg.rng_impl != "threefry":
+    if backend == "pallas_step" and ndim != 2:
+        raise ValueError(
+            "the per-micro-step halo kernel supports 2-D lattices; D >= 3 "
+            "split lattices use backend='pallas' (the pair kernel) or 'xla'"
+        )
+    if backend == "pallas_frame" and ndim >= 3 and (
+        cfg.loops % 2 or not rng.counter_based(cfg.rng_impl)
+    ):
+        raise ValueError(
+            "the D-dim whole-frame kernel needs an even cfg.loops and "
+            "rng_impl='threefry'; use backend='xla' otherwise"
+        )
+    if backend == "pallas_step" and not rng.counter_based(cfg.rng_impl):
         raise ValueError(
             "the lattice-split Pallas halo path requires rng_impl='threefry' "
             "(the exact edge fixup re-derives counter noise in XLA)"
@@ -286,16 +313,24 @@ def make_halo_runner(
         return s % 2 == 0
 
     kstep = None
+    kstep_nd = H_nd = None
     if backend == "pallas_step":
         from stochquant_tpu.kernels.field_halo_kernel import make_local_step
 
         kstep = make_local_step(
             action, cfg, local_shape, c_local, sharded_dims, interpret=interpret
         )
+    elif backend == "pallas_nd":
+        from stochquant_tpu.kernels import field_kernel_nd as fknd
+
+        kstep_nd, H_nd = fknd.make_sharded_pair_step(
+            action, cfg, c_local, local_shape[0], interpret=interpret
+        )
     elif backend == "pallas_frame":
         import dataclasses
 
         from stochquant_tpu.kernels import field_kernel
+        from stochquant_tpu.kernels import field_kernel_nd
 
         # the lattice is whole on every shard: run the full fused frame
         # kernel per shard (chain-DP composition at single-chip kernel speed)
@@ -306,6 +341,11 @@ def make_halo_runner(
     def frame(state: FieldState):
         if backend == "pallas_frame":
             ch_off, _ = local_offsets()
+            if ndim >= 3:
+                return field_kernel_nd.field_frame_nd(
+                    state, action, local_cfg, interpret=interpret,
+                    chain_offset=ch_off,
+                )
             return field_kernel.field_frame_pallas(
                 state, action, local_cfg, interpret=interpret,
                 chain_offset=ch_off,
@@ -337,6 +377,7 @@ def make_halo_runner(
                 global_lattice_shape=shape,
                 chain_offset=ch_off,
                 lattice_offsets=lat_off,
+                rounds=rng.rounds_of(cfg.rng_impl),
             )
 
         def finish_micro_step(
@@ -454,6 +495,7 @@ def make_halo_runner(
                 global_lattice_shape=shape,
                 chain_offset=ch_off,
                 lattice_offsets=offs,
+                rounds=rng.rounds_of(cfg.rng_impl),
             )
             z = e0 if parity == 0 else e1
             return (
@@ -591,7 +633,82 @@ def make_halo_runner(
                 mag_s[:, 0], phi2_s[:, 0], act_loc, slice_s[:, :, 0],
             )
 
-        if backend == "pallas_step":
+        # ------------- D-dim pair kernel (backend='pallas_nd') --------------
+        # kernels/field_kernel_nd.make_sharded_pair_step: ring-exchange an
+        # H-slab dim-0 halo per micro-step PAIR, then the kernel recomputes
+        # the halo slabs trapezoidally — global-counter noise makes the
+        # recomputed sites bitwise equal to the owning shard's values, so
+        # there is no fixup and communication is one exchange per TWO steps
+        # (the communication-avoiding wide-halo scheme).  Per-step detector
+        # stats come out of the kernel; the trip/keep gating below matches
+        # field_kernel_nd.field_frame_nd exactly (phi evolves un-frozen
+        # within a tripped frame — unobservable, the frame epilogue rolls
+        # rejected frames back to the frame-start state).
+
+        def pair_step_nd(carry, _):
+            phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step = carry
+            ax0 = lat_axes_spec[0]
+            n0 = axis_sizes[ax0]
+            first = lax.slice_in_dim(phi, 0, H_nd, axis=1)
+            last = lax.slice_in_dim(
+                phi, phi.shape[1] - H_nd, phi.shape[1], axis=1
+            )
+            # my down halo = first H rows of my +1 ring neighbour; my up
+            # halo = last H rows of my −1 neighbour (periodic global dim 0)
+            down_halo = lax.ppermute(
+                first, ax0, [((i + 1) % n0, i) for i in range(n0)]
+            )
+            up_halo = lax.ppermute(
+                last, ax0, [((i - 1) % n0, i) for i in range(n0)]
+            )
+            ext = jnp.concatenate([up_halo, phi, down_halo], axis=1)
+            phi2_arr, sl0, sl1, stats = kstep_nd(
+                ext, state.dtau, step, (ch_off, lat_off[0])
+            )
+
+            def obs_step(vals, s_slice, st):
+                ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
+                mag = lax.psum(st[:, :, 0].sum(axis=1), ax0) / volume
+                phi2m = lax.psum(st[:, :, 1].sum(axis=1), ax0) / volume
+                act_d = lax.psum(st[:, :, 2].sum(axis=1), ax0) / volume
+                max_det = lax.pmax(st[:, :, 3].max(axis=1), ax0)
+                max_new = lax.pmax(st[:, :, 4].max(axis=1), ax0)
+                tripped = max_det > lrg
+                # s_slice is the complete slice mean (dims >= 1 unsharded);
+                # global row 0 lives on the ring's first shard
+                contrib = jnp.where(
+                    lax.axis_index(ax0) == 0,
+                    s_slice[:, :1],
+                    jnp.zeros_like(s_slice[:, :1]),
+                )
+                s0 = lax.psum(contrib, ax0)
+                corr = s_slice * s0
+                keep = lambda new, old: jnp.where(unstable, old, new)
+                mag2 = mag * mag
+                ms = keep(ms + mag, ms)
+                m2s = keep(m2s + mag2, m2s)
+                m4s = keep(m4s + mag2 * mag2, m4s)
+                ams = keep(ams + jnp.abs(mag), ams)
+                p2s = keep(p2s + phi2m, p2s)
+                acs = keep(acs + act_d, acs)
+                cs = jnp.where(unstable[:, None], cs, cs + corr)
+                lrg = keep(jnp.maximum(lrg, max_new), lrg)
+                unstable = unstable | tripped
+                return (ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg)
+
+            vals = (ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg)
+            vals = obs_step(vals, sl0, stats[:, :, :5])
+            vals = obs_step(vals, sl1, stats[:, :, 5:10])
+            ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
+            phi = phi2_arr.reshape((c_local,) + local_shape)
+            return (
+                phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step + 2
+            ), None
+
+        if backend == "pallas_nd":
+            pair_step = pair_step_nd
+            odd_tail = None  # loops even, validated by make_sharded_pair_step
+        elif backend == "pallas_step":
             def pair_step(carry, _):
                 pair_base = carry[-1]
                 carry = micro_step_pallas(carry, pair_base, 0)

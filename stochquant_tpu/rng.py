@@ -48,8 +48,27 @@ class Stream(enum.IntEnum):
     COMPLEX = 3      # imaginary-part noise (complex Langevin, if enabled)
 
 
-_ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
+_ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
 _PARITY = np.uint32(0x1BD11BDA)  # host scalar: jnp scalars become captured consts in Pallas
+
+#: Round counts: 20 is Random123's default (large safety margin); 13 is the
+#: library's documented minimum that still passes the full BigCrush battery
+#: (Salmon et al., SC'11, Table 2) — ~35% fewer key-schedule ops on the
+#: noise-generation critical path.  Selected per run via
+#: ``rng_impl='threefry13'`` (still counter-based and layout-invariant; a
+#: *different* stream than the 20-round default).
+_DEFAULT_ROUNDS = 20
+
+
+def rounds_of(rng_impl: str) -> int:
+    """Threefry round count for a config's ``rng_impl`` string."""
+    return 13 if rng_impl == "threefry13" else _DEFAULT_ROUNDS
+
+
+def counter_based(rng_impl: str) -> bool:
+    """True for the layout-invariant counter RNG variants (any round count);
+    False for the sequential hardware PRNG."""
+    return rng_impl in ("threefry", "threefry13")
 
 
 def _rotl(x, r):
@@ -58,25 +77,28 @@ def _rotl(x, r):
     )
 
 
-def threefry2x32(k0, k1, c0, c1):
-    """Threefry-2x32, 20 rounds.  All args uint32 arrays (broadcastable).
+def threefry2x32(k0, k1, c0, c1, rounds: int = _DEFAULT_ROUNDS):
+    """Threefry-2x32.  All args uint32 arrays (broadcastable).
 
-    Returns two uint32 arrays of the broadcast shape.  Matches the Random123
-    known-answer vectors (see tests/test_rng.py).
+    Returns two uint32 arrays of the broadcast shape.  At the default 20
+    rounds this matches the Random123 known-answer vectors
+    (tests/test_rng.py); ``rounds=13`` is the Threefry-2x32-13 reduced-round
+    variant (same mix/injection schedule, stopped after 13 rounds — the
+    final partial 4-round group gets no key injection, as in Random123).
     """
     k0 = jnp.asarray(k0, jnp.uint32)
     k1 = jnp.asarray(k1, jnp.uint32)
     ks = (k0, k1, _PARITY ^ k0 ^ k1)
     x0 = jnp.asarray(c0, jnp.uint32) + ks[0]
     x1 = jnp.asarray(c1, jnp.uint32) + ks[1]
-    for chunk in range(5):
-        for r in _ROTATIONS[chunk % 2]:
-            x0 = x0 + x1
-            x1 = _rotl(x1, r)
-            x1 = x1 ^ x0
-        j = chunk + 1
-        x0 = x0 + ks[j % 3]
-        x1 = x1 + ks[(j + 1) % 3] + jnp.uint32(j)
+    for i in range(rounds):
+        x0 = x0 + x1
+        x1 = _rotl(x1, _ROTATIONS[i % 8])
+        x1 = x1 ^ x0
+        if (i + 1) % 4 == 0:
+            j = (i + 1) // 4
+            x0 = x0 + ks[j % 3]
+            x1 = x1 + ks[(j + 1) % 3] + jnp.uint32(j)
     return x0, x1
 
 
@@ -95,9 +117,9 @@ def uniform_from_bits(bits):
 _TWO_PI = 6.283185307179586
 
 
-def normal_pair(k0, k1, c0, c1):
+def normal_pair(k0, k1, c0, c1, rounds: int = _DEFAULT_ROUNDS):
     """Two independent N(0,1) float32 draws per counter (full Box–Muller)."""
-    b0, b1 = threefry2x32(k0, k1, c0, c1)
+    b0, b1 = threefry2x32(k0, k1, c0, c1, rounds)
     u1 = uniform_from_bits(b0)
     u2 = uniform_from_bits(b1)
     r = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
@@ -105,7 +127,7 @@ def normal_pair(k0, k1, c0, c1):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def normal(seed, stream, chain, site, step):
+def normal(seed, stream, chain, site, step, rounds: int = _DEFAULT_ROUNDS):
     """One N(0,1) float32 per (chain, site) element.
 
     Args:
@@ -122,7 +144,10 @@ def normal(seed, stream, chain, site, step):
     k1 = jnp.uint32(stream) ^ lax.shift_left(
         jnp.asarray(chain, jnp.uint32), jnp.uint32(8)
     )
-    z0, _ = normal_pair(k0, k1, jnp.asarray(site, jnp.uint32), jnp.asarray(step, jnp.uint32))
+    z0, _ = normal_pair(
+        k0, k1, jnp.asarray(site, jnp.uint32), jnp.asarray(step, jnp.uint32),
+        rounds,
+    )
     return z0
 
 
@@ -173,6 +198,7 @@ def normal_for_shape(
     global_lattice_shape=None,
     chain_offset=0,
     lattice_offsets=None,
+    rounds: int = _DEFAULT_ROUNDS,
 ):
     """N(0,1) field of ``shape = (chains, *lattice)`` from global coordinates.
 
@@ -183,7 +209,7 @@ def normal_for_shape(
     chain_ids, site_ids = _ids_for_shape(
         shape, global_lattice_shape, chain_offset, lattice_offsets
     )
-    return normal(seed, stream, chain_ids, site_ids, step)
+    return normal(seed, stream, chain_ids, site_ids, step, rounds)
 
 
 def normal_pair_for_shape(
@@ -194,6 +220,7 @@ def normal_pair_for_shape(
     global_lattice_shape=None,
     chain_offset=0,
     lattice_offsets=None,
+    rounds: int = _DEFAULT_ROUNDS,
 ):
     """Both Box–Muller outputs per counter (site, ``step``): the noise fields
     for micro-steps ``step`` and ``step+1`` from ONE Threefry evaluation —
@@ -205,4 +232,4 @@ def normal_pair_for_shape(
     )
     k0 = jnp.uint32(seed)
     k1 = jnp.uint32(stream) ^ lax.shift_left(chain_ids, jnp.uint32(8))
-    return normal_pair(k0, k1, site_ids, jnp.asarray(step, jnp.uint32))
+    return normal_pair(k0, k1, site_ids, jnp.asarray(step, jnp.uint32), rounds)

@@ -17,6 +17,7 @@ import jax
 import numpy as np
 
 from stochquant_tpu import actions as actions_mod
+from stochquant_tpu import rng as rng_mod
 from stochquant_tpu import metrics as metrics_mod
 from stochquant_tpu.actions import phi4 as phi4_mod
 from stochquant_tpu.config import ChainConfig, FieldConfig
@@ -446,15 +447,29 @@ def select_field_backend(
         if cfg.ndim >= 3:
             # D-dim tiled kernel (kernels/field_kernel_nd.py): config 4's
             # 32^4 fused path (VERDICT r2 item 3).  Pair launches (even
-            # loops), counter RNG only, single-program (halo composition for
-            # D > 2 stays XLA).
-            if (
-                use_halo
-                or cfg.loops % 2
-                or cfg.rng_impl != "threefry"
-                or not on_tpu
-            ):
+            # loops), counter RNG only.  Under the halo runner the composed
+            # D-dim pair kernel (r3: ring-exchanged H-slab halos +
+            # trapezoidal recompute) covers dim-0-only lattice splits.
+            if cfg.loops % 2 or not rng_mod.counter_based(cfg.rng_impl) or not on_tpu:
                 return "xla"
+            if use_halo:
+                from stochquant_tpu.kernels import field_kernel_nd as fknd
+
+                axis_sizes = dict(zip(mesh.axis_names, np.shape(mesh.devices)))
+                lat = cfg.mesh_axes or (None,) * cfg.ndim
+                split_dims = [
+                    bool(ax) and axis_sizes.get(ax, 1) > 1 for ax in lat
+                ]
+                if any(split_dims[1:]):
+                    return "xla"  # multi-dim lattice splits stay XLA
+                H = fknd._halo_depth(cfg)
+                slab = int(np.prod(cfg.shape[1:])) * 4
+                if (1 + 2 * H) * slab > fknd._STRIP_BUDGET_BYTES:
+                    return "xla"  # even a 1-row extended strip overflows VMEM
+                n0 = axis_sizes.get(lat[0], 1) if lat[0] else 1
+                if split_dims[0] and cfg.shape[0] // n0 < H:
+                    return "xla"  # slab thinner than the halo depth
+                return "pallas"
             return "pallas_nd"
         if use_halo:
             # fused kernels composed with the shard_map decomposition
@@ -465,7 +480,7 @@ def select_field_backend(
             split, local_bytes = _halo_geometry(cfg, mesh)
             if local_bytes > _FIELD_VMEM_FIELD_BYTES:
                 return "xla"
-            if split and cfg.rng_impl != "threefry":
+            if split and not rng_mod.counter_based(cfg.rng_impl):
                 return "xla"
             return "pallas" if on_tpu else "xla"
         lattice_bytes = int(np.prod(cfg.shape)) * np.dtype(cfg.dtype).itemsize
@@ -587,7 +602,8 @@ def run_field(
         from stochquant_tpu.kernels import field_kernel
 
         run_n = lambda s, n: field_kernel.run_field_frames_pallas(
-            s, act, cfg, n, interpret=not on_tpu
+            s, act, cfg, n, interpret=not on_tpu,
+            frames_per_launch=min(cfg.frames_per_launch, n),
         )
     elif backend == "pallas_tiled":
         from stochquant_tpu.kernels import field_kernel_tiled

@@ -107,3 +107,55 @@ def test_tiled_rejects_hardware_rng():
     s0 = field_mod.init_field_state(cfg)
     with pytest.raises(ValueError, match="counter-based"):
         fkt.field_frame_tiled(s0, act, cfg, tile_rows=8, interpret=True)
+
+
+def test_field_multiframe_matches_single_frame_launches():
+    """K frames per launch with the IN-KERNEL epilogue vs K single-frame
+    launches: same Threefry counters and epilogue expressions — decisions
+    (accept/reject, runs, stab_cnt) exact, float state to ~1 ulp (XLA fuses
+    the two program shapes with different FMA contractions)."""
+    cfg = FieldConfig(action="phi4", shape=(8, 128), dtau=0.003, n_chains=3,
+                      loops=5, seed=7)
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    a, ma = field_kernel.run_field_frames_pallas(s0, act, cfg, 7, interpret=True)
+    b, mb = field_kernel.run_field_frames_pallas(
+        s0, act, cfg, 7, interpret=True, frames_per_launch=3
+    )  # 2 multi-launches + 1 single-frame tail
+    exact = ("runs", "stab_cnt", "step")
+    for name, x, y in zip(a._fields, a, b):
+        if name in exact:
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=3e-6, atol=3e-6, err_msg=name
+            )
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ma["dtau"]), np.asarray(mb["dtau"]), rtol=1e-6
+    )
+
+
+def test_field_multiframe_rejection_schedule():
+    """Rejected frames revert in-kernel exactly like the XLA epilogue: Δτ
+    shrink schedule, frozen means, runs not counted."""
+    cfg = FieldConfig(action="phi4", shape=(8, 128), dtau=0.5, n_chains=3,
+                      loops=4, seed=2)
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    a, ma = field_kernel.run_field_frames_pallas(s0, act, cfg, 4, interpret=True)
+    b, mb = field_kernel.run_field_frames_pallas(
+        s0, act, cfg, 4, interpret=True, frames_per_launch=2
+    )
+    assert (~np.asarray(ma["stable"])).any(), "test needs rejections"
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+    np.testing.assert_array_equal(np.asarray(a.runs), np.asarray(b.runs))
+    np.testing.assert_array_equal(np.asarray(a.stab_cnt), np.asarray(b.stab_cnt))
+    np.testing.assert_allclose(np.asarray(a.dtau), np.asarray(b.dtau), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.phi), np.asarray(b.phi), rtol=3e-6, atol=3e-6
+    )

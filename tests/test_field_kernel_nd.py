@@ -109,3 +109,33 @@ def test_runtime_routes_4d_to_nd_kernel():
     )
     with pytest.raises(ValueError, match="pallas_nd"):
         sel(FieldConfig(shape=(16, 128)), "pallas_nd", on_tpu=True, use_halo=False)
+
+
+def test_runtime_routes_sharded_4d_to_composed_kernel():
+    """auto + halo runner on a D>=3 lattice: dim-0-only splits route to the
+    composed pair kernel ('pallas'); multi-dim splits and thin slabs stay
+    XLA (r3: ND x halo composition)."""
+    import dataclasses
+
+    from stochquant_tpu import runtime
+    from stochquant_tpu.parallel import make_mesh
+
+    sel = runtime.select_field_backend
+    mesh = make_mesh([("x", 2)])
+    cfg = _cfg(shape=(16, 8, 4, 4), loops=4)
+    c_dim0 = dataclasses.replace(cfg, mesh_axes=("x", None, None, None))
+    assert sel(c_dim0, "auto", on_tpu=True, use_halo=True, mesh=mesh) == "pallas"
+    assert sel(c_dim0, "auto", on_tpu=False, use_halo=True, mesh=mesh) == "xla"
+    mesh2 = make_mesh([("x", 2), ("y", 2)])
+    c_multi = dataclasses.replace(cfg, mesh_axes=("x", "y", None, None))
+    assert sel(c_multi, "auto", on_tpu=True, use_halo=True, mesh=mesh2) == "xla"
+    # slab thinner than the halo depth → xla
+    mesh8 = make_mesh([("x", 8)])
+    c_thin = dataclasses.replace(
+        cfg, shape=(8, 8, 4, 4), mesh_axes=("x", None, None, None)
+    )
+    assert sel(c_thin, "auto", on_tpu=True, use_halo=True, mesh=mesh8) == "xla"
+    # pure chain-DP mesh: whole-frame nd kernel per shard
+    c_dp = dataclasses.replace(cfg, mesh_axes=(None,) * 4, mesh_chain_axis="chain")
+    meshc = make_mesh([("chain", 2)])
+    assert sel(c_dp, "auto", on_tpu=True, use_halo=True, mesh=meshc) == "pallas"

@@ -108,10 +108,14 @@ def test_su2_kernel_hot_start_and_odd_loops():
     np.testing.assert_allclose(norm, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_su3_kernel_matches_xla_interpret():
     """Fused SU(3) kernel (split-complex 3x3 algebra) vs the complex64 XLA
     scan: trajectories to float tolerance (split-complex lowering cannot be
-    bitwise vs complex64), trip decisions exact, links stay on SU(3)."""
+    bitwise vs complex64), trip decisions exact, links stay on SU(3).
+
+    ``slow``: ~3.5 min under the Pallas interpreter — the same gate runs
+    compiled on the real chip every bench round (bench.py su3 gate)."""
     from stochquant_tpu.integrators import gauge as gauge_mod
     from stochquant_tpu.integrators.gauge import GaugeConfig
     from stochquant_tpu.kernels import gauge_kernel

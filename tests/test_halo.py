@@ -234,9 +234,23 @@ def test_halo_pallas_validation():
     )
     with pytest.raises(ValueError, match="threefry"):
         make_halo_runner(act, bad_rng, mesh, backend="pallas")
-    bad_dim = FieldConfig(action="phi4", shape=(8, 8, 8), mesh_axes=("x", None, None))
+    # D >= 3 composed kernel: dim-0 splits only
+    mesh2 = make_mesh([("x", 2), ("y", 2)])
+    bad_split = FieldConfig(
+        action="phi4", shape=(8, 8, 8), mesh_axes=("x", "y", None)
+    )
+    with pytest.raises(ValueError, match="dim 0 only"):
+        make_halo_runner(act, bad_split, mesh2, backend="pallas")
+    # the per-micro-step kernel stays 2-D
+    bad_step = FieldConfig(action="phi4", shape=(8, 8, 8), mesh_axes=("x", None, None))
     with pytest.raises(ValueError, match="2-D"):
-        make_halo_runner(act, bad_dim, mesh, backend="pallas")
+        make_halo_runner(act, bad_step, mesh, backend="pallas_step")
+    # odd loops: the D-dim pair kernel refuses
+    bad_loops = FieldConfig(
+        action="phi4", shape=(8, 8, 8), mesh_axes=("x", None, None), loops=5
+    )
+    with pytest.raises(ValueError, match="even"):
+        make_halo_runner(act, bad_loops, mesh, backend="pallas")
 
 
 def test_runtime_field_halo_pallas_roundtrip():
@@ -252,3 +266,90 @@ def test_runtime_field_halo_pallas_roundtrip():
     a = runtime.run_field(cfg, mesh=mesh, backend="xla", sink=metrics.MetricsSink())
     b = runtime.run_field(cfg, mesh=mesh, backend="pallas", sink=metrics.MetricsSink())
     np.testing.assert_array_equal(np.asarray(a.state.phi), np.asarray(b.state.phi))
+
+
+@pytest.mark.parametrize(
+    "shape,mesh_shape,chain_ax",
+    [
+        ((8, 4, 4), [("x", 2)], None),
+        ((8, 4, 2, 2), [("chain", 2), ("x", 4)], "chain"),
+    ],
+)
+def test_halo_pallas_nd_matches_unsharded(shape, mesh_shape, chain_ax):
+    """backend='pallas' on a dim-0-split D>=3 lattice (the composed pair
+    kernel: ring-exchanged H-slab halos + trapezoidal recompute, interpret
+    mode) must match the unsharded integrator: trajectory and trip decisions
+    bitwise (global-counter noise makes the recomputed halo sites exactly
+    the owning shard's values), observables to float tolerance."""
+    mesh_axes = ("x",) + (None,) * (len(shape) - 1)
+    cfg = FieldConfig(
+        action="phi4", shape=shape, dtau=0.01, n_chains=4, loops=6,
+        seed=31, mesh_axes=mesh_axes, mesh_chain_axis=chain_ax,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    ref, mref = field.run_field_frames(s0, act, cfg, 3)
+
+    mesh = make_mesh(mesh_shape)
+    s0_sh = shard_field_state(s0, mesh, cfg)
+    out, mout = make_halo_runner(act, cfg, mesh, backend="pallas", interpret=True)(
+        s0_sh, 3
+    )
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    np.testing.assert_array_equal(
+        np.asarray(mref["stable"]), np.asarray(mout["stable"])
+    )
+    np.testing.assert_array_equal(np.asarray(ref.lrg_vl), np.asarray(out.lrg_vl))
+    for name in ["mag_mean", "mag2_mean", "phi2_mean", "act_mean"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out, name)),
+            rtol=1e-5, atol=1e-7, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.corr_mean), np.asarray(out.corr_mean), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_halo_pallas_nd_checkerboard():
+    from stochquant_tpu.config import Sweep
+
+    cfg = FieldConfig(
+        action="phi4", shape=(8, 4, 4), dtau=0.005, n_chains=2, loops=4,
+        seed=19, sweep=Sweep.CHECKERBOARD, mesh_axes=("x", None, None),
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    ref, mref = field.run_field_frames(s0, act, cfg, 2)
+    mesh = make_mesh([("x", 2)])
+    s0_sh = shard_field_state(s0, mesh, cfg)
+    out, mout = make_halo_runner(act, cfg, mesh, backend="pallas", interpret=True)(
+        s0_sh, 2
+    )
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    np.testing.assert_array_equal(
+        np.asarray(mref["stable"]), np.asarray(mout["stable"])
+    )
+
+
+def test_halo_pallas_frame_nd_chain_dp_matches_unsharded_kernel():
+    """Chain-DP-only meshes on a D>=3 lattice route to the whole-frame nd
+    kernel per shard; bitwise vs the unsharded nd kernel."""
+    from stochquant_tpu.kernels import field_kernel_nd
+
+    cfg = FieldConfig(
+        action="phi4", shape=(8, 4, 4), dtau=0.01, n_chains=4, loops=4, seed=5,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    ref, _ = field_kernel_nd.run_field_frames_nd(s0, act, cfg, 2, interpret=True)
+
+    cfg_sh = dataclasses.replace(
+        cfg, mesh_axes=(None, None, None), mesh_chain_axis="chain"
+    )
+    mesh = make_mesh([("chain", 4)])
+    s0_sh = shard_field_state(s0, mesh, cfg_sh)
+    out, _ = make_halo_runner(act, cfg_sh, mesh, backend="pallas", interpret=True)(
+        s0_sh, 2
+    )
+    for name, a, b in zip(ref._fields, ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)

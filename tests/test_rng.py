@@ -79,3 +79,69 @@ def test_global_site_index_strided_block():
     expect = np.array([[4 * 10 + 7 + j for j in range(3)] for _ in range(1)])
     expect = np.stack([expect[0], expect[0] + 10])
     np.testing.assert_array_equal(np.asarray(ids), expect.astype(np.uint32))
+
+
+def test_threefry13_reduced_round_variant():
+    """rounds=13 (Random123's BigCrush-passing minimum): the generic-loop
+    refactor must keep the 20-round output identical to the KAT-pinned
+    default, and 13 rounds must be a genuinely different, still
+    uniform-quality stream."""
+    import numpy as np
+
+    from stochquant_tpu import rng
+
+    c0 = jnp.arange(1 << 14, dtype=jnp.uint32)
+    c1 = jnp.zeros_like(c0)
+    a20, b20 = rng.threefry2x32(jnp.uint32(7), jnp.uint32(9), c0, c1)
+    a20d, _ = rng.threefry2x32(jnp.uint32(7), jnp.uint32(9), c0, c1, rounds=20)
+    np.testing.assert_array_equal(np.asarray(a20), np.asarray(a20d))
+    a13, b13 = rng.threefry2x32(jnp.uint32(7), jnp.uint32(9), c0, c1, rounds=13)
+    assert (np.asarray(a13) != np.asarray(a20)).mean() > 0.99
+    # marginal uniformity: mean of uniform_from_bits ~ 0.5, bit balance ~ 0.5
+    u = np.asarray(rng.uniform_from_bits(a13), np.float64)
+    assert abs(u.mean() - 0.5) < 4 / np.sqrt(u.size)
+    bits = np.unpackbits(np.asarray(b13).view(np.uint8))
+    assert abs(bits.mean() - 0.5) < 0.01
+    assert rng.rounds_of("threefry13") == 13
+    assert rng.rounds_of("threefry") == 20
+    assert rng.counter_based("threefry13") and not rng.counter_based("hardware")
+
+
+def test_threefry13_chain_kernel_matches_xla_and_blocking_invariant():
+    """rng_impl='threefry13' drives both the XLA scan and the fused kernel
+    with the same 13-round counters: same trajectories up to XLA's usual
+    per-program-shape FMA contraction (1 ulp — the multiframe tests'
+    contract; n_sites=64 pads to 128 lanes, a shape where the contraction
+    choices differ even at 20 rounds), bitwise invariant under chain
+    blocking (same program), and a different stream than 20 rounds."""
+    import numpy as np
+
+    from stochquant_tpu import actions
+    from stochquant_tpu.config import ChainConfig
+    from stochquant_tpu.integrators import langevin
+    from stochquant_tpu.kernels import chain_kernel
+
+    base = dict(action="double_well", n_sites=64, dt=0.05, dtau=1e-3,
+                n_chains=8, loops=10, seed=3)
+    cfg13 = ChainConfig(**base, rng_impl="threefry13")
+    cfg20 = ChainConfig(**base)
+    act = actions.get(cfg13.action)
+    s0 = langevin.init_chain_state(cfg13, act)
+    a, ma = langevin.run_frames(s0, act, cfg13, 2)
+    b, mb = chain_kernel.run_frames_pallas(s0, act, cfg13, 2, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.f), np.asarray(b.f), rtol=3e-6, atol=3e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.x_mean), np.asarray(b.x_mean), rtol=3e-6, atol=3e-6
+    )
+    c, _ = chain_kernel.run_frames_pallas(
+        s0, act, cfg13, 2, interpret=True, block_chains=4
+    )
+    np.testing.assert_array_equal(np.asarray(b.f), np.asarray(c.f))
+    s0_20 = langevin.init_chain_state(cfg20, act)
+    d, _ = langevin.run_frames(s0_20, act, cfg20, 2)
+    assert not np.array_equal(np.asarray(a.f), np.asarray(d.f))
