@@ -316,7 +316,14 @@ def worker() -> None:
     g3a, _ = gauge_mod.run_gauge_frames(g3s0, g3act, g3gate, 2)
     g3b, _ = gauge_kernel.run_gauge_frames_pallas(g3s0, g3act, g3gate, 2,
                                                   interpret=not on_tpu)
-    su3_gate = float(np.max(np.abs(np.asarray(g3a.links) - np.asarray(g3b.links))))
+    # links are complex64 and the tunnel backend lacks complex d2h — reduce
+    # the diff to a real scalar on device (io/checkpoint._leaf_to_host's
+    # constraint)
+    import jax.numpy as jnp
+
+    su3_gate = float(
+        jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(g3a.links, g3b.links)
+    )
     log(f"su3 kernel-vs-XLA max|dlinks| on this device: {su3_gate:.2e}")
 
     g3cfg = GaugeConfig(group="su3", beta=5.0, shape=(64, 64),

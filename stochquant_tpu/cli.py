@@ -86,6 +86,12 @@ def _apply_overrides(cfg, args):
         cfg, "frames_per_launch"
     ):
         updates["frames_per_launch"] = args.frames_per_launch
+    if getattr(args, "scheme", None) is not None and hasattr(cfg, "scheme"):
+        from stochquant_tpu.config import Scheme
+
+        updates["scheme"] = Scheme[args.scheme.upper()]
+    if getattr(args, "rng", None) is not None and hasattr(cfg, "rng_impl"):
+        updates["rng_impl"] = args.rng
     return dataclasses.replace(cfg, **updates) if updates else cfg
 
 
@@ -209,6 +215,17 @@ def main(argv=None):
         "--measure-loops",
         action="store_true",
         help="gauge presets: per-frame Polyakov loop + final Wilson-loop table",
+    )
+    r.add_argument(
+        "--scheme", choices=["em", "heun", "lm", "exact"],
+        help="integration scheme (chains): em | heun | lm | exact "
+        "(exact-OU propagator, BACKGROUND frozen-omega only)",
+    )
+    r.add_argument(
+        "--rng", choices=["threefry", "threefry13", "hardware"],
+        help="noise generator: threefry (layout-invariant default), "
+        "threefry13 (reduced-round, faster, still layout-invariant), "
+        "hardware (TPU PRNG, fastest, not layout-invariant)",
     )
     r.add_argument("--out", help="checkpoint output path (.npz)")
     r.add_argument("--resume", help="checkpoint to resume from (.npz)")

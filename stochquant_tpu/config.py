@@ -37,6 +37,12 @@ class Scheme(enum.IntEnum):
     LM = 2    # Leimkuhler–Matthews: noise = (ξ_k + ξ_{k+1})/2, one drift eval
               # per step, O(Δτ²) sampling bias — and *exact* stationary
               # covariance for Gaussian actions at any stable Δτ
+    EXACT = 3  # exact Ornstein–Uhlenbeck propagator for the linearized
+               # (BACKGROUND, frozen-ω) drift: f' = μ + e^{−BΔτ}(f−μ) + ζ
+               # with ζ drawn at the exact transition covariance — zero
+               # integration bias at ANY Δτ, unconditionally stable, and
+               # the dense batched matmuls ride the MXU.  XLA path only;
+               # Δτ stays fixed (nothing to adapt — the step is exact).
 
 
 class Formulation(enum.IntEnum):

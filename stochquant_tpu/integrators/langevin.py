@@ -140,12 +140,93 @@ def _neighbor_sum(f, left_ghost, right_ghost, bc: BoundaryCondition):
     return up + down
 
 
-def make_frame_fn(action: QMAction, cfg: ChainConfig):
+def _exact_scheme_check(action: QMAction, cfg: ChainConfig) -> None:
+    background = cfg.formulation == Formulation.BACKGROUND
+    has_zm = background and action.has_zero_mode and cfg.parisi
+    if not background or has_zm:
+        raise ValueError(
+            "Scheme.EXACT integrates the linearized (BACKGROUND) drift "
+            "exactly and needs it frozen: use formulation=BACKGROUND with "
+            "parisi=False (or an action without a zero mode)"
+        )
+    if cfg.bc == BoundaryCondition.DIRICHLET:
+        raise ValueError("Scheme.EXACT supports PERIODIC / FIXED_BG boundaries")
+
+
+def exact_propagator_ops(action: QMAction, cfg: ChainConfig, omega):
+    """Per-chain exact-OU step operators ``(P, S, mu)`` for the linearized
+    drift at frozen ω (``Scheme.EXACT``).
+
+    The BACKGROUND micro-step integrates ``df/dτ = −B f + s + √(2/Δt)c ξ``
+    with the (per-chain) constant SPD matrix ``B = (m/Δt²)(2I − shift) +
+    V''(x_cl(t, ω))`` and the FIXED_BG ghost source ``s``.  That OU process
+    has the closed-form transition f(τ+Δτ) = μ + e^{−BΔτ}(f−μ) + ζ,
+    ζ ~ N(0, (c²/Δt)·B⁻¹(I − e^{−2BΔτ})), μ = B⁻¹s — so one dense update
+    per micro-step samples the EXACT continuous-time law at any Δτ
+    (Euler–Maruyama's Δτ→0 limit, with zero discretization bias and no
+    stability bound).  Computed via a batched ``eigh`` once per
+    ``run_frames`` call; the per-step application is two (C,N)·(N,N)
+    batched matmuls — MXU work, unlike the stencil schemes' VPU path.
+
+    Zero modes (λ → 0, e.g. the periodic free-particle constant mode) get
+    their exact diffusive limit ``var = 2Δτ·c²/Δt``.
+    """
+    C, N = cfg.n_chains, cfg.n_sites
+    dt = cfg.dt
+    dtype = cfg.jdtype
+    t_grid = (jnp.arange(N) * dt).astype(dtype)
+    inv = action.mass / (dt * dt)
+    x_cl = action.x_cl(t_grid[None, :], omega[:, None]).astype(dtype)
+    curv = action.ddV(x_cl).astype(dtype)  # (C, N)
+    eye = jnp.eye(N, dtype=dtype)
+    off = (jnp.eye(N, k=1) + jnp.eye(N, k=-1)).astype(dtype)
+    B = curv[:, :, None] * eye + (2.0 * inv) * eye - inv * off
+    if cfg.bc == BoundaryCondition.PERIODIC:
+        corner = (
+            jnp.zeros((N, N), dtype).at[0, N - 1].set(1.0).at[N - 1, 0].set(1.0)
+        )
+        B = B - inv * corner
+        mu = jnp.zeros((C, N), dtype)
+    else:  # FIXED_BG ghost sources (tau_kernel.cl:74,92 semantics)
+        if cfg.ghost_override is not None:
+            asym_l = jnp.asarray(cfg.ghost_override[0], dtype)
+            asym_r = jnp.asarray(cfg.ghost_override[1], dtype)
+        else:
+            asym_l = jnp.asarray(action.boundary_asymptote(-1), dtype)
+            asym_r = jnp.asarray(action.boundary_asymptote(+1), dtype)
+        gl = asym_l - action.x_cl(jnp.asarray(-dt, dtype), omega).astype(dtype)
+        gr = asym_r - action.x_cl(jnp.asarray(N * dt, dtype), omega).astype(dtype)
+        s = (
+            jnp.zeros((C, N), dtype)
+            .at[:, 0].add(inv * gl)
+            .at[:, -1].add(inv * gr)
+        )
+        mu = jnp.linalg.solve(B, s[..., None])[..., 0]
+    lam, U = jnp.linalg.eigh(B)  # (C, N), (C, N, N)
+    dtau = jnp.asarray(cfg.dtau, dtype)
+    c2_dt = jnp.asarray(cfg.noise_amp**2 / dt, dtype)
+    decay = jnp.exp(-lam * dtau)
+    var = jnp.where(
+        lam > 1e-8,
+        c2_dt * (1.0 - decay * decay) / jnp.maximum(lam, 1e-8),
+        2.0 * dtau * c2_dt,
+    )
+    P = jnp.einsum("cik,ck,cjk->cij", U, decay, U)
+    S = jnp.einsum("cik,ck,cjk->cij", U, jnp.sqrt(var), U)
+    return P, S, mu
+
+
+def make_frame_fn(action: QMAction, cfg: ChainConfig, exact_ops=None):
     """Build ``frame(state) -> (state', metrics)``: one macro-step of
     ``cfg.loops`` micro-steps with accept/reject + adaptive Δτ.
 
     Pure and jittable; chains axis shards transparently (noise is keyed by
     global chain/site ids, so any sharding yields bit-identical trajectories).
+
+    ``exact_ops``: precomputed :func:`exact_propagator_ops` for
+    ``Scheme.EXACT`` (``run_frames`` builds them once per call so the
+    eigendecomposition is hoisted out of the frame scan; if omitted they
+    are derived inside the frame — correct but recomputed per frame).
     """
     C, N = cfg.n_chains, cfg.n_sites
     dt = cfg.dt
@@ -168,6 +249,9 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         asym_r = jnp.asarray(action.boundary_asymptote(+1), dtype)
     t_ghost_l = jnp.asarray(-dt, dtype)
     t_ghost_r = jnp.asarray(N * dt, dtype)
+    exact_scheme = cfg.scheme == Scheme.EXACT
+    if exact_scheme:
+        _exact_scheme_check(action, cfg)
 
     def ghosts(omega):
         """(C,) ghost-site field values for the configured BC."""
@@ -204,20 +288,39 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         return f
 
     def frame(state: ChainState):
-        def substep(vals, eta, eta_om):
-            """One Euler–Maruyama micro-step given its noise field."""
-            f, omega, xs, xxs, x2s, x4s, specs, unstable, lrgvl = vals
-            noise = c_amp * jnp.sqrt(2.0 * state.dtau[:, None] / dt) * eta
+        if exact_scheme:
+            P_op, S_op, mu_op = (
+                exact_ops
+                if exact_ops is not None
+                else exact_propagator_ops(action, cfg, state.omega)
+            )
 
-            if cfg.scheme == Scheme.HEUN:
-                # stochastic Heun: predictor with the same noise realization,
-                # corrector averages the drift → O(Δτ²) stationary bias
-                f1 = drift(f, omega)
-                f_pred = f + state.dtau[:, None] * f1 + noise
-                f2 = drift(f_pred, omega)
-                det = 0.5 * state.dtau[:, None] * (f1 + f2)
+        def substep(vals, eta, eta_om):
+            """One micro-step given its noise field (EM / Heun / exact-OU)."""
+            f, omega, xs, xxs, x2s, x4s, specs, unstable, lrgvl = vals
+
+            if exact_scheme:
+                # exact OU transition: ζ at the exact covariance, drift part
+                # μ + e^{−BΔτ}(f−μ) — two batched MXU matmuls; cast back to
+                # the EM bookkeeping shape (det + noise) so the shared
+                # detector/observable machinery below applies unchanged
+                noise = jnp.einsum("cij,cj->ci", S_op, eta)
+                f_next = (
+                    mu_op + jnp.einsum("cij,cj->ci", P_op, f - mu_op) + noise
+                )
+                det = f_next - f - noise
             else:
-                det = drift(f, omega) * state.dtau[:, None]
+                noise = c_amp * jnp.sqrt(2.0 * state.dtau[:, None] / dt) * eta
+                if cfg.scheme == Scheme.HEUN:
+                    # stochastic Heun: predictor with the same noise
+                    # realization, corrector averages the drift → O(Δτ²)
+                    # stationary bias
+                    f1 = drift(f, omega)
+                    f_pred = f + state.dtau[:, None] * f1 + noise
+                    f2 = drift(f_pred, omega)
+                    det = 0.5 * state.dtau[:, None] * (f1 + f2)
+                else:
+                    det = drift(f, omega) * state.dtau[:, None]
             newf_raw = f + det + noise
             # clamp + definitize non-finite values (tau_kernel.cl:119-133)
             newf = jnp.clip(newf_raw, -clamp, clamp)
@@ -231,7 +334,12 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
             # max |x|, or anything went non-finite.
             max_det = jnp.max(jnp.abs(det), axis=-1)
             bad = ~jnp.all(jnp.isfinite(newf_raw), axis=-1)
-            tripped = (max_det > lrgvl) | bad
+            if exact_scheme:
+                # the exact transition legitimately moves O(σ) per step at
+                # large Δτ (Δτ→∞ is a full redraw); only non-finite trips
+                tripped = bad
+            else:
+                tripped = (max_det > lrgvl) | bad
 
             # observables sample the *pre-update* field.  Frame-local fp32
             # sample SUMS here; the cross-frame merge happens once per frame
@@ -386,16 +494,24 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig):
         lrgvl = jnp.where(accept, lrgvl, state.lrg_vl)
         runs = accum.bump_runs(state.runs, cfg.loops, accept)
 
-        # adaptive Δτ (H9, tauhost.c:523-545) — per chain
-        grow = accept & (state.stab_cnt >= cfg.grow_after)
-        dtau = jnp.where(
-            grow,
-            state.dtau / cfg.shrink,
-            jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
-        )
-        if cfg.dtau_max is not None:
-            dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, dtype))
-        stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
+        # adaptive Δτ (H9, tauhost.c:523-545) — per chain.  Scheme.EXACT has
+        # nothing to adapt (the propagator is exact at the configured Δτ and
+        # unconditionally stable): Δτ stays fixed.
+        if exact_scheme:
+            dtau = state.dtau
+            stab_cnt = jnp.where(accept, state.stab_cnt + 1, 0)
+        else:
+            grow = accept & (state.stab_cnt >= cfg.grow_after)
+            dtau = jnp.where(
+                grow,
+                state.dtau / cfg.shrink,
+                jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+            )
+            if cfg.dtau_max is not None:
+                dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, dtype))
+            stab_cnt = jnp.where(
+                accept, jnp.where(grow, 0, state.stab_cnt + 1), 0
+            )
 
         new_state = ChainState(
             f=f,
@@ -428,7 +544,12 @@ def run_frames(state: ChainState, action: QMAction, cfg: ChainConfig, n_frames: 
     Returns (final_state, metrics) with metrics arrays stacked over frames —
     the structured replacement for the stdout streaming protocol (H8).
     """
-    frame = make_frame_fn(action, cfg)
+    exact_ops = (
+        exact_propagator_ops(action, cfg, state.omega)
+        if cfg.scheme == Scheme.EXACT
+        else None
+    )  # eigh once per call, hoisted out of the frame scan
+    frame = make_frame_fn(action, cfg, exact_ops=exact_ops)
     return lax.scan(lambda s, _: frame(s), state, None, length=n_frames)
 
 

@@ -684,9 +684,9 @@ def chain_frames_multi(
 ):
     """K frames in ONE launch, epilogue in-kernel; returns
     (state, {stable/dtau/max_x histories, each (K, C)})."""
-    if cfg.accumulate_spectrum or cfg.scheme == Scheme.LM:
+    if cfg.accumulate_spectrum or cfg.scheme in (Scheme.LM, Scheme.EXACT):
         raise ValueError("multi-frame kernel: same feature surface as the "
-                         "single-frame kernel (no spectrum / LM)")
+                         "single-frame kernel (no spectrum / LM / EXACT)")
     C, N = cfg.n_chains, cfg.n_sites
     np_ = _round_up(N, 128)
     cb = block_chains or min(C, 256)
@@ -749,10 +749,11 @@ def chain_frame_pallas(
             "accumulate_spectrum requires the XLA path (no FFT in Pallas); "
             "use integrators.langevin.run_frames"
         )
-    if cfg.scheme == Scheme.LM:
+    if cfg.scheme in (Scheme.LM, Scheme.EXACT):
         raise ValueError(
-            "Scheme.LM is XLA-path only for now (the fused kernel would need "
-            "a carried noise pair); use integrators.langevin.run_frames"
+            f"Scheme.{cfg.scheme.name} is XLA-path only (LM carries a noise pair; "
+            "EXACT is dense-matmul MXU work); use "
+            "integrators.langevin.run_frames"
         )
     C, N = cfg.n_chains, cfg.n_sites
     np_ = _round_up(N, 128)

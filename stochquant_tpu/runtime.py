@@ -141,8 +141,12 @@ def run_chain(
     act = actions_mod.get(cfg.action)
     sink = sink or metrics_mod.MetricsSink()
     on_tpu = jax.devices()[0].platform != "cpu"
-    # spectrum accumulation (FFT) and the LM scheme are XLA-path features
-    kernel_ok = not cfg.accumulate_spectrum and cfg.scheme != Scheme.LM
+    # spectrum accumulation (FFT) and the LM / exact-OU schemes are
+    # XLA-path features (EXACT is dense-matmul MXU work — XLA is the fast
+    # path there by design)
+    kernel_ok = not cfg.accumulate_spectrum and cfg.scheme not in (
+        Scheme.LM, Scheme.EXACT
+    )
     if backend == "auto":
         backend = "pallas" if (on_tpu and kernel_ok) else "xla"
     elif backend == "pallas":
@@ -153,9 +157,10 @@ def run_chain(
                 "backend='pallas' cannot accumulate the power spectrum "
                 "(no FFT in the fused kernel); use backend='xla'"
             )
-        if cfg.scheme == Scheme.LM:
+        if cfg.scheme in (Scheme.LM, Scheme.EXACT):
             raise ValueError(
-                "backend='pallas' does not implement the LM scheme; use "
+                f"backend='pallas' does not implement Scheme.{cfg.scheme.name}; "
+                "use "
                 "backend='xla'"
             )
     elif backend != "xla":

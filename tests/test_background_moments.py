@@ -132,3 +132,62 @@ def test_parisi_toggle_changes_only_omega_updates():
     np.testing.assert_allclose(
         np.asarray(a.f), np.asarray(b.f), rtol=2e-6, atol=2e-6
     )
+
+
+def test_parisi_omega_is_reflected_brownian_with_exact_step_law():
+    """ω-marginalized gate for ``parisi=True`` (ROADMAP r3 physics item).
+
+    The BACKGROUND x-moments have no exact ω-marginal oracle (the Parisi
+    dynamics is not adiabatic at physical parameters — the quasi-static
+    mixture would carry uncontrolled bias), but the collective coordinate's
+    OWN law is exact: ω is a reflected Brownian motion with per-micro-step
+    variance 2Δτ·(intConst·c)² (tau_kernel.cl:103-110's update).  Gate the
+    per-frame increments against N(0, 2Δτ·loops·zm²·c²) — mean, variance
+    (χ²-based z-test), and normality via excess kurtosis — in a geometry
+    where reflections are negligible (4σ_total < T/2)."""
+    cfg = ChainConfig(
+        action="double_well", n_sites=200, dt=0.02, dtau=2e-4, n_chains=256,
+        loops=50, seed=13, grow_after=10**9,
+        formulation=Formulation.BACKGROUND, bc=BoundaryCondition.FIXED_BG,
+        parisi=True,
+    )
+    act = actions.get("double_well")
+    zm = float(act.zero_mode_const())
+    assert zm > 0.0
+    step_var = 2.0 * cfg.dtau * zm**2 * cfg.noise_amp**2
+    frame_sigma = np.sqrt(step_var * cfg.loops)
+    T = (cfg.n_sites - 1) * cfg.dt
+    n_frames = 20
+    assert 4 * frame_sigma * np.sqrt(n_frames) < T / 2, "reflections must be rare"
+
+    s = langevin.init_chain_state(cfg, act)
+    s, _ = langevin.run_frames(s, act, cfg, 10)  # detector warm-up
+    omegas = [np.asarray(s.omega, np.float64)]
+    stables = []
+    for _ in range(n_frames):
+        s, m = langevin.run_frames(s, act, cfg, 1)
+        stables.append(np.asarray(m["stable"])[0])
+        omegas.append(np.asarray(s.omega, np.float64))
+    om = np.stack(omegas)          # (n_frames+1, C)
+    stable = np.stack(stables)     # (n_frames, C)
+    assert stable.mean() > 0.9, stable.mean()
+    assert om.min() >= 0.0 and om.max() <= T
+    # rejected frames freeze ω (their increment is 0 by design) — gate the
+    # law on accepted (frame, chain) increments only
+    inc = np.diff(om, axis=0)[stable]       # iid N(0, frame_sigma²)
+    n = inc.size
+    # mean: z-test
+    assert abs(inc.mean()) < 5 * frame_sigma / np.sqrt(n), inc.mean()
+    # variance: relative error gate, se(var)/var = sqrt(2/n)
+    rel = inc.var() / frame_sigma**2 - 1.0
+    assert abs(rel) < 5 * np.sqrt(2.0 / n), rel
+    # normality: excess kurtosis → 0, se = sqrt(24/n)
+    kurt = ((inc / inc.std()) ** 4).mean() - 3.0
+    assert abs(kurt) < 6 * np.sqrt(24.0 / n), kurt
+    # kernel path draws the same ω stream (bitwise, interpret mode)
+    from stochquant_tpu.kernels import chain_kernel
+
+    s0 = langevin.init_chain_state(cfg, act)
+    a, _ = langevin.run_frames(s0, act, cfg, 2)
+    b, _ = chain_kernel.run_frames_pallas(s0, act, cfg, 2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.omega), np.asarray(b.omega))
