@@ -23,7 +23,6 @@ Robustness notes for this environment:
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -513,22 +512,29 @@ def main() -> None:
     if "--worker" in sys.argv:
         worker()
         return
-    attempts = 3
-    for attempt in range(attempts):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker"],
-                stdout=subprocess.PIPE,
-                timeout=1500,
-            )
-            lines = [l for l in out.stdout.decode().splitlines() if l.strip()]
-            if out.returncode == 0 and lines:
-                print(lines[-1])
-                return
-            log(f"attempt {attempt}: worker exit {out.returncode}")
-        except subprocess.TimeoutExpired:
-            log(f"attempt {attempt}: worker timed out (TPU tunnel wedged?)")
-        time.sleep(90)
+    from stochquant_tpu.watchdog import run_watchdogged
+
+    def report(att):
+        if att.stderr:
+            sys.stderr.write(att.stderr)
+        if att.timed_out:
+            log(f"attempt {att.index}: worker timed out (TPU tunnel wedged?)")
+        elif not att.ok:
+            log(f"attempt {att.index}: worker exit {att.returncode}")
+
+    res = run_watchdogged(
+        [os.path.abspath(__file__), "--worker"],
+        python=True,
+        timeout_s=1500,
+        attempts=3,
+        backoff_s=90,
+        on_attempt=report,
+    )
+    if res.ok:
+        lines = [l for l in res.success.stdout.splitlines() if l.strip()]
+        if lines:
+            print(lines[-1])
+            return
     log("all attempts failed")
     print(json.dumps({
         "metric": "double_well_site_updates_per_sec_per_chip",

@@ -107,6 +107,12 @@ class ChainConfig:
                                        # round-trip — the win at small chain
                                        # counts; per-frame semantics
                                        # unchanged)
+    block_chains: Optional[int] = None  # Pallas backend chain-block size:
+                                        # None = heuristic (min(C, 256));
+                                        # 0 = autotune on device at first
+                                        # use (kernels/autotune.py — one
+                                        # compile per candidate, worth it
+                                        # for long runs); >0 = explicit
     fps: int = 1                       # stream observables every `fps` frames
     seed: int = 0
     dtype: str = "float32"             # TPU-native; fp64 only for CPU checks

@@ -1,0 +1,77 @@
+"""On-device autotuning for fused-kernel launch geometry.
+
+The chain kernel tiles the chain batch into (block_chains, padded_sites)
+grid programs; the best block size depends on N, the chain count, the RNG
+path and the chip generation (r1 measured bc=64 best for the 200-site
+double-well config on v5e — the bench default).  This module measures the
+candidates on the actual device for the actual config and caches the
+winner per process (ROADMAP perf item "chain-kernel block-size autotune").
+
+Opt-in via ``ChainConfig.block_chains = 0`` (autotune on first use) because
+each candidate costs one kernel compile — worth it for production runs of
+thousands of frames, not for one-off smoke runs.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+__all__ = ["best_block_chains", "clear_cache"]
+
+_CACHE: dict = {}
+
+
+def clear_cache() -> None:
+    _CACHE.clear()
+
+
+def _candidates(n_chains: int):
+    cands = [c for c in (32, 64, 128, 256, 512) if c <= n_chains and n_chains % c == 0]
+    return cands or [n_chains]
+
+
+def best_block_chains(
+    action,
+    cfg,
+    *,
+    candidates=None,
+    interpret: bool = False,
+) -> int:
+    """Measure one frame per candidate chain-block size, return the fastest.
+
+    Results are cached per (config fingerprint, device kind) for the
+    process lifetime.  Timing uses the real config (same loops/RNG — the
+    quantity being tuned is the steady-state frame rate); each candidate
+    pays one warm-up call for compile + one timed call.
+    """
+    from stochquant_tpu.integrators import langevin
+    from stochquant_tpu.kernels import chain_kernel
+
+    key = (
+        cfg.action, cfg.n_sites, cfg.n_chains, cfg.loops, cfg.rng_impl,
+        int(cfg.scheme), int(cfg.formulation), int(cfg.bc), interpret,
+        jax.devices()[0].device_kind,
+    )
+    if key in _CACHE:
+        return _CACHE[key]
+    cands = list(candidates) if candidates else _candidates(cfg.n_chains)
+    state = langevin.init_chain_state(cfg, action)
+    best, best_t = cands[0], float("inf")
+    for cb in cands:
+        def run():
+            s, _ = chain_kernel.run_frames_pallas(
+                state, action, cfg, 1, block_chains=cb, interpret=interpret
+            )
+            np.asarray(s.lrg_vl)  # host readback = completion barrier
+
+        run()  # compile + warm
+        t0 = time.time()
+        run()
+        t = time.time() - t0
+        if t < best_t:
+            best, best_t = cb, t
+    _CACHE[key] = best
+    return best

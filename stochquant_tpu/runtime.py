@@ -174,12 +174,20 @@ def run_chain(
     else:
         state = langevin.init_chain_state(cfg, act)
 
+    block = cfg.block_chains or None
+    if backend == "pallas" and cfg.block_chains == 0:
+        from stochquant_tpu.kernels import autotune
+
+        block = autotune.best_block_chains(act, cfg, interpret=not on_tpu)
+        sink.emit({"type": "autotune", "block_chains": block})
+
     def run_n(state, n):
         if backend == "pallas":
             from stochquant_tpu.kernels import chain_kernel
 
             return chain_kernel.run_frames_pallas(
                 state, act, cfg, n, interpret=not on_tpu,
+                block_chains=block,
                 frames_per_launch=min(cfg.frames_per_launch, n),
             )
         return langevin.run_frames(state, act, cfg, n)

@@ -199,3 +199,38 @@ def test_multiframe_kernel_rejection_schedule():
     np.testing.assert_allclose(
         np.asarray(a.f), np.asarray(b.f), rtol=3e-6, atol=3e-6
     )
+
+
+def test_autotune_block_chains_picks_divisor_and_caches():
+    """Autotune measures the candidates in interpret mode and caches per
+    (config, device) — product wiring via ChainConfig.block_chains = 0."""
+    from stochquant_tpu.kernels import autotune
+
+    cfg = ChainConfig(action="harmonic", n_sites=16, dt=0.2, dtau=0.01,
+                      n_chains=8, loops=2, seed=1,
+                      bc=BoundaryCondition.PERIODIC,
+                      formulation=Formulation.DIRECT)
+    act = actions.get("harmonic")
+    autotune.clear_cache()
+    best = autotune.best_block_chains(act, cfg, candidates=(2, 4), interpret=True)
+    assert best in (2, 4)
+    assert cfg.n_chains % best == 0
+    # cached: second call returns instantly with the same answer
+    assert autotune.best_block_chains(
+        act, cfg, candidates=(2, 4), interpret=True
+    ) == best
+    # runtime path: block_chains=0 triggers autotune, result still matches XLA
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from stochquant_tpu import metrics, runtime
+    from stochquant_tpu.integrators import langevin
+
+    cfg_rt = _dc.replace(cfg, frames=2, block_chains=0)
+    out = runtime.run_chain(cfg_rt, backend="pallas", sink=metrics.MetricsSink())
+    s0 = langevin.init_chain_state(cfg_rt, act)
+    ref, _ = langevin.run_frames(s0, act, cfg_rt, 2)
+    np.testing.assert_allclose(
+        np.asarray(out.state.f), np.asarray(ref.f), rtol=3e-6, atol=3e-6
+    )
