@@ -122,21 +122,25 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
         step0 = scalars_ref[1]
         chain = scalars_ref[2] + jnp.uint32(c)
 
+        # kernel math is rank-3 (E, L1, LF): the last two dims map cleanly
+        # to (sublane, lane); rank-4 vectors with leading singletons trip
+        # Mosaic relayout limits ("non-singleton logical dimension is
+        # replicated" on reductions)
         if periodic:
-            phi0 = phic_ref[:]
+            phi0 = phic_ref[0]
         else:
             phi0 = jnp.concatenate(
-                [phiu_ref[:], phic_ref[:], phid_ref[:]], axis=1
+                [phiu_ref[0], phic_ref[0], phid_ref[0]], axis=0
             )
 
         # global coordinates / site ids on the extended strip.  The flat
         # lane index IS the C-order linear index of dims >= 2, so
         # site = ((row0 * L1) + x1) * LF + flat — identical counters to the
         # unflattened XLA path.
-        r_loc = lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 1)
+        r_loc = lax.broadcasted_iota(jnp.int32, (E, L1, LF), 0)
         row_g = r_loc if periodic else (i * T0 - H + r_loc) % L0
-        x1 = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 2)
-        flat = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 3)
+        x1 = lax.broadcasted_iota(jnp.uint32, (E, L1, LF), 1)
+        flat = lax.broadcasted_iota(jnp.uint32, (E, L1, LF), 2)
         site = (
             row_g.astype(jnp.uint32) * jnp.uint32(L1) + x1
         ) * jnp.uint32(LF) + flat
@@ -148,8 +152,8 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
         if checkerboard:
             # global parity = Σ coords; for flattened dims Σ coords ≡
             # popcount-free sum via per-dim iota reconstruction
-            par = row_g + lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 2)
-            rem = lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 3)
+            par = row_g + lax.broadcasted_iota(jnp.int32, (E, L1, LF), 1)
+            rem = lax.broadcasted_iota(jnp.int32, (E, L1, LF), 2)
             for k, n in enumerate(shape[2:]):
                 sd = strides[k]
                 par = par + (rem // jnp.int32(sd)) % jnp.int32(n)
@@ -159,21 +163,21 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
             # strip axis (untiled): slice+concat; periodic wrap is exact in
             # the whole-lattice regime and recomputed-garbage otherwise
             if shift == 1:
-                return jnp.concatenate([x[:, E - 1 :], x[:, : E - 1]], axis=1)
-            return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+                return jnp.concatenate([x[E - 1 :], x[: E - 1]], axis=0)
+            return jnp.concatenate([x[1:], x[:1]], axis=0)
 
         def roll_flat(x, lat_d, shift):
             """±1 roll along flattened lattice dim ``lat_d`` (>= 2)."""
             sd = strides[lat_d - 2]
             nd = shape[lat_d]
-            main = pltpu.roll(x, (shift * sd) % LF, 3)
+            main = pltpu.roll(x, (shift * sd) % LF, 2)
             if sd * nd == LF:
                 return main  # outermost flattened dim: flat wrap is exact
             coord = (
-                lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 3)
+                lax.broadcasted_iota(jnp.int32, (E, L1, LF), 2)
                 // jnp.int32(sd)
             ) % jnp.int32(nd)
-            fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 3)
+            fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 2)
             edge = coord == (0 if shift == 1 else nd - 1)
             return jnp.where(edge, fix, main)
 
@@ -181,7 +185,7 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
             if lat_d == 0:
                 return roll0(x, shift)
             if lat_d == 1:
-                return pltpu.roll(x, shift % L1, 2)
+                return pltpu.roll(x, shift % L1, 1)
             return roll_flat(x, lat_d, shift)
 
         def laplacian(phi):
@@ -216,17 +220,16 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
                 return newphi, jnp.maximum(absdet_e, absdet_o)
             return em_apply(phi, None, noise)
 
-        strip = (lambda x: x) if periodic else (lambda x: x[:, H : H + T0])
+        strip = (lambda x: x) if periodic else (lambda x: x[H : H + T0])
 
-        # Mosaic rejects multi-axis vector reductions on rank-4 operands
-        # (vector.multi_reduction over dims {2,3}); reduce the lane axis
-        # first, then finish on the rank-3 result (the 2-D kernels' proven
-        # pattern)
+        # full reductions on rank-3 operands lower cleanly (the 2-D
+        # kernels' pattern); staged single-axis reductions create
+        # replicated-lane intermediates Mosaic refuses to relayout
         def sum_all(x):
-            return jnp.sum(jnp.sum(x, axis=3))
+            return jnp.sum(x)
 
         def max_all(x):
-            return jnp.max(jnp.max(x, axis=3))
+            return jnp.max(x)
 
         def stats(phi_pre, phi_post, absdet, base):
             p = strip(phi_pre)
@@ -251,15 +254,19 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
 
         inv_sl = f32(1.0 / (L1 * LF))
 
-        def slice_mean(x):
-            # (1, T0, L1, LF) → (1, T0, 1): one axis per reduction (Mosaic)
-            return jnp.sum(jnp.sum(x, axis=3), axis=2, keepdims=True) * inv_sl
+        # slice means land in SMEM as per-row scalars (a (1, T0, 1) VMEM
+        # tile violates Mosaic's 8/128 block rule, and lane-1 vector stores
+        # hit relayout limits); T0 is small, the unrolled loop is cheap
+        def store_slices(ref, x):
+            p = strip(x)
+            for r in range(T0):
+                ref[c, i * T0 + r] = jnp.sum(p[r]) * inv_sl
 
-        sl0_ref[:] = slice_mean(strip(phi0))
-        sl1_ref[:] = slice_mean(strip(phi1))
+        store_slices(sl0_ref, phi0)
+        store_slices(sl1_ref, phi1)
         stats(phi0, phi1, absdet0, 0)
         stats(phi1, phi2, absdet1, 5)
-        phio_ref[:] = strip(phi2)
+        phio_ref[0] = strip(phi2)
 
     return kernel
 
@@ -283,7 +290,9 @@ def _pair_call(action: FieldAction, cfg: FieldConfig, T0: int, interpret: bool):
         (1, T0, L1, LF), lambda c, i, *_: (c, i, 0, 0), memory_space=pltpu.VMEM
     )
     dtau_spec = pl.BlockSpec((C, 1), lambda c, i, *_: (0, 0), memory_space=pltpu.SMEM)
-    sl = pl.BlockSpec((1, T0, 1), lambda c, i, *_: (c, i, 0), memory_space=pltpu.VMEM)
+    sl = pl.BlockSpec(
+        (C, L0), lambda c, i, *_: (0, 0), memory_space=pltpu.SMEM
+    )
     stats = pl.BlockSpec(
         (C, nt, 16), lambda c, i, *_: (0, 0, 0), memory_space=pltpu.SMEM
     )
@@ -305,8 +314,8 @@ def _pair_call(action: FieldAction, cfg: FieldConfig, T0: int, interpret: bool):
     in_specs += [dtau_spec]
     out_shapes = (
         jax.ShapeDtypeStruct((C, L0, L1, LF), jnp.float32),
-        jax.ShapeDtypeStruct((C, L0, 1), jnp.float32),
-        jax.ShapeDtypeStruct((C, L0, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0), jnp.float32),
         jax.ShapeDtypeStruct((C, nt, 16), jnp.float32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -386,16 +395,17 @@ def _build_sharded_pair_kernel(
         )
         dma.start()
         dma.wait()
-        phi0 = strip_ref[:]
+        # rank-3 math (E, L1, LF) — see _build_pair_kernel's layout note
+        phi0 = strip_ref[0]
 
         # global row ids: local row (i*T0 − H + r) + row_off, wrapped mod L0g
         # (+L0g first: uint arithmetic, the −H underflow must stay positive)
-        r_loc = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 1)
+        r_loc = lax.broadcasted_iota(jnp.uint32, (E, L1, LF), 0)
         row_g = (
             row_off + jnp.uint32(L0g + i * T0 - H) + r_loc
         ) % jnp.uint32(L0g)
-        x1 = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 2)
-        flat = lax.broadcasted_iota(jnp.uint32, (1, E, L1, LF), 3)
+        x1 = lax.broadcasted_iota(jnp.uint32, (E, L1, LF), 1)
+        flat = lax.broadcasted_iota(jnp.uint32, (E, L1, LF), 2)
         site = (row_g * jnp.uint32(L1) + x1) * jnp.uint32(LF) + flat
         k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
 
@@ -404,9 +414,9 @@ def _build_sharded_pair_kernel(
 
         if checkerboard:
             par = row_g.astype(jnp.int32) + lax.broadcasted_iota(
-                jnp.int32, (1, E, L1, LF), 2
+                jnp.int32, (E, L1, LF), 1
             )
-            rem = lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 3)
+            rem = lax.broadcasted_iota(jnp.int32, (E, L1, LF), 2)
             for k, n in enumerate(shape[2:]):
                 sd = strides[k]
                 par = par + (rem // jnp.int32(sd)) % jnp.int32(n)
@@ -414,20 +424,20 @@ def _build_sharded_pair_kernel(
 
         def roll0(x, shift):
             if shift == 1:
-                return jnp.concatenate([x[:, E - 1 :], x[:, : E - 1]], axis=1)
-            return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+                return jnp.concatenate([x[E - 1 :], x[: E - 1]], axis=0)
+            return jnp.concatenate([x[1:], x[:1]], axis=0)
 
         def roll_flat(x, lat_d, shift):
             sd = strides[lat_d - 2]
             nd = shape[lat_d]
-            main = pltpu.roll(x, (shift * sd) % LF, 3)
+            main = pltpu.roll(x, (shift * sd) % LF, 2)
             if sd * nd == LF:
                 return main
             coord = (
-                lax.broadcasted_iota(jnp.int32, (1, E, L1, LF), 3)
+                lax.broadcasted_iota(jnp.int32, (E, L1, LF), 2)
                 // jnp.int32(sd)
             ) % jnp.int32(nd)
-            fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 3)
+            fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 2)
             edge = coord == (0 if shift == 1 else nd - 1)
             return jnp.where(edge, fix, main)
 
@@ -435,7 +445,7 @@ def _build_sharded_pair_kernel(
             if lat_d == 0:
                 return roll0(x, shift)
             if lat_d == 1:
-                return pltpu.roll(x, shift % L1, 2)
+                return pltpu.roll(x, shift % L1, 1)
             return roll_flat(x, lat_d, shift)
 
         def laplacian(phi):
@@ -470,13 +480,13 @@ def _build_sharded_pair_kernel(
                 return newphi, jnp.maximum(absdet_e, absdet_o)
             return em_apply(phi, None, noise)
 
-        strip = lambda x: x[:, H : H + T0]
+        strip = lambda x: x[H : H + T0]
 
         def sum_all(x):
-            return jnp.sum(jnp.sum(x, axis=3))
+            return jnp.sum(x)
 
         def max_all(x):
-            return jnp.max(jnp.max(x, axis=3))
+            return jnp.max(x)
 
         def stats(phi_pre, phi_post, absdet, base):
             p = strip(phi_pre)
@@ -501,14 +511,20 @@ def _build_sharded_pair_kernel(
 
         inv_sl = f32(1.0 / (L1 * LF))
 
-        def slice_mean(x):
-            return jnp.sum(jnp.sum(x, axis=3), axis=2, keepdims=True) * inv_sl
 
-        sl0_ref[:] = slice_mean(strip(phi0))
-        sl1_ref[:] = slice_mean(strip(phi1))
+        # slice means land in SMEM as per-row scalars (a (1, T0, 1) VMEM
+        # tile violates Mosaic's 8/128 block rule, and lane-1 vector stores
+        # hit relayout limits); T0 is small, the unrolled loop is cheap
+        def store_slices(ref, x):
+            p = strip(x)
+            for r in range(T0):
+                ref[c, i * T0 + r] = jnp.sum(p[r]) * inv_sl
+
+        store_slices(sl0_ref, phi0)
+        store_slices(sl1_ref, phi1)
         stats(phi0, phi1, absdet0, 0)
         stats(phi1, phi2, absdet1, 5)
-        phio_ref[:] = strip(phi2)
+        phio_ref[0] = strip(phi2)
 
     return kernel
 
@@ -552,14 +568,16 @@ def _sharded_pair_call(
         (1, T0, L1, LF), lambda c, i, *_: (c, i, 0, 0), memory_space=pltpu.VMEM
     )
     dtau_spec = pl.BlockSpec((C, 1), lambda c, i, *_: (0, 0), memory_space=pltpu.SMEM)
-    sl = pl.BlockSpec((1, T0, 1), lambda c, i, *_: (c, i, 0), memory_space=pltpu.VMEM)
+    sl = pl.BlockSpec(
+        (C, L0_loc), lambda c, i, *_: (0, 0), memory_space=pltpu.SMEM
+    )
     stats = pl.BlockSpec(
         (C, nt, 16), lambda c, i, *_: (0, 0, 0), memory_space=pltpu.SMEM
     )
     out_shapes = (
         jax.ShapeDtypeStruct((C, L0_loc, L1, LF), jnp.float32),
-        jax.ShapeDtypeStruct((C, L0_loc, 1), jnp.float32),
-        jax.ShapeDtypeStruct((C, L0_loc, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0_loc), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0_loc), jnp.float32),
         jax.ShapeDtypeStruct((C, nt, 16), jnp.float32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -629,7 +647,7 @@ def make_sharded_pair_step(
         )
         ext_flat = ext.reshape((c_local, L0_loc + 2 * H, L1, LF))
         phi2, sl0, sl1, stats = call(scalars, ext_flat, dtau[:, None])
-        return phi2, sl0[..., 0], sl1[..., 0], stats
+        return phi2, sl0, sl1, stats
 
     return step, H
 
@@ -676,7 +694,6 @@ def field_frame_nd(
             phi2, sl0, sl1, stats = call(scalars, phi, dtau_col)
         else:
             phi2, sl0, sl1, stats = call(scalars, phi, phi, phi, dtau_col)
-        sl0, sl1 = sl0[..., 0], sl1[..., 0]
 
         def obs_step(vals, s_slice, st):
             ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals

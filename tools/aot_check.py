@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""AOT Mosaic-compile regression check for every fused kernel (no chip
+needed: compiles against a ``jax.experimental.topologies`` v5e target).
+
+Interpret-mode tests validate kernel *semantics* on CPU but skip Mosaic
+lowering entirely — r3 found two latent device-compile blockers that way
+(a (1, T0, 1) output tile violating the 8/128 block rule, and rank-4
+vectors with leading singletons tripping "invalid relayout" on
+reductions).  This script closes that gap: run it after touching any
+kernel.  Usage: ``JAX_PLATFORMS= python tools/aot_check.py [case ...]``.
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.tree as jt
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    from stochquant_tpu.actions import phi4 as phi4_mod
+    from stochquant_tpu.config import FieldConfig
+    from stochquant_tpu.integrators import field as field_mod
+
+    topo = topologies.get_topology_desc(
+        platform="tpu", topology_name="v5e:2x2",
+        chips_per_host_bounds=(2, 2, 1), num_slices=1,
+    )
+    devs = np.array(topo.devices)
+    act = phi4_mod.get_field("phi4")
+    one = Mesh(devs.reshape(4)[:1], ("d",))
+    repl = jax.sharding.NamedSharding(one, jax.sharding.PartitionSpec())
+
+    def abstract_of(proto, sharding=repl):
+        return jt.map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=sharding),
+            proto,
+        )
+
+    def sharded_abstract(cfg, mesh):
+        from stochquant_tpu.parallel.mesh import field_state_sharding
+
+        specs = field_state_sharding(mesh, cfg)
+        proto = jax.eval_shape(lambda: field_mod.init_field_state(cfg))
+        return jt.map(
+            lambda l, sp: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=sp),
+            proto, specs,
+        )
+
+    def case_field_whole():
+        cfg = FieldConfig(action="phi4", shape=(256, 256), n_chains=2,
+                          loops=4, seed=1)
+        from stochquant_tpu.kernels import field_kernel
+
+        ab = abstract_of(jax.eval_shape(lambda: field_mod.init_field_state(cfg)))
+        jax.jit(
+            lambda st: field_kernel.run_field_frames_pallas(st, act, cfg, 1)
+        ).lower(ab).compile()
+
+    def case_field_multiframe():
+        cfg = FieldConfig(action="phi4", shape=(64, 128), n_chains=2, loops=4,
+                          seed=1, frames_per_launch=3)
+        from stochquant_tpu.kernels import field_kernel
+
+        ab = abstract_of(jax.eval_shape(lambda: field_mod.init_field_state(cfg)))
+        jax.jit(
+            lambda st: field_kernel.run_field_frames_pallas(
+                st, act, cfg, 3, frames_per_launch=3
+            )
+        ).lower(ab).compile()
+
+    def case_tiled_2d():
+        cfg = FieldConfig(action="phi4", shape=(1024, 1024), n_chains=1,
+                          loops=4, seed=1)
+        from stochquant_tpu.kernels import field_kernel_tiled
+
+        ab = abstract_of(jax.eval_shape(lambda: field_mod.init_field_state(cfg)))
+        jax.jit(
+            lambda st: field_kernel_tiled.run_field_frames_tiled(st, act, cfg, 1)
+        ).lower(ab).compile()
+
+    def case_nd_unsharded():
+        cfg = FieldConfig(action="phi4", shape=(32, 32, 32, 32), n_chains=1,
+                          loops=4, seed=1)
+        from stochquant_tpu.kernels import field_kernel_nd
+
+        ab = abstract_of(jax.eval_shape(lambda: field_mod.init_field_state(cfg)))
+        jax.jit(
+            lambda st: field_kernel_nd.run_field_frames_nd(st, act, cfg, 1)
+        ).lower(ab).compile()
+
+    def case_nd_sharded():
+        from stochquant_tpu.parallel.halo import make_halo_runner
+
+        cfg = FieldConfig(action="phi4", shape=(32, 32, 32, 32), n_chains=2,
+                          loops=4, seed=1, mesh_axes=("x", None, None, None))
+        mesh = Mesh(devs.reshape(4), ("x",))
+        runner = make_halo_runner(act, cfg, mesh, backend="pallas",
+                                  interpret=False)
+        jax.jit(lambda st: runner(st, 1)).lower(
+            sharded_abstract(cfg, mesh)
+        ).compile()
+
+    def case_halo_step_2d():
+        from stochquant_tpu.parallel.halo import make_halo_runner
+
+        cfg = FieldConfig(action="phi4", shape=(256, 256), n_chains=2,
+                          loops=4, seed=1, mesh_axes=("x", "y"))
+        mesh = Mesh(devs.reshape(2, 2), ("x", "y"))
+        runner = make_halo_runner(act, cfg, mesh, backend="pallas",
+                                  interpret=False)
+        jax.jit(lambda st: runner(st, 1)).lower(
+            sharded_abstract(cfg, mesh)
+        ).compile()
+
+    def case_chain():
+        from stochquant_tpu import actions as actions_mod
+        from stochquant_tpu.config import ChainConfig
+        from stochquant_tpu.integrators import langevin
+        from stochquant_tpu.kernels import chain_kernel
+
+        cact = actions_mod.get("double_well")
+        for fpl in (1, 2):
+            ccfg = ChainConfig(action="double_well", n_sites=200, dt=0.02,
+                               dtau=2e-4, n_chains=256, loops=10, seed=1)
+            ab = abstract_of(
+                jax.eval_shape(lambda: langevin.init_chain_state(ccfg, cact))
+            )
+            jax.jit(
+                lambda st: chain_kernel.run_frames_pallas(
+                    st, cact, ccfg, 4, frames_per_launch=fpl
+                )
+            ).lower(ab).compile()
+
+    def case_gauge():
+        from stochquant_tpu.integrators import gauge as gauge_mod
+        from stochquant_tpu.integrators.gauge import GaugeConfig
+        from stochquant_tpu.kernels import gauge_kernel
+
+        for group, beta, dtau in (("u1", 1.0, 5e-3), ("su2", 2.0, 2e-3),
+                                  ("su3", 5.0, 1e-3)):
+            gcfg = GaugeConfig(group=group, beta=beta, shape=(16, 128),
+                               n_chains=2, dtau=dtau, loops=4, seed=1,
+                               grow_after=10**9)
+            gact = gauge_mod.resolve_gauge_action(gcfg)
+            proto = jax.eval_shape(
+                lambda: gauge_mod.init_gauge_state(gcfg, gact)
+            )
+            ab = abstract_of(proto)
+            jax.jit(
+                lambda st: gauge_kernel.run_gauge_frames_pallas(st, gact, gcfg, 1)
+            ).lower(ab).compile()
+
+    cases = {
+        "field_whole": case_field_whole,
+        "field_multiframe": case_field_multiframe,
+        "tiled_2d": case_tiled_2d,
+        "nd_unsharded": case_nd_unsharded,
+        "nd_sharded": case_nd_sharded,
+        "halo_step_2d": case_halo_step_2d,
+        "chain": case_chain,
+        "gauge": case_gauge,
+    }
+    wanted = sys.argv[1:] or list(cases)
+    failed = []
+    for name in wanted:
+        try:
+            cases[name]()
+            print(f"{name}: OK", flush=True)
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"{name}: FAIL {type(e).__name__}: {str(e)[:300]}", flush=True)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
