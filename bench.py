@@ -431,15 +431,25 @@ def worker() -> None:
         make_halo_runner(fact, hcfg, hmesh, backend="pallas_step",
                          interpret=not on_tpu)
     )
+    # r3: the chunk kernel (wide halo, W=8 per exchange) forced on the
+    # 1-way ring — the communication-avoiding alternative to 'pallas_step'
+    out_pair, halo_pair_mlups = time_halo(
+        make_halo_runner(fact, hcfg, hmesh, backend="pallas_pair",
+                         interpret=not on_tpu)
+    )
     out_hx, halo_xla_mlups = time_halo(
         make_halo_runner(fact, hcfg, hmesh, backend="xla")
     )
     halo_gate = float(
         np.max(np.abs(np.asarray(out_step.phi) - np.asarray(out_hx.phi)))
     )
+    halo_pair_gate = float(
+        np.max(np.abs(np.asarray(out_pair.phi) - np.asarray(out_hx.phi)))
+    )
     log(f"halo composition: frame {halo_frame_mlups:.0f} / step "
-        f"{halo_step_mlups:.0f} / xla {halo_xla_mlups:.0f} MLUPS, "
-        f"step-vs-xla gate {halo_gate:.2e}")
+        f"{halo_step_mlups:.0f} / pair {halo_pair_mlups:.0f} / xla "
+        f"{halo_xla_mlups:.0f} MLUPS, step-vs-xla gate {halo_gate:.2e}, "
+        f"pair-vs-xla gate {halo_pair_gate:.2e}")
 
     # --- multi-frame chain kernel (VERDICT r2 item 7): config-2 chain count,
     # epilogue in-kernel, K=8 frames per launch.
@@ -494,6 +504,7 @@ def worker() -> None:
         "nd4d_xla_mlups": round(nd_x, 1),
         "halo_pallas_frame_mlups": round(halo_frame_mlups, 1),
         "halo_pallas_step_mlups": round(halo_step_mlups, 1),
+        "halo_pallas_pair_mlups": round(halo_pair_mlups, 1),
         "halo_xla_mlups": round(halo_xla_mlups, 1),
         "config2_multiframe_k8_mlups": round(mf_mlups, 1),
         "kernel_equals_xla_on_device": kernel_equals_xla
@@ -502,7 +513,7 @@ def worker() -> None:
         "kernel_vs_xla_max_abs_diff": {
             "chain": chain_gate, "field": field_gate, "gauge": gauge_gate,
             "su2": su2_gate, "su3": su3_gate, "nd4d": nd_gate,
-            "halo_step_vs_xla": halo_gate,
+            "halo_step_vs_xla": halo_gate, "halo_pair_vs_xla": halo_pair_gate,
         },
         "stable_fraction": stable,
     }))

@@ -188,6 +188,14 @@ class FieldConfig:
     #: kernel (lattices too large for one VMEM-resident program).  None =
     #: whole-lattice-in-VMEM kernel.
     tile_rows: Optional[int] = None
+    #: Composed halo kernels (dim-0-split lattices): micro-steps advanced
+    #: per halo exchange (the wide-halo / communication-avoiding knob, W).
+    #: The kernel recomputes an H = W-deep (2W checkerboard; 8-aligned for
+    #: 2-D) halo trapezoidally, so larger W trades redundant edge compute
+    #: for W x fewer exchanges and launches with NO semantics change
+    #: (per-step detector stats still come out of the kernel).  None =
+    #: 2 for D >= 3, 8 for 2-D.  Must be even.
+    exchange_steps: Optional[int] = None
 
     @property
     def ndim(self) -> int:

@@ -54,7 +54,8 @@ __all__ = [
     "run_field_frames_nd",
     "field_frame_nd",
     "default_tile_rows",
-    "make_sharded_pair_step",
+    "default_exchange_steps",
+    "make_sharded_chunk_step",
     "sharded_tile_rows",
 ]
 
@@ -337,23 +338,57 @@ def _pair_call(action: FieldAction, cfg: FieldConfig, T0: int, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
-# Sharded pair kernel: the D-dim analog of the 2-D halo composition
-# (kernels/field_halo_kernel.py), built on this module's trapezoidal halo
-# recompute instead of an XLA edge fixup.  Per micro-step PAIR the runner
-# ring-``ppermute``s an H-slab dim-0 halo (H = stencil applications per pair)
-# from the neighbour shards, and the kernel recomputes the halo slabs
-# redundantly — because the noise is keyed by *global* (chain, site, step)
-# Threefry counters, the recomputed halo sites take exactly the values the
-# owning shard computes, so per-site trajectories are bitwise equal to the
-# unsharded kernel BY CONSTRUCTION (no operand-order fixup needed; the
-# communication-avoiding "wide halo" scheme, ROADMAP r3 perf item).  Strips
-# are DMA'd from the HBM-resident extended slab, so no block-alignment
-# constraint ties T0 to H.
+# Sharded chunk kernel: the wide-halo (communication-avoiding) composition
+# for dim-0-split lattices, D >= 2 (kernels/field_halo_kernel.py is the 2-D
+# per-micro-step alternative with an XLA edge fixup).  Per W micro-steps the
+# runner ring-``ppermute``s an H-slab dim-0 halo (H = stencil applications
+# per chunk) from the neighbour shards, and ONE kernel launch advances the
+# whole chunk, recomputing the halo slabs trapezoidally — because the noise
+# is keyed by *global* (chain, site, step) Threefry counters, the recomputed
+# halo sites take exactly the values the owning shard computes, so per-site
+# trajectories are bitwise equal to the unsharded kernel BY CONSTRUCTION (no
+# fixup), communication drops to one exchange per W steps, and the per-step
+# detector/observable stats still come out of the kernel (no semantics
+# change).  Strips are DMA'd from the HBM-resident extended slab; for 2-D
+# the sliced dim is the sublane dim, so T0 and H are 8-aligned there.
 # ---------------------------------------------------------------------------
 
 
-def _build_sharded_pair_kernel(
-    action: FieldAction, cfg: FieldConfig, T0: int, H: int, L0_loc: int
+def _chunk_halo_rows(cfg: FieldConfig, W: int) -> int:
+    """Halo rows per side for a W-step chunk: W stencil applications (2W
+    for checkerboard half-sweeps), padded to a multiple of 8 for 2-D (the
+    ext-slab DMA slices the sublane dim there, which Mosaic requires
+    8-aligned; extra rows are recomputed harmlessly)."""
+    h = W * (2 if cfg.sweep == Sweep.CHECKERBOARD else 1)
+    if cfg.ndim == 2:
+        h = (h + 7) // 8 * 8
+    return h
+
+
+def default_exchange_steps(cfg: FieldConfig) -> int:
+    """Micro-steps per halo exchange (W).  2-D pads the halo to 8 rows for
+    DMA alignment anyway — advance 8 steps on it; D >= 3 slab halos are a
+    tiny surface fraction, keep the latency low with W = 2."""
+    return 8 if cfg.ndim == 2 else 2
+
+
+def sharded_tile_rows(cfg: FieldConfig, L0_loc: int, W: int):
+    """Largest dim-0 tile of the local slab whose extended strip fits the
+    per-chain VMEM budget (2-D: 8-aligned tiles, see _chunk_halo_rows)."""
+    slab = int(np.prod(cfg.shape[1:])) * 4
+    H = _chunk_halo_rows(cfg, W)
+    step = 8 if cfg.ndim == 2 else 1
+    best = None
+    for t in range(step, L0_loc + 1, step):
+        if L0_loc % t:
+            continue
+        if (t + 2 * H) * slab <= _STRIP_BUDGET_BYTES:
+            best = t
+    return best
+
+
+def _build_sharded_chunk_kernel(
+    action: FieldAction, cfg: FieldConfig, T0: int, W: int, H: int, L0_loc: int
 ):
     shape = tuple(cfg.shape)  # GLOBAL lattice shape (RNG counters, wrap)
     D = len(shape)
@@ -376,9 +411,9 @@ def _build_sharded_pair_kernel(
 
     def kernel(
         scalars_ref,  # SMEM (4,): seed, step_base, chain_off, row_off (uint32)
-        ext_ref,      # ANY (HBM): (C, L0_loc + 2H, L1, LF) halo-extended slab
+        ext_ref,      # ANY (HBM): (C, L0_loc + 2H, *lat_tail) extended slab
         dtau_ref,
-        phio_ref, sl0_ref, sl1_ref, stats_ref,
+        phio_ref, sl_ref, stats_ref,
         strip_ref, sem_ref,
     ):
         c = pl.program_id(0)
@@ -389,24 +424,32 @@ def _build_sharded_pair_kernel(
         row_off = scalars_ref[3]  # global row of local row 0
 
         # one contiguous DMA: this strip's extended rows (ext row i*T0 is
-        # local row i*T0 − H, i.e. the strip's upper halo)
+        # local row i*T0 - H, i.e. the strip's upper halo).  For 2-D the
+        # sliced dim is the sublane dim: i*T0 and E are 8-aligned by
+        # construction (T0 % 8 == 0, H % 8 == 0).
         dma = pltpu.make_async_copy(
             ext_ref.at[pl.ds(c, 1), pl.ds(i * T0, E)], strip_ref, sem_ref
         )
         dma.start()
         dma.wait()
-        # rank-3 math (E, L1, LF) — see _build_pair_kernel's layout note
+        # rank-3 (E, L1, LF) / rank-2 (E, L1) math — rank-4 vectors with
+        # leading singletons trip Mosaic relayout limits
         phi0 = strip_ref[0]
+        blk = (E, L1) if D == 2 else (E, L1, LF)
 
-        # global row ids: local row (i*T0 − H + r) + row_off, wrapped mod L0g
-        # (+L0g first: uint arithmetic, the −H underflow must stay positive)
-        r_loc = lax.broadcasted_iota(jnp.uint32, (E, L1, LF), 0)
+        # global row ids: local row (i*T0 - H + r) + row_off, wrapped mod
+        # L0g (+L0g first: uint arithmetic, the -H underflow must stay
+        # positive)
+        r_loc = lax.broadcasted_iota(jnp.uint32, blk, 0)
         row_g = (
             row_off + jnp.uint32(L0g + i * T0 - H) + r_loc
         ) % jnp.uint32(L0g)
-        x1 = lax.broadcasted_iota(jnp.uint32, (E, L1, LF), 1)
-        flat = lax.broadcasted_iota(jnp.uint32, (E, L1, LF), 2)
-        site = (row_g * jnp.uint32(L1) + x1) * jnp.uint32(LF) + flat
+        x1 = lax.broadcasted_iota(jnp.uint32, blk, 1)
+        if D == 2:
+            site = row_g * jnp.uint32(L1) + x1
+        else:
+            flat = lax.broadcasted_iota(jnp.uint32, blk, 2)
+            site = (row_g * jnp.uint32(L1) + x1) * jnp.uint32(LF) + flat
         k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
 
         dtau = dtau_ref[c, 0]
@@ -414,12 +457,13 @@ def _build_sharded_pair_kernel(
 
         if checkerboard:
             par = row_g.astype(jnp.int32) + lax.broadcasted_iota(
-                jnp.int32, (E, L1, LF), 1
+                jnp.int32, blk, 1
             )
-            rem = lax.broadcasted_iota(jnp.int32, (E, L1, LF), 2)
-            for k, n in enumerate(shape[2:]):
-                sd = strides[k]
-                par = par + (rem // jnp.int32(sd)) % jnp.int32(n)
+            if D > 2:
+                rem = lax.broadcasted_iota(jnp.int32, blk, 2)
+                for k, n in enumerate(shape[2:]):
+                    sd = strides[k]
+                    par = par + (rem // jnp.int32(sd)) % jnp.int32(n)
             even = par % 2 == 0
 
         def roll0(x, shift):
@@ -434,7 +478,7 @@ def _build_sharded_pair_kernel(
             if sd * nd == LF:
                 return main
             coord = (
-                lax.broadcasted_iota(jnp.int32, (E, L1, LF), 2)
+                lax.broadcasted_iota(jnp.int32, blk, 2)
                 // jnp.int32(sd)
             ) % jnp.int32(nd)
             fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 2)
@@ -488,7 +532,22 @@ def _build_sharded_pair_kernel(
         def max_all(x):
             return jnp.max(x)
 
-        def stats(phi_pre, phi_post, absdet, base):
+        inv_sl = f32(1.0 / (L1 * LF))
+
+        def store_slices(w, x):
+            p = strip(x)
+            if D == 2:
+                # lane-keepdims reduction + 8-aligned sublane store (the 2-D
+                # whole-lattice kernel's proven op shapes)
+                sl_ref[0, w, pl.ds(i * T0, T0)] = (
+                    jnp.sum(p, axis=1, keepdims=True) * inv_sl
+                )
+            else:
+                for r in range(T0):
+                    sl_ref[c, w, i * T0 + r] = jnp.sum(p[r : r + 1]) * inv_sl
+
+        def stats(phi_pre, phi_post, absdet, w):
+            base = 5 * w
             p = strip(phi_pre)
             stats_ref[c, i, base + 0] = sum_all(p)
             stats_ref[c, i, base + 1] = sum_all(p * p)
@@ -496,63 +555,42 @@ def _build_sharded_pair_kernel(
             stats_ref[c, i, base + 3] = max_all(strip(absdet))
             stats_ref[c, i, base + 4] = max_all(jnp.abs(strip(phi_post)))
 
-        b0, b1 = rng.threefry2x32(
-            seed, k1, site, step0, rng.rounds_of(cfg.rng_impl)
-        )
-        u1 = rng.uniform_from_bits(b0)
-        u2 = rng.uniform_from_bits(b1)
-        rr = jnp.sqrt(f32(-2.0) * jnp.log(u1))
-        th = f32(rng._TWO_PI) * u2
-        z0 = rr * jnp.cos(th)
-        z1 = rr * jnp.sin(th)
+        phi = phi0
+        for w in range(W // 2):
+            step = step0 + jnp.uint32(2 * w)
+            b0, b1 = rng.threefry2x32(
+                seed, k1, site, step, rng.rounds_of(cfg.rng_impl)
+            )
+            u1 = rng.uniform_from_bits(b0)
+            u2 = rng.uniform_from_bits(b1)
+            rr = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+            th = f32(rng._TWO_PI) * u2
+            z0 = rr * jnp.cos(th)
+            z1 = rr * jnp.sin(th)
 
-        phi1, absdet0 = micro(phi0, namp * z0)
-        phi2, absdet1 = micro(phi1, namp * z1)
-
-        inv_sl = f32(1.0 / (L1 * LF))
-
-
-        # slice means land in SMEM as per-row scalars (a (1, T0, 1) VMEM
-        # tile violates Mosaic's 8/128 block rule, and lane-1 vector stores
-        # hit relayout limits); T0 is small, the unrolled loop is cheap
-        def store_slices(ref, x):
-            p = strip(x)
-            for r in range(T0):
-                ref[c, i * T0 + r] = jnp.sum(p[r]) * inv_sl
-
-        store_slices(sl0_ref, phi0)
-        store_slices(sl1_ref, phi1)
-        stats(phi0, phi1, absdet0, 0)
-        stats(phi1, phi2, absdet1, 5)
-        phio_ref[0] = strip(phi2)
+            phi1, absdet0 = micro(phi, namp * z0)
+            phi2, absdet1 = micro(phi1, namp * z1)
+            store_slices(2 * w, phi)
+            store_slices(2 * w + 1, phi1)
+            stats(phi, phi1, absdet0, 2 * w)
+            stats(phi1, phi2, absdet1, 2 * w + 1)
+            phi = phi2
+        phio_ref[0] = strip(phi)
 
     return kernel
 
 
-def sharded_tile_rows(cfg: FieldConfig, L0_loc: int) -> int:
-    """Largest dim-0 tile of the local slab whose extended strip fits the
-    per-chain VMEM budget (DMA'd strips: no H-divisibility constraint)."""
-    slab = int(np.prod(cfg.shape[1:])) * 4
-    H = _halo_depth(cfg)
-    best = None
-    for t in range(1, L0_loc + 1):
-        if L0_loc % t:
-            continue
-        if (t + 2 * H) * slab <= _STRIP_BUDGET_BYTES:
-            best = t
-    return best or 1
-
-
 @functools.lru_cache(maxsize=64)
-def _sharded_pair_call(
+def _sharded_chunk_call(
     action: FieldAction,
     cfg: FieldConfig,
     c_local: int,
     L0_loc: int,
     T0: int,
+    W: int,
     interpret: bool,
 ):
-    H = _halo_depth(cfg)
+    H = _chunk_halo_rows(cfg, W)
     shape = tuple(cfg.shape)
     L1 = shape[1]
     LF = int(np.prod(shape[2:]))
@@ -561,32 +599,43 @@ def _sharded_pair_call(
         raise ValueError(f"tile_rows={T0} must divide the local slab {L0_loc}")
     nt = L0_loc // T0
     E = T0 + 2 * H
-    kernel = _build_sharded_pair_kernel(action, cfg, T0, H, L0_loc)
+    kernel = _build_sharded_chunk_kernel(action, cfg, T0, W, H, L0_loc)
 
     ext = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; strips DMA'd
+    lat_tail = (L1,) if len(shape) == 2 else (L1, LF)
+    zeros = (0,) * len(lat_tail)
     lat_o = pl.BlockSpec(
-        (1, T0, L1, LF), lambda c, i, *_: (c, i, 0, 0), memory_space=pltpu.VMEM
+        (1, T0) + lat_tail,
+        lambda c, i, *_: (c, i) + zeros,
+        memory_space=pltpu.VMEM,
     )
     dtau_spec = pl.BlockSpec((C, 1), lambda c, i, *_: (0, 0), memory_space=pltpu.SMEM)
-    sl = pl.BlockSpec(
-        (C, L0_loc), lambda c, i, *_: (0, 0), memory_space=pltpu.SMEM
-    )
+    if len(shape) == 2:
+        sl = pl.BlockSpec(
+            (1, W, L0_loc, 1), lambda c, i, *_: (c, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        sl_shape = jax.ShapeDtypeStruct((C, W, L0_loc, 1), jnp.float32)
+    else:
+        sl = pl.BlockSpec(
+            (C, W, L0_loc), lambda c, i, *_: (0, 0, 0), memory_space=pltpu.SMEM
+        )
+        sl_shape = jax.ShapeDtypeStruct((C, W, L0_loc), jnp.float32)
     stats = pl.BlockSpec(
-        (C, nt, 16), lambda c, i, *_: (0, 0, 0), memory_space=pltpu.SMEM
+        (C, nt, 5 * W), lambda c, i, *_: (0, 0, 0), memory_space=pltpu.SMEM
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((C, L0_loc, L1, LF), jnp.float32),
-        jax.ShapeDtypeStruct((C, L0_loc), jnp.float32),
-        jax.ShapeDtypeStruct((C, L0_loc), jnp.float32),
-        jax.ShapeDtypeStruct((C, nt, 16), jnp.float32),
+        jax.ShapeDtypeStruct((C, L0_loc) + lat_tail, jnp.float32),
+        sl_shape,
+        jax.ShapeDtypeStruct((C, nt, 5 * W), jnp.float32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C, nt),
         in_specs=[ext, dtau_spec],
-        out_specs=(lat_o, sl, sl, stats),
+        out_specs=(lat_o, sl, stats),
         scratch_shapes=[
-            pltpu.VMEM((1, E, L1, LF), jnp.float32),
+            pltpu.VMEM((1, E) + lat_tail, jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -602,52 +651,66 @@ def _sharded_pair_call(
     )
 
 
-def make_sharded_pair_step(
+def make_sharded_chunk_step(
     action: FieldAction,
     cfg: FieldConfig,
     c_local: int,
     L0_loc: int,
+    W: int,
     *,
     tile_rows=None,
     interpret: bool = False,
 ):
-    """Returns ``step(ext, dtau, pair_base, (chain_off, row_off)) ->
-    (phi2, sl0, sl1, stats)`` advancing one micro-step pair on the local
-    dim-0 slab.
+    """Returns ``(step, H)`` where ``step(ext, dtau, step_base, (chain_off,
+    row_off)) -> (phi_out, slices (C, W, L0_loc), stats (C, nt, 5W))``
+    advances W micro-steps on the local dim-0 slab in one launch (D >= 2;
+    2-D runs the rank-2 layout with 8-aligned tiles).
 
     ``ext`` is the halo-extended slab ``concat([up_halo, phi_local,
-    down_halo], axis=1)`` with H = 2 (sync) / 4 (checkerboard) rows per side,
-    flattened to ``(C, L0_loc + 2H, L1, Π dims≥2)``; ``row_off`` is the
-    shard's global dim-0 origin (the RNG counters and the checkerboard
-    parity use *global* coordinates, so the recomputed halo sites reproduce
-    the owning shard's values exactly).
-    """
-    if cfg.loops % 2:
-        raise ValueError("the sharded D-dim kernel needs an even loops count")
+    down_halo], axis=1)`` with H = _chunk_halo_rows(cfg, W) rows per side;
+    ``row_off`` is the shard's global dim-0 origin (the RNG counters and
+    checkerboard parity use *global* coordinates, so the recomputed halo
+    sites reproduce the owning shard's values exactly)."""
+    if W % 2 or W < 2:
+        raise ValueError("the chunk kernel advances an even number of steps")
     if not rng.counter_based(cfg.rng_impl):
         raise ValueError(
-            "the sharded D-dim kernel requires counter-based noise "
+            "the sharded chunk kernel requires counter-based noise "
             "(halo slabs are recomputed redundantly) — rng_impl='threefry'"
         )
-    if L0_loc < _halo_depth(cfg):
+    H = _chunk_halo_rows(cfg, W)
+    if L0_loc < H:
         raise ValueError(
             f"local dim-0 slab ({L0_loc} rows) is thinner than the halo "
-            f"depth {_halo_depth(cfg)}; use fewer shards along dim 0"
+            f"depth {H}; use fewer shards along dim 0 or a smaller "
+            "exchange_steps"
         )
-    T0 = tile_rows or sharded_tile_rows(cfg, L0_loc)
-    call = _sharded_pair_call(action, cfg, c_local, L0_loc, T0, interpret)
-    H = _halo_depth(cfg)
+    if cfg.ndim == 2 and L0_loc % 8:
+        raise ValueError(
+            "2-D chunk kernel: the local dim-0 slab must be a multiple of 8 "
+            "rows (Mosaic sublane alignment for the ext-slab DMA)"
+        )
+    T0 = tile_rows or sharded_tile_rows(cfg, L0_loc, W)
+    if T0 is None:
+        raise ValueError(
+            "no admissible dim-0 tile fits the VMEM strip budget for this "
+            "lattice; use backend='xla'"
+        )
+    call = _sharded_chunk_call(action, cfg, c_local, L0_loc, T0, W, interpret)
     L1 = cfg.shape[1]
     LF = int(np.prod(cfg.shape[2:]))
+    tail = (L1,) if cfg.ndim == 2 else (L1, LF)
 
-    def step(ext, dtau, pair_base, offs):
+    def step(ext, dtau, step_base, offs):
         u32 = lambda v: jnp.asarray(v, jnp.uint32)
         scalars = jnp.stack(
-            [u32(cfg.seed), u32(pair_base), u32(offs[0]), u32(offs[1])]
+            [u32(cfg.seed), u32(step_base), u32(offs[0]), u32(offs[1])]
         )
-        ext_flat = ext.reshape((c_local, L0_loc + 2 * H, L1, LF))
-        phi2, sl0, sl1, stats = call(scalars, ext_flat, dtau[:, None])
-        return phi2, sl0, sl1, stats
+        ext_flat = ext.reshape((c_local, L0_loc + 2 * H) + tail)
+        phi_out, sl, stats = call(scalars, ext_flat, dtau[:, None])
+        if cfg.ndim == 2:
+            sl = sl[..., 0]
+        return phi_out, sl, stats
 
     return step, H
 

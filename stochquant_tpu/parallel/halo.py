@@ -97,11 +97,17 @@ def make_halo_runner(
                       noise).
       'pallas_step' — force the per-micro-step kernel even when the lattice
                       is unsharded (benchmarking the composition overhead).
+      'pallas_pair' — the D >= 2 pair kernel on a dim-0-only split:
+                      ring-exchange an H-slab halo per micro-step PAIR and
+                      recompute the halo slabs trapezoidally in-kernel
+                      (half the exchanges/launches of 'pallas_step'; the
+                      default composition for split D >= 3 lattices, opt-in
+                      for 2-D).
     interpret: run the Pallas kernels in interpret mode (CPU tests).
     """
     if cfg.mesh_axes is None:
         raise ValueError("cfg.mesh_axes required for the halo runner")
-    if backend not in ("xla", "pallas", "pallas_step"):
+    if backend not in ("xla", "pallas", "pallas_step", "pallas_pair"):
         raise ValueError(f"unknown halo backend {backend!r}")
     ndim = cfg.ndim
     shape = tuple(cfg.shape)
@@ -132,6 +138,23 @@ def make_halo_runner(
     # ('pallas_nd' — noise keyed by global counters makes the recomputed halo
     # sites bitwise equal to the owning shard's, no fixup needed).
     sharded_dims = tuple(bool(ax) and axis_sizes[ax] > 1 for ax in lat_axes_spec)
+    if backend == "pallas_pair":
+        # explicit request for the chunk kernel (communication-avoiding
+        # wide-halo scheme) — available for dim-0-only splits at any D >= 2;
+        # for 2-D it is the alternative to the per-step fixup path.  A
+        # 1-way dim-0 "split" is allowed (ring of one — benchmarking the
+        # chunk kernel on a single chip).
+        if any(sharded_dims[1:]):
+            raise ValueError(
+                "backend='pallas_pair' requires a lattice split on dim 0 "
+                "only (+ optional chain axis)"
+            )
+        if not lat_axes_spec[0]:
+            raise ValueError(
+                "backend='pallas_pair' needs cfg.mesh_axes[0] set (the "
+                "dim-0 ring axis)"
+            )
+        backend = "pallas_nd"
     if backend == "pallas":
         if not any(sharded_dims):
             backend = "pallas_frame"
@@ -323,9 +346,23 @@ def make_halo_runner(
     elif backend == "pallas_nd":
         from stochquant_tpu.kernels import field_kernel_nd as fknd
 
-        kstep_nd, H_nd = fknd.make_sharded_pair_step(
-            action, cfg, c_local, local_shape[0], interpret=interpret
+        if cfg.loops % 2:
+            raise ValueError("the composed chunk kernel needs an even cfg.loops")
+        W_cfg = cfg.exchange_steps or fknd.default_exchange_steps(cfg)
+        if W_cfg % 2 or W_cfg < 2:
+            raise ValueError("cfg.exchange_steps must be even and >= 2")
+        W_main = min(W_cfg, cfg.loops)
+        n_chunks = cfg.loops // W_main
+        W_tail = cfg.loops - n_chunks * W_main
+        kstep_main, H_main = fknd.make_sharded_chunk_step(
+            action, cfg, c_local, local_shape[0], W_main, interpret=interpret
         )
+        kstep_tail = H_tail = None
+        if W_tail:
+            kstep_tail, H_tail = fknd.make_sharded_chunk_step(
+                action, cfg, c_local, local_shape[0], W_tail,
+                interpret=interpret,
+            )
     elif backend == "pallas_frame":
         import dataclasses
 
@@ -633,25 +670,26 @@ def make_halo_runner(
                 mag_s[:, 0], phi2_s[:, 0], act_loc, slice_s[:, :, 0],
             )
 
-        # ------------- D-dim pair kernel (backend='pallas_nd') --------------
-        # kernels/field_kernel_nd.make_sharded_pair_step: ring-exchange an
-        # H-slab dim-0 halo per micro-step PAIR, then the kernel recomputes
-        # the halo slabs trapezoidally — global-counter noise makes the
-        # recomputed sites bitwise equal to the owning shard's values, so
-        # there is no fixup and communication is one exchange per TWO steps
-        # (the communication-avoiding wide-halo scheme).  Per-step detector
-        # stats come out of the kernel; the trip/keep gating below matches
+        # --------- D >= 2 chunk kernel (backend='pallas_nd') ----------------
+        # kernels/field_kernel_nd.make_sharded_chunk_step: ring-exchange an
+        # H-slab dim-0 halo once per W micro-steps, then ONE kernel launch
+        # advances the whole chunk, recomputing the halo slabs trapezoidally
+        # — global-counter noise makes the recomputed sites bitwise equal to
+        # the owning shard's values, so there is no fixup and communication
+        # drops to one exchange per W steps (the communication-avoiding
+        # wide-halo scheme, cfg.exchange_steps).  Per-step detector stats
+        # come out of the kernel; the trip/keep gating below matches
         # field_kernel_nd.field_frame_nd exactly (phi evolves un-frozen
         # within a tripped frame — unobservable, the frame epilogue rolls
         # rejected frames back to the frame-start state).
 
-        def pair_step_nd(carry, _):
+        def chunk_step_nd(carry, kstep, Hx, Wx):
             phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step = carry
             ax0 = lat_axes_spec[0]
             n0 = axis_sizes[ax0]
-            first = lax.slice_in_dim(phi, 0, H_nd, axis=1)
+            first = lax.slice_in_dim(phi, 0, Hx, axis=1)
             last = lax.slice_in_dim(
-                phi, phi.shape[1] - H_nd, phi.shape[1], axis=1
+                phi, phi.shape[1] - Hx, phi.shape[1], axis=1
             )
             # my down halo = first H rows of my +1 ring neighbour; my up
             # halo = last H rows of my −1 neighbour (periodic global dim 0)
@@ -662,7 +700,7 @@ def make_halo_runner(
                 last, ax0, [((i - 1) % n0, i) for i in range(n0)]
             )
             ext = jnp.concatenate([up_halo, phi, down_halo], axis=1)
-            phi2_arr, sl0, sl1, stats = kstep_nd(
+            phi2_arr, sl, stats = kstep(
                 ext, state.dtau, step, (ch_off, lat_off[0])
             )
 
@@ -697,17 +735,17 @@ def make_halo_runner(
                 return (ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg)
 
             vals = (ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg)
-            vals = obs_step(vals, sl0, stats[:, :, :5])
-            vals = obs_step(vals, sl1, stats[:, :, 5:10])
+            for w in range(Wx):
+                vals = obs_step(vals, sl[:, w], stats[:, :, 5 * w : 5 * w + 5])
             ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
             phi = phi2_arr.reshape((c_local,) + local_shape)
             return (
-                phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step + 2
-            ), None
+                phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg,
+                step + Wx,
+            )
 
         if backend == "pallas_nd":
-            pair_step = pair_step_nd
-            odd_tail = None  # loops even, validated by make_sharded_pair_step
+            pair_step = odd_tail = None  # chunk scan below
         elif backend == "pallas_step":
             def pair_step(carry, _):
                 pair_base = carry[-1]
@@ -733,9 +771,19 @@ def make_halo_runner(
             state.phi, zc, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
             jnp.zeros((c_local,), bool), state.lrg_vl, state.step,
         )
-        carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
-        if cfg.loops % 2:
-            carry = odd_tail(carry)
+        if backend == "pallas_nd":
+            carry, _ = lax.scan(
+                lambda cr, _: (
+                    chunk_step_nd(cr, kstep_main, H_main, W_main), None
+                ),
+                init, None, length=n_chunks,
+            )
+            if kstep_tail is not None:
+                carry = chunk_step_nd(carry, kstep_tail, H_tail, W_tail)
+        else:
+            carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
+            if cfg.loops % 2:
+                carry = odd_tail(carry)
         phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step_end = carry
 
         accept = ~unstable

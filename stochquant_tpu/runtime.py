@@ -511,12 +511,12 @@ def select_field_backend(
     if use_halo:
         # explicit kernel request on the halo runner: 'pallas'/'pallas_step'
         # are handled by make_halo_runner (which validates dim/dtype/rng)
-        if backend in ("pallas", "pallas_step"):
+        if backend in ("pallas", "pallas_step", "pallas_pair"):
             return backend
         raise ValueError(
             f"field backend {backend!r} is not available under the halo "
-            "runner (mesh + cfg.mesh_axes); use 'pallas', 'pallas_step' or "
-            "'xla'"
+            "runner (mesh + cfg.mesh_axes); use 'pallas', 'pallas_step', "
+            "'pallas_pair' or 'xla'"
         )
     if backend not in ("pallas", "pallas_tiled", "pallas_nd"):
         raise ValueError(f"unknown field backend {backend!r}")

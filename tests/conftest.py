@@ -25,9 +25,15 @@ jax.config.update("jax_threefry_partitionable", True)
 # its own dtypes explicitly (cfg.dtype), so this only affects test math.
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: makes reruns near-instant.
+# Persistent compile cache: makes reruns near-instant.  NOTE: a cache dir
+# of its own — bench.py's TPU-tunnel runs share their process with a remote
+# compile service that can deposit artifacts compiled for the *service's*
+# CPU into the cache; loading those locally is at best a warning storm and
+# at worst silently wrong results (observed in r3: a cross-machine AOT
+# entry perturbed a bitwise test).  Keep the CPU test cache separate.
 _CACHE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu",
 )
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -353,3 +353,48 @@ def test_halo_pallas_frame_nd_chain_dp_matches_unsharded_kernel():
     )
     for name, a, b in zip(ref._fields, ref, out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+@pytest.mark.parametrize("sweep_cb", [False, True])
+def test_halo_pallas_pair_2d_matches_unsharded(sweep_cb):
+    """2-D dim-0-only splits through the pair kernel (backend='pallas_pair',
+    the communication-halving H-slab scheme): trajectory and trip decisions
+    bitwise vs the unsharded integrator, observables to float tolerance."""
+    from stochquant_tpu.config import Sweep
+
+    # 2-D chunk kernel constraints: local slab a multiple of 8 rows and
+    # >= the 8-aligned halo depth (H = 8 sync / 16 checkerboard at W = 8)
+    cfg = FieldConfig(
+        action="phi4", shape=(32, 128), dtau=0.01, n_chains=4, loops=10,
+        seed=77, mesh_axes=("x", None), mesh_chain_axis="chain",
+        sweep=Sweep.CHECKERBOARD if sweep_cb else Sweep.SYNC,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    ref, mref = field.run_field_frames(s0, act, cfg, 3)
+    mesh = make_mesh([("chain", 2), ("x", 2)])
+    s0_sh = shard_field_state(s0, mesh, cfg)
+    out, mout = make_halo_runner(
+        act, cfg, mesh, backend="pallas_pair", interpret=True
+    )(s0_sh, 3)
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    np.testing.assert_array_equal(
+        np.asarray(mref["stable"]), np.asarray(mout["stable"])
+    )
+    for name in ["mag_mean", "mag2_mean", "phi2_mean", "act_mean"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out, name)),
+            rtol=1e-5, atol=1e-7, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.corr_mean), np.asarray(out.corr_mean), rtol=1e-4,
+        atol=1e-6,
+    )
+
+
+def test_halo_pallas_pair_validation():
+    act = phi4.get_field("phi4")
+    mesh = make_mesh([("x", 2), ("y", 2)])
+    bad = FieldConfig(action="phi4", shape=(16, 16), mesh_axes=("x", "y"))
+    with pytest.raises(ValueError, match="dim 0"):
+        make_halo_runner(act, bad, mesh, backend="pallas_pair")

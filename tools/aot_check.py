@@ -116,6 +116,18 @@ def main():
             sharded_abstract(cfg, mesh)
         ).compile()
 
+    def case_halo_pair_2d():
+        from stochquant_tpu.parallel.halo import make_halo_runner
+
+        cfg = FieldConfig(action="phi4", shape=(256, 256), n_chains=2,
+                          loops=4, seed=1, mesh_axes=("x", None))
+        mesh = Mesh(devs.reshape(4), ("x",))
+        runner = make_halo_runner(act, cfg, mesh, backend="pallas_pair",
+                                  interpret=False)
+        jax.jit(lambda st: runner(st, 1)).lower(
+            sharded_abstract(cfg, mesh)
+        ).compile()
+
     def case_chain():
         from stochquant_tpu import actions as actions_mod
         from stochquant_tpu.config import ChainConfig
@@ -161,6 +173,7 @@ def main():
         "nd_unsharded": case_nd_unsharded,
         "nd_sharded": case_nd_sharded,
         "halo_step_2d": case_halo_step_2d,
+        "halo_pair_2d": case_halo_pair_2d,
         "chain": case_chain,
         "gauge": case_gauge,
     }
