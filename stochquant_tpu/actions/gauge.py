@@ -41,6 +41,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -392,8 +393,17 @@ class SU2Wilson(GaugeAction):
 
 
 def mmul(a, b):
-    """Batched 3×3 matrix product on the trailing axes."""
-    return jnp.einsum("...ab,...bc->...ac", a, b)
+    """Batched 3×3 matrix product on the trailing axes.
+
+    precision=HIGHEST: on TPU, XLA's *default* matmul precision computes
+    f32 (and the f32 halves of complex64) contractions with bf16 passes —
+    ~1e-3-grade relative error that broke the su3 kernel-vs-XLA gate on
+    device (r3: the fused Mosaic kernel agreed with the fp32 CPU result to
+    3e-6 while this XLA path was 1e-2 off).  The 3-element contraction cost
+    is negligible; exact fp32 here keeps the XLA twin a valid oracle."""
+    return jnp.einsum(
+        "...ab,...bc->...ac", a, b, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def dag(a):
@@ -528,7 +538,10 @@ class SU3Wilson(GaugeAction):
     def noise_to_tangent(self, eta):
         """(C, 8, D, *L) real → (C, D, *L, 3, 3) hermitian Σ_a η_a T_a."""
         t = jnp.asarray(_GELLMANN)
-        return jnp.einsum("ca...,aij->c...ij", eta.astype(jnp.complex64), t)
+        return jnp.einsum(
+            "ca...,aij->c...ij", eta.astype(jnp.complex64), t,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def init_links(self, shape):
         eye = jnp.eye(3, dtype=jnp.complex64)

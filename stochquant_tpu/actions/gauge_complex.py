@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -279,7 +280,10 @@ class ComplexSUNWilson(GaugeAction):
 
     def noise_to_tangent(self, eta):
         t = jnp.asarray(_sun_generators(self.N))
-        return jnp.einsum("ca...,aij->c...ij", eta.astype(jnp.complex64), t)
+        return jnp.einsum(
+            "ca...,aij->c...ij", eta.astype(jnp.complex64), t,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def init_links(self, shape):
         eye = jnp.eye(self.N, dtype=jnp.complex64)

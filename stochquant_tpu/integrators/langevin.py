@@ -211,8 +211,13 @@ def exact_propagator_ops(action: QMAction, cfg: ChainConfig, omega):
         c2_dt * (1.0 - decay * decay) / jnp.maximum(lam, 1e-8),
         2.0 * dtau * c2_dt,
     )
-    P = jnp.einsum("cik,ck,cjk->cij", U, decay, U)
-    S = jnp.einsum("cik,ck,cjk->cij", U, jnp.sqrt(var), U)
+    # precision=HIGHEST: TPU XLA defaults f32 contractions to bf16 passes
+    # (~1e-3 relative error — the r3 su3-gate lesson); the EXACT scheme's
+    # whole point is zero integration bias, so the propagator products are
+    # exact fp32
+    hi = jax.lax.Precision.HIGHEST
+    P = jnp.einsum("cik,ck,cjk->cij", U, decay, U, precision=hi)
+    S = jnp.einsum("cik,ck,cjk->cij", U, jnp.sqrt(var), U, precision=hi)
     return P, S, mu
 
 
@@ -304,9 +309,12 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig, exact_ops=None):
                 # μ + e^{−BΔτ}(f−μ) — two batched MXU matmuls; cast back to
                 # the EM bookkeeping shape (det + noise) so the shared
                 # detector/observable machinery below applies unchanged
-                noise = jnp.einsum("cij,cj->ci", S_op, eta)
+                hi = jax.lax.Precision.HIGHEST
+                noise = jnp.einsum("cij,cj->ci", S_op, eta, precision=hi)
                 f_next = (
-                    mu_op + jnp.einsum("cij,cj->ci", P_op, f - mu_op) + noise
+                    mu_op
+                    + jnp.einsum("cij,cj->ci", P_op, f - mu_op, precision=hi)
+                    + noise
                 )
                 det = f_next - f - noise
             else:

@@ -572,7 +572,11 @@ def _build_su3_kernel(action, cfg: GaugeConfig):
             small = c1 < f32(1e-8)
             c1s = jnp.where(small, f32(1.0), c1)
             c0a = jnp.abs(c0)
-            c0max = 2.0 * (c1s / 3.0) ** 1.5
+            c1_3 = c1s / 3.0
+            # x**1.5 would lower through Mosaic's fast exp/log pow —
+            # ~1e-2-grade error that broke the on-device gate; x·√x is
+            # exactly rounded
+            c0max = 2.0 * c1_3 * jnp.sqrt(c1_3)
             theta = _acosf(jnp.clip(c0a / c0max, 0.0, 1.0 - 1e-6))
             uu = jnp.sqrt(c1s / 3.0) * jnp.cos(theta / 3.0)
             w = jnp.sqrt(c1s) * jnp.sin(theta / 3.0)
