@@ -509,7 +509,11 @@ def worker() -> None:
         "config2_multiframe_k8_mlups": round(mf_mlups, 1),
         "kernel_equals_xla_on_device": kernel_equals_xla
         and gauge_gate <= 2e-6
-        and su2_gate <= 2e-6,
+        and su2_gate <= 2e-6
+        and su3_gate <= 1e-5
+        and nd_gate <= 2e-6
+        and halo_gate <= 2e-6
+        and halo_pair_gate <= 2e-6,
         "kernel_vs_xla_max_abs_diff": {
             "chain": chain_gate, "field": field_gate, "gauge": gauge_gate,
             "su2": su2_gate, "su3": su3_gate, "nd4d": nd_gate,
