@@ -167,7 +167,24 @@ def make_halo_runner(
                 )
             backend = "pallas_nd"
         else:
-            backend = "pallas_step"
+            # 2-D split: prefer the wide-halo chunk kernel when the config
+            # is eligible (measured 1.3x the per-step fixup path and 1.65x
+            # the XLA runner on chip, W-fold less communication); otherwise
+            # the per-micro-step bulk kernel + exact edge fixup
+            from stochquant_tpu.kernels import field_kernel_nd as _fknd
+
+            W_try = cfg.exchange_steps or _fknd.default_exchange_steps(cfg)
+            chunk_ok = (
+                not any(sharded_dims[1:])
+                and bool(lat_axes_spec[0])
+                and cfg.loops % 2 == 0
+                and W_try % 2 == 0
+                and rng.counter_based(cfg.rng_impl)
+                and local_shape[0] % 8 == 0
+                and local_shape[0]
+                >= _fknd._chunk_halo_rows(cfg, min(W_try, max(cfg.loops, 2)))
+            )
+            backend = "pallas_nd" if chunk_ok else "pallas_step"
     if backend in ("pallas_frame", "pallas_step", "pallas_nd"):
         if cfg.dtype != "float32":
             raise ValueError(

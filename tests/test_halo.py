@@ -398,3 +398,32 @@ def test_halo_pallas_pair_validation():
     bad = FieldConfig(action="phi4", shape=(16, 16), mesh_axes=("x", "y"))
     with pytest.raises(ValueError, match="dim 0"):
         make_halo_runner(act, bad, mesh, backend="pallas_pair")
+
+
+def test_halo_pallas_auto_prefers_chunk_kernel_on_eligible_2d():
+    """backend='pallas' on an eligible 2-D dim-0 split auto-routes to the
+    wide-halo chunk kernel (measured faster than the per-step path) and
+    stays bitwise vs the unsharded integrator; ineligible geometries
+    (L0_loc % 8 != 0) keep the per-step fixup path."""
+    cfg = FieldConfig(
+        action="phi4", shape=(32, 128), dtau=0.01, n_chains=2, loops=8,
+        seed=5, mesh_axes=("x", None),
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    ref, _ = field.run_field_frames(s0, act, cfg, 2)
+    mesh = make_mesh([("x", 2)])
+    s0_sh = shard_field_state(s0, mesh, cfg)
+    out, _ = make_halo_runner(act, cfg, mesh, backend="pallas", interpret=True)(
+        s0_sh, 2
+    )
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    # ineligible (local slab 4 rows): still works via the per-step path
+    cfg2 = dataclasses.replace(cfg, shape=(16, 16), mesh_axes=("x", None))
+    s2 = field.init_field_state(cfg2)
+    ref2, _ = field.run_field_frames(s2, act, cfg2, 2)
+    mesh4 = make_mesh([("x", 4)])
+    out2, _ = make_halo_runner(act, cfg2, mesh4, backend="pallas", interpret=True)(
+        shard_field_state(s2, mesh4, cfg2), 2
+    )
+    np.testing.assert_array_equal(np.asarray(ref2.phi), np.asarray(out2.phi))
