@@ -353,7 +353,6 @@ def make_halo_runner(
         return s % 2 == 0
 
     kstep = None
-    kstep_nd = H_nd = None
     if backend == "pallas_step":
         from stochquant_tpu.kernels.field_halo_kernel import make_local_step
 

@@ -159,3 +159,22 @@ def test_field_multiframe_rejection_schedule():
     np.testing.assert_allclose(
         np.asarray(a.phi), np.asarray(b.phi), rtol=3e-6, atol=3e-6
     )
+
+
+def test_runtime_field_multiframe_matches_single(tmp_path):
+    """runtime.run_field honours FieldConfig.frames_per_launch (the in-kernel
+    epilogue path) and matches the single-frame-launch run."""
+    from stochquant_tpu import metrics, runtime
+
+    base = FieldConfig(action="phi4", shape=(8, 128), dtau=0.003, n_chains=2,
+                       loops=4, frames=5, seed=9)
+    a = runtime.run_field(base, backend="pallas", sink=metrics.MetricsSink())
+    multi = dataclasses.replace(base, frames_per_launch=2)
+    b = runtime.run_field(multi, backend="pallas", sink=metrics.MetricsSink())
+    for name, x, y in zip(a.state._fields, a.state, b.state):
+        if name in ("runs", "stab_cnt", "step"):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=3e-6, atol=3e-6, err_msg=name
+            )

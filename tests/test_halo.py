@@ -427,3 +427,23 @@ def test_halo_pallas_auto_prefers_chunk_kernel_on_eligible_2d():
         shard_field_state(s2, mesh4, cfg2), 2
     )
     np.testing.assert_array_equal(np.asarray(ref2.phi), np.asarray(out2.phi))
+
+
+def test_halo_chunk_exchange_steps_override_4d():
+    """cfg.exchange_steps=4 on a 4-D dim-0 split: two W=4 chunks plus a
+    W=2 tail (loops=10) — still bitwise vs the unsharded integrator."""
+    cfg = FieldConfig(
+        action="phi4", shape=(8, 4, 2, 2), dtau=0.01, n_chains=2, loops=10,
+        seed=3, mesh_axes=("x", None, None, None), exchange_steps=4,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    ref, mref = field.run_field_frames(s0, act, cfg, 2)
+    mesh = make_mesh([("x", 2)])
+    out, mout = make_halo_runner(act, cfg, mesh, backend="pallas", interpret=True)(
+        shard_field_state(s0, mesh, cfg), 2
+    )
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    np.testing.assert_array_equal(
+        np.asarray(mref["stable"]), np.asarray(mout["stable"])
+    )
