@@ -8,9 +8,12 @@ correlator) and maintains the divergence detector — all in VMEM, one chain
 per grid program.
 
 Math mirrors integrators/field.py exactly (same Threefry counters via the
-global 2-D site ids, same op order), so kernel trajectories are
-bit-compatible with the XLA path; the accept/reject + adaptive-Δτ epilogue
-runs in XLA around the kernel.
+global 2-D site ids, same op order): kernel trajectories are bitwise equal
+to the XLA path in interpret mode, and track it to ≤2e-8 on real TPUs
+(Mosaic-vs-XLA transcendental rounding — the ``field`` gate in bench.py's
+``kernel_vs_xla_max_abs_diff``, same tolerance contract as the chain
+kernel).  The accept/reject + adaptive-Δτ epilogue runs in XLA around the
+kernel.
 """
 
 from __future__ import annotations
