@@ -79,7 +79,12 @@ def worker() -> None:
     # loops=1000; Δτ pinned at the stability-adapted value the reference's
     # controller converges to (its preset 0.002 is unstable at Δt=0.02).
     n_chains = 65536 if on_tpu else 512
-    block = 64 if on_tpu else 32
+    # r3 on-device sweep at this config: hardware-PRNG peaks at block 512
+    # (24.3 vs 20.8 GLUPS at the r1-era 64; 1024 overflows VMEM), Threefry
+    # at 128 (14.5 vs 13.6) — the optimum moved as the kernel evolved;
+    # ChainConfig.block_chains=0 autotunes this per config at runtime
+    block = 512 if on_tpu else 32
+    block_tf = 128 if on_tpu else 32
     n_frames = 3
     base = dict(
         action="double_well", n_sites=200, dt=0.02, dtau=2e-4,
@@ -98,14 +103,14 @@ def worker() -> None:
     log("chain bench, Threefry (layout-invariant default) path:")
     mlups_tf, _ = time_chain(
         ChainConfig(**base, rng_impl="threefry"), act, n_frames,
-        2 if on_tpu else 1, block,
+        2 if on_tpu else 1, block_tf,
     )
     # threefry13 (r3): Random123's reduced-round BigCrush-passing minimum —
     # same counter keying/layout invariance, ~35% fewer key-schedule ops
     log("chain bench, Threefry-13 (reduced-round, layout-invariant) path:")
     mlups_tf13, _ = time_chain(
         ChainConfig(**base, rng_impl="threefry13"), act, n_frames,
-        2 if on_tpu else 1, block,
+        2 if on_tpu else 1, block_tf,
     )
 
     # --- BASELINE config 2 at its stated scale (BASELINE.json:8): anharmonic
