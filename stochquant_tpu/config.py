@@ -194,7 +194,9 @@ class FieldConfig:
     #: 2-D) halo trapezoidally, so larger W trades redundant edge compute
     #: for W x fewer exchanges and launches with NO semantics change
     #: (per-step detector stats still come out of the kernel).  None =
-    #: 2 for D >= 3, 8 for 2-D.  Must be even.
+    #: 2 for D >= 3, 8 for 2-D; 0 = autotune on device at first use
+    #: (kernels/autotune.best_exchange_steps — one compile per candidate).
+    #: Must be even when set explicitly.
     exchange_steps: Optional[int] = None
 
     @property

@@ -19,7 +19,7 @@ import time
 import jax
 import numpy as np
 
-__all__ = ["best_block_chains", "clear_cache"]
+__all__ = ["best_block_chains", "best_exchange_steps", "clear_cache"]
 
 _CACHE: dict = {}
 
@@ -73,5 +73,63 @@ def best_block_chains(
         t = time.time() - t0
         if t < best_t:
             best, best_t = cb, t
+    _CACHE[key] = best
+    return best
+
+
+def best_exchange_steps(
+    action,
+    cfg,
+    mesh,
+    *,
+    candidates=(2, 4, 8, 16),
+    interpret: bool = False,
+) -> int:
+    """Measure one halo-runner frame per candidate ``exchange_steps`` (the
+    wide-halo W) and return the fastest; cached per (config, mesh, device).
+
+    Opt-in via ``FieldConfig.exchange_steps = 0`` — each candidate costs a
+    kernel compile, worth it for long runs.  Candidates that violate the
+    chunk kernel's geometry constraints (slab thinner than the halo, odd W)
+    are skipped; if none fit, the per-dimension default is returned.
+    """
+    import dataclasses
+
+    from stochquant_tpu.integrators import field as field_mod
+    from stochquant_tpu.kernels import field_kernel_nd as fknd
+    from stochquant_tpu.parallel import shard_field_state
+    from stochquant_tpu.parallel.halo import make_halo_runner
+
+    key = (
+        "W", cfg.action, cfg.shape, cfg.n_chains, cfg.loops, cfg.rng_impl,
+        int(cfg.sweep), cfg.mesh_axes, cfg.mesh_chain_axis,
+        tuple(np.shape(mesh.devices)), interpret,
+        jax.devices()[0].device_kind,
+    )
+    if key in _CACHE:
+        return _CACHE[key]
+    default = fknd.default_exchange_steps(cfg)
+    state = shard_field_state(field_mod.init_field_state(cfg), mesh, cfg)
+    best, best_t = None, float("inf")
+    for W in candidates:
+        cfg_w = dataclasses.replace(cfg, exchange_steps=int(W))
+        try:
+            runner = make_halo_runner(
+                action, cfg_w, mesh, backend="pallas_pair", interpret=interpret
+            )
+
+            def run():
+                out, _ = runner(state, 1)
+                np.asarray(out.lrg_vl)
+
+            run()  # compile + warm
+            t0 = time.time()
+            run()
+            t = time.time() - t0
+        except ValueError:
+            continue  # geometry constraint (thin slab etc.) — skip
+        if t < best_t:
+            best, best_t = int(W), t
+    best = best or default
     _CACHE[key] = best
     return best

@@ -602,8 +602,18 @@ def run_field(
             )
         else:
             state = shard_field_state(state, mesh, cfg)
+        runner_cfg = cfg
+        if cfg.exchange_steps == 0 and backend in ("pallas", "pallas_pair"):
+            # opt-in wide-halo W autotune (kernels/autotune.py)
+            from stochquant_tpu.kernels import autotune
+
+            w_best = autotune.best_exchange_steps(
+                act, cfg, mesh, interpret=not on_tpu
+            )
+            sink.emit({"type": "autotune", "exchange_steps": w_best})
+            runner_cfg = dataclasses.replace(cfg, exchange_steps=w_best)
         runner = make_halo_runner(
-            act, cfg, mesh, backend=backend, interpret=not on_tpu
+            act, runner_cfg, mesh, backend=backend, interpret=not on_tpu
         )
         run_n = lambda s, n: runner(s, n)
     elif sharded_in:

@@ -447,3 +447,31 @@ def test_halo_chunk_exchange_steps_override_4d():
     np.testing.assert_array_equal(
         np.asarray(mref["stable"]), np.asarray(mout["stable"])
     )
+
+
+def test_exchange_steps_autotune(tmp_path):
+    """exchange_steps=0 autotunes W through runtime.run_field (interpret):
+    result matches an explicit-W run bitwise and the choice is cached."""
+    from stochquant_tpu import metrics, runtime
+    from stochquant_tpu.kernels import autotune
+
+    cfg = FieldConfig(
+        action="phi4", shape=(32, 128), dtau=0.01, n_chains=2, loops=8,
+        frames=2, seed=5, mesh_axes=("x", None), exchange_steps=0,
+    )
+    act = phi4.get_field("phi4")
+    mesh = make_mesh([("x", 2)])
+    autotune.clear_cache()
+    w = autotune.best_exchange_steps(
+        act, dataclasses.replace(cfg, exchange_steps=None), mesh,
+        candidates=(2, 4), interpret=True,
+    )
+    assert w in (2, 4)
+    a = runtime.run_field(cfg, mesh=mesh, backend="pallas_pair",
+                          sink=metrics.MetricsSink())
+    b = runtime.run_field(
+        dataclasses.replace(cfg, exchange_steps=None), mesh=mesh,
+        backend="pallas_pair", sink=metrics.MetricsSink(),
+    )
+    # W changes chunking, not semantics: trajectories bitwise regardless
+    np.testing.assert_array_equal(np.asarray(a.state.phi), np.asarray(b.state.phi))
