@@ -71,6 +71,10 @@ class GaugeConfig:
     hot_start: bool = False              # random links instead of identity
     measure_loops: bool = False          # per-frame Polyakov loop + final
                                          # Wilson-loop table in the metrics
+    frames_per_launch: int = 1           # fused u1 kernel: frames batched
+                                         # per launch with the accept/reject
+                                         # + Δτ epilogue in-kernel (per-frame
+                                         # semantics unchanged; u1 only)
 
     @property
     def ndim(self) -> int:
@@ -95,7 +99,7 @@ class GaugeState(NamedTuple):
                            # su3 matrices (C,D,*L,3,3) complex
     plaq_mean: jax.Array   # (C,) running ⟨(1/N)ReTr U_p⟩
     drift_max: jax.Array   # (C,) max drift norm seen
-    runs: jax.Array        # (C,) uint32
+    runs: jax.Array        # (C, 2) uint32 (lo, hi) 64-bit pair (accum.init_runs)
     dtau: jax.Array        # (C,)
     stab_cnt: jax.Array    # (C,) int32
     step: jax.Array        # () uint32

@@ -906,14 +906,307 @@ def gauge_frame_pallas(state: GaugeState, action, cfg: GaugeConfig, *, interpret
     return new_state, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("action", "cfg", "n_frames", "interpret"))
-def run_gauge_frames_pallas(
-    state: GaugeState, action, cfg: GaugeConfig, n_frames: int, interpret: bool = False
-):
-    """Drop-in replacement for integrators.gauge.run_gauge_frames (2-D u1)."""
-    return lax.scan(
-        lambda s, _: gauge_frame_pallas(s, action, cfg, interpret=interpret),
-        state,
-        None,
-        length=n_frames,
+def _build_multiframe_u1_kernel(action, cfg: GaugeConfig, K: int):
+    """K frames per launch for the U(1) kernel with the accept/reject +
+    plaquette-mean merge + adaptive-Δτ epilogue IN-KERNEL (the gauge analog
+    of the chain/field multi-frame kernels; per-frame semantics identical to
+    K single-frame launches — same Threefry counters, same epilogue
+    expressions incl. the uint32-pair runs carry)."""
+    L0, L1 = cfg.shape
+    f32 = np.float32
+    beta = f32(action.beta)
+    cap = f32(cfg.drift_cap)
+    two_pi = f32(2.0 * np.pi)
+    plane = L0 * L1
+    inv_vol = f32(1.0 / plane)
+    loops = cfg.loops
+    shrink = f32(cfg.shrink)
+    inv_loops = f32(1.0 / loops)
+
+    def kernel(
+        scalars_ref,  # SMEM (3,): seed, step_base, chain_offset
+        th_ref, dmax_ref, dtau_ref, pm_ref, rlo_ref, rhi_ref, stab_ref,
+        tho_ref, dmaxo_ref, dtauo_ref, pmo_ref, rloo_ref, rhio_ref, stabo_ref,
+        st_hist_ref, dt_hist_ref, dm_hist_ref,
+        ths_ref,  # scratch: frame link snapshot (VMEM)
+        fs_ref,   # scratch SMEM (4,): frame Σ plaq, dmax snapshot, unstable
+    ):
+        i = pl.program_id(0)
+        seed = scalars_ref[0]
+        step00 = scalars_ref[1]
+        chain = scalars_ref[2] + jnp.uint32(i)
+
+        mu_idx = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 1)
+        row = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 2)
+        col = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 3)
+        site = mu_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
+        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
+
+        def roll(x, shift, axis):
+            return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
+
+        def shift_lat(x, d, sign):
+            return roll(x, -sign, 2 + d)
+
+        def plaq(t_mu, t_nu, mu, nu):
+            return t_mu + shift_lat(t_nu, mu, +1) - shift_lat(t_mu, nu, +1) - t_nu
+
+        def substep(eta):
+            th = tho_ref[:]
+            ps = fs_ref[0]
+            dmax = dmaxo_ref[i, 0]
+            unst = fs_ref[2] > 0.0
+
+            dtau = dtauo_ref[i, 0]
+            t0 = th[:, 0:1, :, :]
+            t1 = th[:, 1:2, :, :]
+            p01 = plaq(t0, t1, 0, 1)
+            sp01 = jnp.sin(p01)
+            acc0 = sp01 - shift_lat(sp01, 1, -1)
+            p10 = plaq(t1, t0, 1, 0)
+            sp10 = jnp.sin(p10)
+            acc1 = sp10 - shift_lat(sp10, 0, -1)
+            f = jnp.concatenate([-beta * acc0, -beta * acc1], axis=1)
+
+            dnorm = jnp.max(jnp.abs(f))
+            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+            dtau_eff = dtau * scale
+            omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
+            t = th + omega
+            new_th = t - two_pi * jnp.round(t / two_pi)
+
+            bad = jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0))) > 0.0
+
+            plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
+            ps2 = ps + plaq_mean
+            dmax2 = jnp.maximum(dmax, dnorm)
+
+            tho_ref[:] = jnp.where(unst, th, new_th)
+            fs_ref[0] = jnp.where(unst, ps, ps2)
+            dmaxo_ref[i, 0] = jnp.where(unst, dmax, dmax2)
+            fs_ref[2] = jnp.where(unst | bad, f32(1.0), f32(0.0))
+
+        def normal_pair(step):
+            b0, b1 = rng.threefry2x32(seed, k1, site, step)
+            u1 = rng.uniform_from_bits(b0)
+            u2 = rng.uniform_from_bits(b1)
+            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+            theta = f32(rng._TWO_PI) * u2
+            return r * jnp.cos(theta), r * jnp.sin(theta)
+
+        def u32_to_f32(v):
+            hi = lax.shift_right_logical(v, jnp.uint32(16)).astype(jnp.int32)
+            lo = (v & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            return hi.astype(f32) * f32(65536.0) + lo.astype(f32)
+
+        def frame_body(j, _):
+            ths_ref[:] = tho_ref[:]
+            fs_ref[0] = 0.0                    # frame Σ plaquette
+            fs_ref[1] = dmaxo_ref[i, 0]        # drift-max snapshot
+            fs_ref[2] = 0.0                    # unstable flag
+
+            step0 = step00 + j.astype(jnp.uint32) * jnp.uint32(loops)
+
+            def pair_body(k, _):
+                step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
+                z0, z1 = normal_pair(step)
+                substep(z0)
+                substep(z1)
+                return 0
+
+            lax.fori_loop(0, loops // 2, pair_body, 0, unroll=False)
+            if loops % 2:
+                z0, _ = normal_pair(step0 + jnp.uint32(loops - 1))
+                substep(z0)
+
+            # --- in-kernel epilogue (gauge_frame_pallas's, verbatim) -------
+            accept = fs_ref[2] == 0.0
+            dtau_old = dtauo_ref[i, 0]
+            rlo = rloo_ref[i, 0]
+            lo_n = rlo + jnp.uint32(loops)
+            carry = jnp.where(lo_n < rlo, jnp.uint32(1), jnp.uint32(0))
+            hi_n = rhio_ref[i, 0] + carry
+            n_new = u32_to_f32(hi_n) * f32(4294967296.0) + u32_to_f32(lo_n)
+            w = f32(loops) / n_new
+            pm = pmo_ref[i, 0]
+            merged = pm + (fs_ref[0] * inv_loops - pm) * w
+            pmo_ref[i, 0] = jnp.where(accept, merged, pm)
+
+            tho_ref[:] = jnp.where(accept, tho_ref[:], ths_ref[:])
+            dmaxo_ref[i, 0] = jnp.where(accept, dmaxo_ref[i, 0], fs_ref[1])
+            rloo_ref[i, 0] = jnp.where(accept, lo_n, rlo)
+            rhio_ref[i, 0] = jnp.where(accept, hi_n, rhio_ref[i, 0])
+
+            grow = accept & (stabo_ref[i, 0] >= cfg.grow_after)
+            dtau_new = jnp.where(
+                grow,
+                dtau_old / shrink,
+                jnp.where(accept, dtau_old, dtau_old * shrink),
+            )
+            if cfg.dtau_max is not None:
+                dtau_new = jnp.minimum(dtau_new, f32(cfg.dtau_max))
+            dtauo_ref[i, 0] = dtau_new
+            stabo_ref[i, 0] = jnp.where(
+                accept, jnp.where(grow, 0, stabo_ref[i, 0] + 1), 0
+            )
+
+            st_hist_ref[i, j] = jnp.where(accept, 1, 0)
+            dt_hist_ref[i, j] = dtau_new
+            dm_hist_ref[i, j] = dmaxo_ref[i, 0]
+            return 0
+
+        tho_ref[:] = th_ref[:]
+        dmaxo_ref[i, 0] = dmax_ref[i, 0]
+        dtauo_ref[i, 0] = dtau_ref[i, 0]
+        pmo_ref[i, 0] = pm_ref[i, 0]
+        rloo_ref[i, 0] = rlo_ref[i, 0]
+        rhio_ref[i, 0] = rhi_ref[i, 0]
+        stabo_ref[i, 0] = stab_ref[i, 0]
+        for j0 in range(K):
+            st_hist_ref[i, j0] = 0
+            dt_hist_ref[i, j0] = 0.0
+            dm_hist_ref[i, j0] = 0.0
+        lax.fori_loop(0, K, frame_body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _multiframe_u1_call(action, cfg: GaugeConfig, K: int, interpret: bool):
+    kernel = _build_multiframe_u1_kernel(action, cfg, K)
+    C = cfg.n_chains
+    L0, L1 = cfg.shape
+    lat = lambda: pl.BlockSpec(
+        (1, 2, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
+    sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
+    hist = lambda: pl.BlockSpec((C, K), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
+    f32s = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    out_shapes = (
+        f32s((C, 2, L0, L1)),                         # links
+        f32s((C, 1)), f32s((C, 1)), f32s((C, 1)),     # dmax, dtau, plaq_mean
+        jax.ShapeDtypeStruct((C, 1), jnp.uint32),     # runs lo
+        jax.ShapeDtypeStruct((C, 1), jnp.uint32),     # runs hi
+        jax.ShapeDtypeStruct((C, 1), jnp.int32),      # stab_cnt
+        jax.ShapeDtypeStruct((C, K), jnp.int32),      # stable history
+        f32s((C, K)),                                 # dtau history
+        f32s((C, K)),                                 # drift-max history
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[lat(), sca(), sca(), sca(), sca(), sca(), sca()],
+        out_specs=(
+            lat(), sca(), sca(), sca(), sca(), sca(), sca(),
+            hist(), hist(), hist(),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, 2, L0, L1), jnp.float32),  # link snapshot
+            pltpu.SMEM((4,), jnp.float32),            # Σ plaq, dmax snap, unst
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret
+    )
+
+
+def u1_frames_multi(
+    state: GaugeState, action, cfg: GaugeConfig, K: int, *, interpret=False
+):
+    """K frames in ONE launch through the U(1) kernel, epilogue in-kernel;
+    returns (state, {stable/dtau/drift_max histories, each (K, C)})."""
+    from stochquant_tpu.actions.gauge import U1Wilson
+
+    if not isinstance(action, U1Wilson) or not supports(action, cfg):
+        raise ValueError(
+            "frames_per_launch > 1 is implemented for the 2-D compact u1 "
+            "kernel; use frames_per_launch=1 for su2/su3"
+        )
+    C = cfg.n_chains
+    call = _multiframe_u1_call(action, cfg, K, interpret)
+    scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
+    col = lambda v: v[:, None]
+    (
+        links, dmax, dtau, pm, rlo, rhi, stab, st_h, dt_h, dm_h,
+    ) = call(
+        scalars,
+        state.links,
+        col(state.drift_max),
+        col(state.dtau),
+        col(state.plaq_mean),
+        state.runs[:, 0:1],
+        state.runs[:, 1:2],
+        col(state.stab_cnt),
+    )
+    new_state = GaugeState(
+        links=links,
+        plaq_mean=pm[:, 0],
+        drift_max=dmax[:, 0],
+        runs=jnp.concatenate([rlo, rhi], axis=1),
+        dtau=dtau[:, 0],
+        stab_cnt=stab[:, 0],
+        step=state.step + jnp.uint32(cfg.loops) * jnp.uint32(K),
+    )
+    metrics = {
+        "stable": (st_h != 0).T,  # (K, C)
+        "dtau": dt_h.T,
+        "drift_max": dm_h.T,
+        # identically 0 for the compact group (metrics-shape parity with the
+        # single-frame path, which reports it per frame)
+        "unitarity_norm": jnp.zeros((K, C), jnp.float32),
+    }
+    return new_state, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("action", "cfg", "n_frames", "interpret", "frames_per_launch"),
+)
+def run_gauge_frames_pallas(
+    state: GaugeState, action, cfg: GaugeConfig, n_frames: int,
+    interpret: bool = False, frames_per_launch: int = 1,
+):
+    """Drop-in replacement for integrators.gauge.run_gauge_frames (2-D
+    u1/su2/su3).
+
+    frames_per_launch > 1 (u1 only) batches K frames per kernel launch with
+    the accept/reject + merge + adaptive-Δτ epilogue IN-KERNEL — per-frame
+    trajectories, means and Δτ schedules identical to K single-frame
+    launches.  Metrics keep the per-frame shape (n_frames, C)."""
+    if frames_per_launch <= 1:
+        return lax.scan(
+            lambda s, _: gauge_frame_pallas(s, action, cfg, interpret=interpret),
+            state,
+            None,
+            length=n_frames,
+        )
+    K = frames_per_launch
+    n_launches = n_frames // K
+    rem = n_frames - n_launches * K
+    metrics_parts = []
+    if n_launches:
+        state, m = lax.scan(
+            lambda s, _: u1_frames_multi(s, action, cfg, K, interpret=interpret),
+            state,
+            None,
+            length=n_launches,
+        )
+        metrics_parts.append(
+            {k: v.reshape((n_launches * K,) + v.shape[2:]) for k, v in m.items()}
+        )
+    if rem:
+        state, m_tail = lax.scan(
+            lambda s, _: gauge_frame_pallas(s, action, cfg, interpret=interpret),
+            state,
+            None,
+            length=rem,
+        )
+        metrics_parts.append(m_tail)
+    if len(metrics_parts) == 2:
+        metrics = {
+            k: jnp.concatenate([metrics_parts[0][k], metrics_parts[1][k]], axis=0)
+            for k in metrics_parts[0]
+        }
+    else:
+        metrics = metrics_parts[0]
+    return state, metrics

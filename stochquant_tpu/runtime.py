@@ -342,8 +342,15 @@ def run_gauge(
     else:
         state = gauge_mod.init_gauge_state(cfg, act)
     if backend in ("pallas", "pallas_tiled"):
+        fpl = cfg.frames_per_launch
+        if fpl > 1:
+            from stochquant_tpu.actions.gauge import U1Wilson
+
+            if not isinstance(act, U1Wilson):
+                fpl = 1  # in-kernel epilogue is u1-only (GaugeConfig doc)
         run_n = lambda s, n: gauge_kernel.run_gauge_frames_pallas(
-            s, act, cfg, n, interpret=not on_tpu
+            s, act, cfg, n, interpret=not on_tpu,
+            frames_per_launch=min(fpl, n),
         )
     else:
         run_n = lambda s, n: gauge_mod.run_gauge_frames(s, act, cfg, n)

@@ -157,3 +157,44 @@ def test_su3_kernel_through_runtime_auto():
     np.testing.assert_allclose(
         np.asarray(a.state.links), np.asarray(b.state.links), rtol=2e-5, atol=2e-6
     )
+
+
+def test_u1_multiframe_matches_single_frame_launches():
+    """K frames per launch with the IN-KERNEL epilogue vs K single-frame
+    launches (u1): same Threefry counters and epilogue expressions —
+    decisions and runs exact, float state to ~1 ulp."""
+    from stochquant_tpu.integrators import gauge as gauge_mod
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+    from stochquant_tpu.kernels import gauge_kernel
+
+    cfg = GaugeConfig(group="u1", beta=1.0, shape=(8, 128), n_chains=3,
+                      dtau=5e-3, loops=6, seed=17, grow_after=10**9)
+    act = gauge_mod.resolve_gauge_action(cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    a, ma = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 7, interpret=True)
+    b, mb = gauge_kernel.run_gauge_frames_pallas(
+        s0, act, cfg, 7, interpret=True, frames_per_launch=3
+    )  # 2 multi-launches + 1 single-frame tail
+    exact_fields = ("runs", "stab_cnt", "step")
+    for name, x, y in zip(a._fields, a, b):
+        if name in exact_fields:
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=3e-6, atol=3e-6, err_msg=name
+            )
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ma["dtau"]), np.asarray(mb["dtau"]), rtol=1e-6
+    )
+    # su2 refuses frames_per_launch > 1 loudly
+    import pytest as _pytest
+
+    cfg2 = GaugeConfig(group="su2", beta=2.0, shape=(8, 128), n_chains=2,
+                       dtau=2e-3, loops=4, seed=3)
+    act2 = gauge_mod.resolve_gauge_action(cfg2)
+    s2 = gauge_mod.init_gauge_state(cfg2, act2)
+    with _pytest.raises(ValueError, match="u1"):
+        gauge_kernel.u1_frames_multi(s2, act2, cfg2, 2, interpret=True)

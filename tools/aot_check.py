@@ -162,8 +162,11 @@ def main():
                 lambda: gauge_mod.init_gauge_state(gcfg, gact)
             )
             ab = abstract_of(proto)
+            fpl = 2 if group == "u1" else 1
             jax.jit(
-                lambda st: gauge_kernel.run_gauge_frames_pallas(st, gact, gcfg, 1)
+                lambda st: gauge_kernel.run_gauge_frames_pallas(
+                    st, gact, gcfg, 2, frames_per_launch=fpl
+                )
             ).lower(ab).compile()
 
     cases = {
