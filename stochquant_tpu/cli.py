@@ -86,6 +86,10 @@ def _apply_overrides(cfg, args):
         cfg, "frames_per_launch"
     ):
         updates["frames_per_launch"] = args.frames_per_launch
+    if getattr(args, "exchange_steps", None) is not None and hasattr(
+        cfg, "exchange_steps"
+    ):
+        updates["exchange_steps"] = args.exchange_steps
     if getattr(args, "scheme", None) is not None and hasattr(cfg, "scheme"):
         from stochquant_tpu.config import Scheme
 
@@ -215,6 +219,11 @@ def main(argv=None):
         "--measure-loops",
         action="store_true",
         help="gauge presets: per-frame Polyakov loop + final Wilson-loop table",
+    )
+    r.add_argument(
+        "--exchange-steps", type=int, dest="exchange_steps",
+        help="wide-halo W for split field lattices (micro-steps per halo "
+        "exchange; even, 0 = autotune on device)",
     )
     r.add_argument(
         "--scheme", choices=["em", "heun", "lm", "exact"],
