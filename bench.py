@@ -557,7 +557,18 @@ def main() -> None:
         lines = [l for l in res.success.stdout.splitlines() if l.strip()]
         if lines:
             print(lines[-1])
-            return
+        else:
+            # a successful worker with empty stdout is its own failure mode
+            # (ADVICE r3) — not "all attempts failed"
+            log("worker succeeded but printed nothing")
+            print(json.dumps({
+                "metric": "double_well_site_updates_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "MLUPS",
+                "vs_baseline": 0.0,
+                "error": "benchmark worker exited 0 with empty stdout",
+            }))
+        return
     log("all attempts failed")
     print(json.dumps({
         "metric": "double_well_site_updates_per_sec_per_chip",

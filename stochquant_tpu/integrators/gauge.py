@@ -71,10 +71,11 @@ class GaugeConfig:
     hot_start: bool = False              # random links instead of identity
     measure_loops: bool = False          # per-frame Polyakov loop + final
                                          # Wilson-loop table in the metrics
-    frames_per_launch: int = 1           # fused u1 kernel: frames batched
-                                         # per launch with the accept/reject
-                                         # + Δτ epilogue in-kernel (per-frame
-                                         # semantics unchanged; u1 only)
+    frames_per_launch: int = 1           # fused kernels (u1/su2/su3): frames
+                                         # batched per launch with the
+                                         # accept/reject + Δτ epilogue
+                                         # in-kernel (per-frame semantics
+                                         # unchanged)
 
     @property
     def ndim(self) -> int:

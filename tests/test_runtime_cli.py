@@ -225,11 +225,12 @@ def test_field_backend_routing():
         rng_impl="hardware",
     )
     assert sel(halo_hw, "auto", on_tpu=True, use_halo=True, mesh=mesh) == "xla"
-    # local block past the VMEM budget: auto → xla (no tiled halo kernel)
+    # local block past the whole-frame VMEM budget: the strip-tiled chunk
+    # kernel keeps the pallas path (r4 — previously a silent xla fallback)
     halo_big = FieldConfig(
         action="phi4", shape=(2048, 1024), loops=4, mesh_axes=("x", None)
     )
-    assert sel(halo_big, "auto", on_tpu=True, use_halo=True, mesh=mesh) == "xla"
+    assert sel(halo_big, "auto", on_tpu=True, use_halo=True, mesh=mesh) == "pallas"
     # explicit tile_rows or a lattice too big for VMEM routes to the tiled kernel
     tiled = FieldConfig(action="phi4", shape=(16, 128), loops=4, tile_rows=8)
     assert sel(tiled, "pallas", on_tpu=True, use_halo=False) == "pallas_tiled"

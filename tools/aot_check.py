@@ -92,6 +92,22 @@ def main():
             lambda st: field_kernel_nd.run_field_frames_nd(st, act, cfg, 1)
         ).lower(ab).compile()
 
+    def case_nd_chunk_unsharded():
+        # r4: the W-step chunk path for UNSHARDED D >= 3 lattices
+        # (cfg.exchange_steps > 2): 2 MiB extended strips (tile_rows=8 +
+        # 2*4 halo rows of 128 KiB each at 32^4) — probes whether Mosaic
+        # accepts strips beyond the conservative 1 MiB budget
+        cfg = FieldConfig(action="phi4", shape=(32, 32, 32, 32), n_chains=1,
+                          loops=8, seed=1, exchange_steps=4)
+        from stochquant_tpu.kernels import field_kernel_nd
+
+        ab = abstract_of(jax.eval_shape(lambda: field_mod.init_field_state(cfg)))
+        jax.jit(
+            lambda st: field_kernel_nd.run_field_frames_nd(
+                st, act, cfg, 1, tile_rows=8
+            )
+        ).lower(ab).compile()
+
     def case_nd_sharded():
         from stochquant_tpu.parallel.halo import make_halo_runner
 
@@ -110,6 +126,50 @@ def main():
         cfg = FieldConfig(action="phi4", shape=(256, 256), n_chains=2,
                           loops=4, seed=1, mesh_axes=("x", "y"))
         mesh = Mesh(devs.reshape(2, 2), ("x", "y"))
+        runner = make_halo_runner(act, cfg, mesh, backend="pallas_step",
+                                  interpret=False)
+        jax.jit(lambda st: runner(st, 1)).lower(
+            sharded_abstract(cfg, mesh)
+        ).compile()
+
+    def case_halo_md_2d():
+        # multi-dim 2-D split through the generalized chunk kernel (r4):
+        # halos on both lattice dims, trapezoidal recompute in-kernel
+        from stochquant_tpu.parallel.halo import make_halo_runner
+
+        cfg = FieldConfig(action="phi4", shape=(256, 256), n_chains=2,
+                          loops=8, seed=1, mesh_axes=("x", "y"))
+        mesh = Mesh(devs.reshape(2, 2), ("x", "y"))
+        runner = make_halo_runner(act, cfg, mesh, backend="pallas",
+                                  interpret=False)
+        jax.jit(lambda st: runner(st, 1)).lower(
+            sharded_abstract(cfg, mesh)
+        ).compile()
+
+    def case_halo_md_4d():
+        # config 4's multi-dim geometry: 32^4 split on dims 0+1
+        from stochquant_tpu.parallel.halo import make_halo_runner
+
+        cfg = FieldConfig(action="phi4", shape=(32, 32, 32, 32), n_chains=1,
+                          loops=4, seed=1, mesh_axes=("x", "y", None, None))
+        mesh = Mesh(devs.reshape(2, 2), ("x", "y"))
+        runner = make_halo_runner(act, cfg, mesh, backend="pallas",
+                                  interpret=False)
+        jax.jit(lambda st: runner(st, 1)).lower(
+            sharded_abstract(cfg, mesh)
+        ).compile()
+
+    def case_halo_thin_4d():
+        # thin-slab regime: halo deeper than the local slab → multi-hop
+        # ring gather (config 4's 32^4/16-chip shape, emulated with W=16
+        # on the 4-chip topology: H=16 > loc0=8; the slab is shrunk to
+        # 16^3 so the 32-row-extended strip stays inside the VMEM budget)
+        from stochquant_tpu.parallel.halo import make_halo_runner
+
+        cfg = FieldConfig(action="phi4", shape=(32, 16, 16, 16), n_chains=1,
+                          loops=16, seed=1, exchange_steps=16,
+                          mesh_axes=("x", None, None, None))
+        mesh = Mesh(devs.reshape(4), ("x",))
         runner = make_halo_runner(act, cfg, mesh, backend="pallas",
                                   interpret=False)
         jax.jit(lambda st: runner(st, 1)).lower(
@@ -162,10 +222,10 @@ def main():
                 lambda: gauge_mod.init_gauge_state(gcfg, gact)
             )
             ab = abstract_of(proto)
-            fpl = 2 if group == "u1" else 1
+            # multi-frame epilogue covers every fused group since r4
             jax.jit(
                 lambda st: gauge_kernel.run_gauge_frames_pallas(
-                    st, gact, gcfg, 2, frames_per_launch=fpl
+                    st, gact, gcfg, 2, frames_per_launch=2
                 )
             ).lower(ab).compile()
 
@@ -174,8 +234,12 @@ def main():
         "field_multiframe": case_field_multiframe,
         "tiled_2d": case_tiled_2d,
         "nd_unsharded": case_nd_unsharded,
+        "nd_chunk_unsharded": case_nd_chunk_unsharded,
         "nd_sharded": case_nd_sharded,
         "halo_step_2d": case_halo_step_2d,
+        "halo_md_2d": case_halo_md_2d,
+        "halo_md_4d": case_halo_md_4d,
+        "halo_thin_4d": case_halo_thin_4d,
         "halo_pair_2d": case_halo_pair_2d,
         "chain": case_chain,
         "gauge": case_gauge,
