@@ -190,6 +190,25 @@ class GaugeAction:
 
         return _jnp.zeros((links.shape[0],), _jnp.float32)
 
+    # --- domain-decomposition support (parallel/gauge_halo.py, r4) --------
+    # The state layouts differ per group, so the halo runner asks each
+    # action where the lattice dims live and for a per-SITE plaquette
+    # density it can owned-mask and psum across shards.
+
+    def lattice_axes(self, ndim: int) -> tuple:
+        """Axes of the STATE array holding the lattice dims."""
+        raise NotImplementedError
+
+    def noise_lattice_axes(self, ndim: int) -> tuple:
+        """Axes of the ``noise_shape`` array holding the lattice dims."""
+        raise NotImplementedError
+
+    def plaquette_site_mean(self, links, ndim: int):
+        """(C, *L) local plaquette density: per-site mean over unordered
+        orientations of the plaquette observable (whose lattice mean is
+        ``mean_plaquette``)."""
+        raise NotImplementedError
+
 
 @register_gauge("u1")
 @dataclasses.dataclass(frozen=True)
@@ -249,6 +268,22 @@ class U1Wilson(GaugeAction):
                 tot = tot + jnp.mean(jnp.cos(p), axis=tuple(range(1, p.ndim)))
                 n += 1
         return tot / n
+
+    def lattice_axes(self, ndim):
+        return tuple(range(2, 2 + ndim))  # (C, D, *L)
+
+    def noise_lattice_axes(self, ndim):
+        return tuple(range(2, 2 + ndim))
+
+    def plaquette_site_mean(self, theta, ndim: int):
+        acc = None
+        n = 0
+        for mu in range(ndim):
+            for nu in range(mu + 1, ndim):
+                c = jnp.cos(self.plaquette_angle(theta, mu, nu, ndim))
+                acc = c if acc is None else acc + c
+                n += 1
+        return acc / n
 
     def init_links(self, shape):
         """Cold start: all links at the identity (θ = 0)."""
@@ -354,6 +389,22 @@ class SU2Wilson(GaugeAction):
                 tot = tot + jnp.mean(w, axis=tuple(range(1, w.ndim)))
                 n += 1
         return tot / n
+
+    def lattice_axes(self, ndim):
+        return tuple(range(3, 3 + ndim))  # (C, 4, D, *L)
+
+    def noise_lattice_axes(self, ndim):
+        return tuple(range(3, 3 + ndim))  # (C, 3, D, *L)
+
+    def plaquette_site_mean(self, q, ndim: int):
+        acc = None
+        n = 0
+        for mu in range(ndim):
+            for nu in range(mu + 1, ndim):
+                w = self.plaquette(q, mu, nu)
+                acc = w if acc is None else acc + w
+                n += 1
+        return acc / n
 
     def apply_update(self, q, omega):
         """U ← exp(i ω⃗·σ/2) U for ω of shape (C, 3, D, *L); exact group
@@ -580,6 +631,22 @@ class SU3Wilson(GaugeAction):
                 tot = tot + jnp.mean(w, axis=tuple(range(1, w.ndim)))
                 n += 1
         return tot / n
+
+    def lattice_axes(self, ndim):
+        return tuple(range(2, 2 + ndim))  # (C, D, *L, 3, 3)
+
+    def noise_lattice_axes(self, ndim):
+        return tuple(range(3, 3 + ndim))  # (C, 8, D, *L)
+
+    def plaquette_site_mean(self, links, ndim: int):
+        acc = None
+        n = 0
+        for mu in range(ndim):
+            for nu in range(mu + 1, ndim):
+                w = retr(self.plaquette(links, mu, nu)) / self.N
+                acc = w if acc is None else acc + w
+                n += 1
+        return acc / n
 
     def _staple_sum(self, links, mu: int, ndim: int):
         """Σ_{ν≠μ} forward + backward staples V_μ(x), (C, *L, 3, 3), such

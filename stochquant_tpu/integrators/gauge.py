@@ -76,6 +76,11 @@ class GaugeConfig:
                                          # accept/reject + Δτ epilogue
                                          # in-kernel (per-frame semantics
                                          # unchanged)
+    mesh_axes: Optional[Tuple[Optional[str], ...]] = None
+    # per-lattice-dim mesh axis names for gauge domain decomposition
+    # (parallel/gauge_halo.py): links sharded over the mesh with 1-site
+    # halos exchanged per micro-step (r4 — lattices beyond one chip's HBM)
+    mesh_chain_axis: Optional[str] = None
 
     @property
     def ndim(self) -> int:
@@ -92,6 +97,8 @@ class GaugeConfig:
 
         d = json.loads(s)
         d["shape"] = tuple(d["shape"])
+        if d.get("mesh_axes") is not None:
+            d["mesh_axes"] = tuple(d["mesh_axes"])
         return cls(**d)
 
 

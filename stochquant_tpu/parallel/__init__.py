@@ -8,3 +8,7 @@ from stochquant_tpu.parallel.mesh import (  # noqa: F401
     shard_chain_state,
     shard_field_state,
 )
+from stochquant_tpu.parallel.gauge_halo import (  # noqa: F401
+    gauge_state_sharding,
+    shard_gauge_state,
+)

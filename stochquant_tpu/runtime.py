@@ -318,6 +318,7 @@ def run_gauge(
     checkpoint_out: Optional[str] = None,
     checkpoint_in: Optional[str] = None,
     checkpoint_every: int = 0,
+    mesh=None,
     stop=None,
     resume_progress: bool = False,
 ) -> RunResult:
@@ -325,15 +326,34 @@ def run_gauge(
 
     backend: 'pallas' (fused U(1) kernel — 2-D compact u1 without cooling),
     'xla' (group-agnostic scan), or 'auto' (fused kernel on TPU where it
-    applies)."""
+    applies).  With ``mesh`` + cfg.mesh_axes the links are sharded over the
+    mesh with 1-site halo exchange (parallel/gauge_halo.py — XLA path)."""
     from stochquant_tpu.integrators import gauge as gauge_mod
     from stochquant_tpu.kernels import gauge_kernel
 
     act = gauge_mod.resolve_gauge_action(cfg)
     sink = sink or metrics_mod.MetricsSink()
     on_tpu = jax.devices()[0].platform != "cpu"
+    use_halo = mesh is not None and cfg.mesh_axes is not None
+    if use_halo and backend == "pallas":
+        raise ValueError(
+            "the fused gauge kernels do not compose with the halo runner "
+            "yet; use backend='auto'/'xla' for sharded gauge lattices"
+        )
     if backend == "auto":
-        backend = "pallas" if (on_tpu and gauge_kernel.supports(act, cfg)) else "xla"
+        if use_halo:
+            backend = "xla"
+            if on_tpu and gauge_kernel.supports(act, cfg):
+                sink.emit({
+                    "type": "backend_fallback", "backend": "xla",
+                    "reason": "sharded gauge lattices run the XLA halo "
+                    "runner (fused gauge kernels are single-chip)",
+                })
+        else:
+            backend = (
+                "pallas" if (on_tpu and gauge_kernel.supports(act, cfg))
+                else "xla"
+            )
     if checkpoint_in:
         state, loaded_cfg = ckpt_mod.load(checkpoint_in)
         _check_resume_compat(
@@ -341,7 +361,16 @@ def run_gauge(
         )
     else:
         state = gauge_mod.init_gauge_state(cfg, act)
-    if backend in ("pallas", "pallas_tiled"):
+    if use_halo:
+        from stochquant_tpu.parallel.gauge_halo import (
+            make_gauge_halo_runner,
+            shard_gauge_state,
+        )
+
+        state = shard_gauge_state(state, act, mesh, cfg)
+        runner = make_gauge_halo_runner(act, cfg, mesh, interpret=not on_tpu)
+        run_n = lambda s, n: runner(s, n)
+    elif backend in ("pallas", "pallas_tiled"):
         # in-kernel multi-frame epilogue covers every fused group (r4)
         run_n = lambda s, n: gauge_kernel.run_gauge_frames_pallas(
             s, act, cfg, n, interpret=not on_tpu,

@@ -123,7 +123,9 @@ def test_runtime_routes_sharded_4d_to_composed_kernel():
 
     sel = runtime.select_field_backend
     mesh = make_mesh([("x", 2)])
-    cfg = _cfg(shape=(16, 8, 4, 4), loops=4)
+    # on_tpu routing builds real (non-interpret) kernels: shapes must meet
+    # the Mosaic DMA tiling rules (lane extent 4*32=128, sublane 8)
+    cfg = _cfg(shape=(16, 8, 4, 32), loops=4)
     c_dim0 = dataclasses.replace(cfg, mesh_axes=("x", None, None, None))
     assert sel(c_dim0, "auto", on_tpu=True, use_halo=True, mesh=mesh) == "pallas"
     assert sel(c_dim0, "auto", on_tpu=False, use_halo=True, mesh=mesh) == "xla"
@@ -133,9 +135,21 @@ def test_runtime_routes_sharded_4d_to_composed_kernel():
     # slab thinner than the halo depth: multi-hop gather keeps the kernel
     mesh8 = make_mesh([("x", 8)])
     c_thin = dataclasses.replace(
-        cfg, shape=(8, 8, 4, 4), mesh_axes=("x", None, None, None)
+        cfg, shape=(8, 8, 4, 32), mesh_axes=("x", None, None, None)
     )
     assert sel(c_thin, "auto", on_tpu=True, use_halo=True, mesh=mesh8) == "pallas"
+    # an UNALIGNED lane extent (4*4=16 lanes) is not device-admissible:
+    # routed to xla with a notice instead of a Mosaic compile failure
+    notes0 = []
+    c_unaligned = dataclasses.replace(
+        cfg, shape=(16, 8, 4, 4), mesh_axes=("x", None, None, None)
+    )
+    assert (
+        sel(c_unaligned, "auto", on_tpu=True, use_halo=True, mesh=mesh,
+            notices=notes0)
+        == "xla"
+    )
+    assert notes0
     # pure chain-DP mesh: whole-frame nd kernel per shard
     c_dp = dataclasses.replace(cfg, mesh_axes=(None,) * 4, mesh_chain_axis="chain")
     meshc = make_mesh([("chain", 2)])
