@@ -157,6 +157,12 @@ class FieldConfig:
     shape: Tuple[int, ...] = (256, 256)    # lattice sites per dimension
     spacing: float = 1.0                   # lattice spacing a (isotropic)
     sweep: "Sweep" = Sweep.SYNC
+    scheme: "Scheme" = Scheme.EM
+    # EM (default) or EXACT — the exact OU propagator for the FREE (Gaussian)
+    # field sector, applied per Fourier mode (rfftn diagonalizes the periodic
+    # Laplacian): zero integration bias at ANY Δτ, unconditionally stable
+    # (r4 — the field-theory extension of ChainConfig's Scheme.EXACT).
+    # XLA path, SYNC sweep, action='free_field' only; Δτ stays fixed.
     rng_impl: str = "threefry"
     # "threefry": counter-based (20 rounds), layout-invariant (the default
     #   contract).
@@ -217,6 +223,7 @@ class FieldConfig:
         d = json.loads(s)
         d["shape"] = tuple(d["shape"])
         d["sweep"] = Sweep(d.get("sweep", 0))
+        d["scheme"] = Scheme(d.get("scheme", 0))
         if d.get("mesh_axes") is not None:
             d["mesh_axes"] = tuple(d["mesh_axes"])
         return cls(**d)

@@ -24,11 +24,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from stochquant_tpu import rng
 from stochquant_tpu.actions.phi4 import FieldAction
-from stochquant_tpu.config import FieldConfig, Sweep
+from stochquant_tpu.config import FieldConfig, Scheme, Sweep
 from stochquant_tpu.integrators import accum
 
 
@@ -93,6 +94,60 @@ def init_field_state(cfg: FieldConfig) -> FieldState:
     )
 
 
+def _exact_field_check(action: FieldAction, cfg: FieldConfig) -> None:
+    from stochquant_tpu.actions.phi4 import FreeField
+
+    if not isinstance(action, FreeField):
+        raise ValueError(
+            "Scheme.EXACT integrates the FREE (Gaussian) field exactly; "
+            f"action {cfg.action!r} is not free_field — use Scheme.EM"
+        )
+    if cfg.sweep != Sweep.SYNC:
+        raise ValueError("Scheme.EXACT uses the synchronous (SYNC) sweep")
+    if cfg.mesh_axes is not None:
+        raise ValueError(
+            "Scheme.EXACT runs single-program (rfftn over the full "
+            "lattice); use mesh_axes=None"
+        )
+
+
+def _exact_field_mode_ops(action: FieldAction, cfg: FieldConfig, dtau):
+    """Per-Fourier-mode exact-OU factors ``(decay, svar)`` on the rfftn
+    grid (r4 — the 2-D/D-dim free-field analog of ChainConfig's
+    Scheme.EXACT; ROADMAP item).
+
+    The free drift dφ/dτ = (∇² − m²)φ + √(2c²/aᴰ)·ξ diagonalizes per mode:
+    B̂(k) = (2/a²)·Σ_d(1 − cos k_d) + m², so one step of the exact
+    transition is φ̂ ← e^{−B̂Δτ}φ̂ + ζ̂ with Var ζ = (c²/aᴰ)(1−e^{−2B̂Δτ})/B̂
+    — zero integration bias at ANY Δτ, unconditionally stable.  A massless
+    zero mode gets its diffusive limit 2Δτ·c²/aᴰ.  ``dtau`` is the
+    per-chain (C,) array (resume-safe, ADVICE r3)."""
+    shape = tuple(cfg.shape)
+    ndim = len(shape)
+    dtype = cfg.jdtype
+    a = cfg.spacing
+    measure = a**ndim
+    rshape = shape[:-1] + (shape[-1] // 2 + 1,)
+    bhat = jnp.zeros(rshape, dtype)
+    for d in range(ndim):
+        n = shape[d]
+        k = jnp.fft.rfftfreq(n) if d == ndim - 1 else jnp.fft.fftfreq(n)
+        k = (2.0 * np.pi) * k.astype(dtype)
+        kshape = [1] * ndim
+        kshape[d] = rshape[d]
+        bhat = bhat + (2.0 / (a * a)) * (1.0 - jnp.cos(k.reshape(kshape)))
+    bhat = bhat + jnp.asarray(action.m2, dtype)
+    c2m = jnp.asarray(cfg.noise_amp**2 / measure, dtype)
+    dt = jnp.asarray(dtau, dtype).reshape((-1,) + (1,) * ndim)
+    decay = jnp.exp(-bhat[None] * dt)
+    svar = jnp.where(
+        bhat[None] > 1e-8,
+        c2m * (1.0 - decay * decay) / jnp.maximum(bhat[None], 1e-8),
+        2.0 * dt * c2m,
+    )
+    return decay, jnp.sqrt(svar)
+
+
 def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
     C = cfg.n_chains
     shape = tuple(cfg.shape)
@@ -106,9 +161,14 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
     nonzero_axes = tuple(range(2, ndim + 1))  # lattice axes except dim 0
     checkerboard = cfg.sweep == Sweep.CHECKERBOARD
     even = checkerboard_mask(shape, ndim) if checkerboard else None
+    exact_scheme = getattr(cfg, "scheme", Scheme.EM) == Scheme.EXACT
+    if exact_scheme:
+        _exact_field_check(action, cfg)
 
     def frame(state: FieldState):
         dtau_b = lambda: state.dtau.reshape((C,) + (1,) * ndim)
+        if exact_scheme:
+            decay_k, svar_k = _exact_field_mode_ops(action, cfg, state.dtau)
 
         def em_apply(phi, mask, noise):
             """EM update applied on `mask` sites (None = all), reading the
@@ -128,22 +188,44 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
         def micro_step(carry, eta):
             phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrgvl, step = carry
 
-            noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
-                (C,) + (1,) * ndim
-            ) * eta
-
-            if checkerboard:
-                # even half-sweep, then odd sites see the fresh even values
-                phi_e, absdet_e, fin_e = em_apply(phi, even, noise)
-                newphi, absdet_o, fin_o = em_apply(phi_e, ~even, noise)
-                absdet = jnp.maximum(absdet_e, absdet_o)
-                fin = fin_e & fin_o
+            if exact_scheme:
+                # exact OU transition per Fourier mode: φ ← F⁻¹[decay·Fφ]
+                # + F⁻¹[√var·Fη] — the unnormalized-transform sandwich IS
+                # the operator functional calculus, so the normalization
+                # cancels; unconditionally stable, only non-finite trips
+                ph = jnp.fft.rfftn(phi, axes=lat_axes)
+                eh = jnp.fft.rfftn(eta, axes=lat_axes)
+                noise = jnp.fft.irfftn(
+                    svar_k.astype(ph.dtype) * eh, s=shape, axes=lat_axes
+                ).astype(dtype)
+                newphi = (
+                    jnp.fft.irfftn(
+                        decay_k.astype(ph.dtype) * ph, s=shape, axes=lat_axes
+                    ).astype(dtype)
+                    + noise
+                )
+                fin = jnp.isfinite(newphi)
+                max_det = jnp.zeros((C,), dtype)
+                bad = ~jnp.all(fin, axis=lat_axes)
+                tripped = bad
             else:
-                newphi, absdet, fin = em_apply(phi, None, noise)
+                noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
+                    (C,) + (1,) * ndim
+                ) * eta
 
-            max_det = jnp.max(absdet, axis=lat_axes)
-            bad = ~jnp.all(fin, axis=lat_axes)
-            tripped = (max_det > lrgvl) | bad
+                if checkerboard:
+                    # even half-sweep, then odd sites see the fresh even
+                    # values
+                    phi_e, absdet_e, fin_e = em_apply(phi, even, noise)
+                    newphi, absdet_o, fin_o = em_apply(phi_e, ~even, noise)
+                    absdet = jnp.maximum(absdet_e, absdet_o)
+                    fin = fin_e & fin_o
+                else:
+                    newphi, absdet, fin = em_apply(phi, None, noise)
+
+                max_det = jnp.max(absdet, axis=lat_axes)
+                bad = ~jnp.all(fin, axis=lat_axes)
+                tripped = (max_det > lrgvl) | bad
 
             # observables sample the pre-update field
             mag = jnp.mean(phi, axis=lat_axes)
@@ -238,15 +320,23 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
         lrgvl = sel(lrgvl, state.lrg_vl)
         runs = accum.bump_runs(state.runs, cfg.loops, accept)
 
-        grow = accept & (state.stab_cnt >= cfg.grow_after)
-        dtau = jnp.where(
-            grow,
-            state.dtau / cfg.shrink,
-            jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
-        )
-        if cfg.dtau_max is not None:
-            dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, dtype))
-        stab_cnt = jnp.where(accept, jnp.where(grow, 0, state.stab_cnt + 1), 0)
+        if exact_scheme:
+            # nothing to adapt: the propagator is exact at the configured
+            # Δτ and unconditionally stable (mirrors the chain EXACT path)
+            dtau = state.dtau
+            stab_cnt = jnp.where(accept, state.stab_cnt + 1, 0)
+        else:
+            grow = accept & (state.stab_cnt >= cfg.grow_after)
+            dtau = jnp.where(
+                grow,
+                state.dtau / cfg.shrink,
+                jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+            )
+            if cfg.dtau_max is not None:
+                dtau = jnp.minimum(dtau, jnp.asarray(cfg.dtau_max, dtype))
+            stab_cnt = jnp.where(
+                accept, jnp.where(grow, 0, state.stab_cnt + 1), 0
+            )
 
         new_state = FieldState(
             phi=phi,

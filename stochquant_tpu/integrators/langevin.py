@@ -149,8 +149,8 @@ def _exact_scheme_check(action: QMAction, cfg: ChainConfig) -> None:
             "exactly and needs it frozen: use formulation=BACKGROUND with "
             "parisi=False (or an action without a zero mode)"
         )
-    if cfg.bc == BoundaryCondition.DIRICHLET:
-        raise ValueError("Scheme.EXACT supports PERIODIC / FIXED_BG boundaries")
+    # every BC is supported since r4: PERIODIC (corner wrap), FIXED_BG
+    # (ghost source), DIRICHLET (interior propagator, edges re-pinned)
 
 
 def exact_propagator_ops(action: QMAction, cfg: ChainConfig, omega, dtau=None):
@@ -188,7 +188,21 @@ def exact_propagator_ops(action: QMAction, cfg: ChainConfig, omega, dtau=None):
     eye = jnp.eye(N, dtype=dtype)
     off = (jnp.eye(N, k=1) + jnp.eye(N, k=-1)).astype(dtype)
     B = curv[:, :, None] * eye + (2.0 * inv) * eye - inv * off
-    if cfg.bc == BoundaryCondition.PERIODIC:
+    dirichlet = cfg.bc == BoundaryCondition.DIRICHLET
+    if dirichlet:
+        # edge SITES pinned to 0 (the EM path's per-step
+        # ``.at[:, 0].set(0)``, tau_kernel.cl:70-72 semantics): the exact
+        # propagator acts on the N−2 interior sites with the Dirichlet
+        # Laplacian and is embedded into N×N with zero edge rows/cols —
+        # every exact step then re-pins the edges by construction.
+        Ni = N - 2
+        eye_i = jnp.eye(Ni, dtype=dtype)
+        off_i = (jnp.eye(Ni, k=1) + jnp.eye(Ni, k=-1)).astype(dtype)
+        B = (
+            curv[:, 1:-1, None] * eye_i + (2.0 * inv) * eye_i - inv * off_i
+        )
+        mu = jnp.zeros((C, N), dtype)
+    elif cfg.bc == BoundaryCondition.PERIODIC:
         corner = (
             jnp.zeros((N, N), dtype).at[0, N - 1].set(1.0).at[N - 1, 0].set(1.0)
         )
@@ -228,6 +242,12 @@ def exact_propagator_ops(action: QMAction, cfg: ChainConfig, omega, dtau=None):
     hi = jax.lax.Precision.HIGHEST
     P = jnp.einsum("cik,ck,cjk->cij", U, decay, U, precision=hi)
     S = jnp.einsum("cik,ck,cjk->cij", U, jnp.sqrt(var), U, precision=hi)
+    if dirichlet:
+        # embed the interior operators; zero edge rows/cols keep f = 0 at
+        # the edge sites (and zero their noise) every step
+        Pf = jnp.zeros((C, N, N), dtype).at[:, 1:-1, 1:-1].set(P)
+        Sf = jnp.zeros((C, N, N), dtype).at[:, 1:-1, 1:-1].set(S)
+        return Pf, Sf, mu
     return P, S, mu
 
 

@@ -491,12 +491,22 @@ def select_field_backend(
     one human-readable reason string (VERDICT r3 weak #2 — no silent
     forfeits of the kernel path)."""
 
+    from stochquant_tpu.config import Scheme
+
     def xla(reason: str) -> str:
         if notices is not None:
             notices.append(reason)
         return "xla"
 
+    exact = getattr(cfg, "scheme", Scheme.EM) == Scheme.EXACT
+    if exact and backend not in ("auto", "xla"):
+        raise ValueError(
+            "Scheme.EXACT is an XLA path by design (FFT-mode propagator); "
+            "use backend='auto' or 'xla'"
+        )
     if backend == "auto":
+        if exact:
+            return "xla"  # by design, no notice (like the chain EXACT path)
         if cfg.dtype != "float32":
             return xla(f"dtype {cfg.dtype} has no fused kernel (float32 only)")
         if not on_tpu:

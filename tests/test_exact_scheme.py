@@ -140,12 +140,6 @@ def test_exact_scheme_validation_surfaces():
     )
     with pytest.raises(ValueError, match="parisi"):
         langevin.make_frame_fn(act, bad_parisi)
-    bad_dirichlet = ChainConfig(
-        action="harmonic", scheme=Scheme.EXACT,
-        formulation=Formulation.BACKGROUND, bc=BoundaryCondition.DIRICHLET,
-    )
-    with pytest.raises(ValueError, match="PERIODIC"):
-        langevin.make_frame_fn(actions.get("harmonic"), bad_dirichlet)
     # kernel path refuses loudly
     from stochquant_tpu.kernels import chain_kernel
 
@@ -157,3 +151,85 @@ def test_exact_scheme_validation_surfaces():
     s0 = langevin.init_chain_state(good, actions.get("harmonic"))
     with pytest.raises(ValueError, match="XLA-path"):
         chain_kernel.chain_frame_pallas(s0, actions.get("harmonic"), good, interpret=True)
+
+
+def test_exact_scheme_dirichlet_hits_target_cov():
+    """r4 (ROADMAP item): Scheme.EXACT with DIRICHLET edges — the interior
+    (N−2)-site propagator embedded with zero edge rows/cols.  Gate the
+    interior ⟨x²⟩ against diag(B_int⁻¹)/Δt at an EM-impossible Δτ and
+    assert the edges stay pinned at exactly 0."""
+    cfg = ChainConfig(
+        action="harmonic", n_sites=32, dt=0.1, dtau=2.0, n_chains=128,
+        loops=20, seed=43, scheme=Scheme.EXACT,
+        formulation=Formulation.BACKGROUND, bc=BoundaryCondition.DIRICHLET,
+    )
+    act = actions.get("harmonic")
+    B = exact.harmonic_drift_matrix(cfg.n_sites, cfg.dt, bc=cfg.bc)
+    assert cfg.dtau * np.linalg.eigvalsh(B).max() > 100.0  # EM-impossible
+    s = _run(cfg, act, burn=3, frames=40)
+    f = np.asarray(s.f)
+    np.testing.assert_array_equal(f[:, 0], np.zeros(cfg.n_chains))
+    np.testing.assert_array_equal(f[:, -1], np.zeros(cfg.n_chains))
+    sig2 = np.diag(exact.target_cov(B, cfg.dt))
+    x2 = np.asarray(s.x2_mean, np.float64)[:, 1:-1]
+    z2 = _z(x2, sig2, cfg.n_chains)
+    assert z2.max() < 6.0, z2.max()
+
+
+def test_exact_scheme_free_field_2d_hits_target_phi2():
+    """r4 (ROADMAP item): Scheme.EXACT for the 2-D FREE field — the exact
+    OU propagator per Fourier mode.  At Δτ·B̂_max ≫ 1 (EM-impossible) the
+    site-averaged ⟨φ²⟩ must hit (c²/aᴰ)·mean_k 1/B̂(k)."""
+    from stochquant_tpu.actions import phi4
+    from stochquant_tpu.config import FieldConfig
+    from stochquant_tpu.integrators import field
+
+    cfg = FieldConfig(
+        action="free_field", shape=(16, 16), dtau=2.0, n_chains=64,
+        loops=20, seed=11, scheme=Scheme.EXACT,
+    )
+    act = phi4.get_field("free_field")
+    # B̂_max = 8/a² + m² = 9 → Δτ·B̂_max = 18 (EM stability needs < 2)
+    s = field.init_field_state(cfg)
+    s, _ = field.run_field_frames(s, act, cfg, 3)
+    s = field.reset_field_means(s)
+    s, m = field.run_field_frames(s, act, cfg, 30)
+    assert np.all(np.asarray(m["stable"]))
+    np.testing.assert_array_equal(
+        np.asarray(s.dtau), np.full(cfg.n_chains, np.float32(cfg.dtau))
+    )
+    kx = 2.0 * np.pi * np.fft.fftfreq(16)
+    bhat = (
+        2.0 * (1.0 - np.cos(kx))[:, None]
+        + 2.0 * (1.0 - np.cos(kx))[None, :]
+        + 1.0
+    )
+    target = np.mean(1.0 / bhat)
+    phi2 = np.asarray(s.phi2_mean, np.float64)
+    z = _z(phi2, target, cfg.n_chains)
+    assert z.max() < 6.0, (phi2.mean(), target, z.max())
+
+
+def test_exact_scheme_free_field_validation():
+    from stochquant_tpu.actions import phi4
+    from stochquant_tpu.config import FieldConfig, Sweep
+    from stochquant_tpu.integrators import field
+
+    bad_action = FieldConfig(action="phi4", scheme=Scheme.EXACT)
+    with pytest.raises(ValueError, match="free_field"):
+        field.make_field_frame_fn(phi4.get_field("phi4"), bad_action)
+    bad_sweep = FieldConfig(
+        action="free_field", scheme=Scheme.EXACT, sweep=Sweep.CHECKERBOARD
+    )
+    with pytest.raises(ValueError, match="SYNC"):
+        field.make_field_frame_fn(phi4.get_field("free_field"), bad_sweep)
+    # runtime routes EXACT to xla; explicit pallas refuses
+    from stochquant_tpu import runtime
+
+    good = FieldConfig(action="free_field", shape=(8, 8), scheme=Scheme.EXACT)
+    assert (
+        runtime.select_field_backend(good, "auto", on_tpu=True, use_halo=False)
+        == "xla"
+    )
+    with pytest.raises(ValueError, match="XLA"):
+        runtime.select_field_backend(good, "pallas", on_tpu=True, use_halo=False)
