@@ -488,7 +488,8 @@ def sharded_tile_rows_md(cfg: FieldConfig, local_shape, halos):
 
 
 def _build_sharded_chunk_kernel(
-    action: FieldAction, cfg: FieldConfig, T0: int, W: int, halos, local_shape
+    action: FieldAction, cfg: FieldConfig, T0: int, W: int, halos, local_shape,
+    *, rdma: bool = False, use_barrier: bool = True,
 ):
     """W-micro-step chunk kernel on a halo-extended local block.
 
@@ -496,7 +497,18 @@ def _build_sharded_chunk_kernel(
     recompute there); 0 for unsplit dims (exact periodic wrap — the full
     global extent is local).  Degenerates to the r3 dim-0-only kernel when
     only ``halos[0]`` is set.  Math/expression order matches
-    ``integrators/field.py`` site-for-site (the bitwise contract)."""
+    ``integrators/field.py`` site-for-site (the bitwise contract).
+
+    ``rdma=True`` (VERDICT r3 item 2, ROADMAP): dim-0-only splits where the
+    KERNEL fetches its neighbour halos itself via
+    ``pltpu.make_async_remote_copy`` — no XLA fixup launches, no
+    host-visible collective between micro-steps.  The first grid program
+    barriers with the ring neighbours (cross-launch safety), stages its H
+    edge rows and fires one RDMA per direction; strips are processed in a
+    rotated order so the interior computes while the transfers ride the
+    ICI, and only the two boundary strips wait on the receive semaphores.
+    This makes the neighbour reads of ``tau_kernel.cl:114`` truly native at
+    multi-chip scale (SURVEY §2.5 ring row)."""
     shape = tuple(cfg.shape)  # GLOBAL lattice shape (RNG counters, wrap)
     D = len(shape)
     L0g, L1g = shape[0], shape[1]
@@ -523,27 +535,180 @@ def _build_sharded_chunk_kernel(
     strides = list(reversed(strides))
 
     def kernel(
-        scalars_ref,  # SMEM (3+D,): seed, step_base, chain_off, off_0..off_{D-1}
-        ext_ref,      # ANY (HBM): (C, ext0, E1[, LFe]) extended block
+        scalars_ref,  # SMEM: seed, step_base, chain_off, off_0..off_{D-1}
+                      # (+ ring_idx, ring_size when rdma)
+        ext_ref,      # ANY (HBM): (C, ext0, E1[, LFe]) extended block — or
+                      # the UNEXTENDED local slab (C, loc0, ...) when rdma
         dtau_ref,
         phio_ref, sl_ref, stats_ref,
         strip_ref, sem_ref,
+        *comm_refs,   # rdma only: stage, recv, ssem, rsem, flag
     ):
         c = pl.program_id(0)
-        i = pl.program_id(1)
+        if rdma:
+            nt = loc[0] // T0
+            it = pl.program_id(1)
+            # rotated strip order: boundary strips (phys 0 and nt-1, the
+            # ones that wait on the receive semaphores) run LAST so the
+            # interior compute hides the transfers
+            i = (it + 1) % nt
+        else:
+            i = pl.program_id(1)
         seed = scalars_ref[0]
         step0 = scalars_ref[1]
         chain = scalars_ref[2] + jnp.uint32(c)
 
-        # one contiguous DMA: this strip's extended rows (ext row i*T0 is
-        # local row i*T0 - H0, i.e. the strip's upper halo).  For 2-D the
-        # sliced dim is the sublane dim: i*T0 and E0 are 8-aligned by
-        # construction (T0 % 8 == 0, H0 % 8 == 0).
-        dma = pltpu.make_async_copy(
-            ext_ref.at[pl.ds(c, 1), pl.ds(i * T0, E0)], strip_ref, sem_ref
-        )
-        dma.start()
-        dma.wait()
+        if rdma:
+            stage_ref, recv_ref, ssem, rsem, flag_ref = comm_refs
+            H = halos[0]
+            L0_loc = loc[0]
+            # LOGICAL ids of the ring neighbours, precomputed by the runner
+            # (on multi-axis meshes the logical id is the flattened mesh
+            # coordinate, not the ring-axis index)
+            left = scalars_ref[3 + D].astype(jnp.int32)
+            right = scalars_ref[4 + D].astype(jnp.int32)
+
+            @pl.when((c == 0) & (it == 0))
+            def _comm():
+                if use_barrier:
+                    # cross-launch safety: nobody sends chunk k+1 into a
+                    # neighbour still consuming chunk k — entering this
+                    # launch implies the previous one retired locally, and
+                    # the barrier makes that mutual
+                    bsem = pltpu.get_barrier_semaphore()
+                    pltpu.semaphore_signal(bsem, inc=1, device_id=left)
+                    pltpu.semaphore_signal(bsem, inc=1, device_id=right)
+                    pltpu.semaphore_wait(bsem, 2)
+                # stage my edge rows (all chains at once), then one RDMA
+                # per direction: my top rows become the LEFT neighbour's
+                # bottom halo and vice versa
+                up = pltpu.make_async_copy(
+                    ext_ref.at[:, pl.ds(0, H)], stage_ref.at[0], sem_ref
+                )
+                up.start()
+                up.wait()
+                dn = pltpu.make_async_copy(
+                    ext_ref.at[:, pl.ds(L0_loc - H, H)], stage_ref.at[1],
+                    sem_ref,
+                )
+                dn.start()
+                dn.wait()
+                send_up = pltpu.make_async_remote_copy(
+                    src_ref=stage_ref.at[0], dst_ref=recv_ref.at[1],
+                    send_sem=ssem.at[0], recv_sem=rsem.at[1],
+                    device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                send_up.start()
+                send_dn = pltpu.make_async_remote_copy(
+                    src_ref=stage_ref.at[1], dst_ref=recv_ref.at[0],
+                    send_sem=ssem.at[1], recv_sem=rsem.at[0],
+                    device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                send_dn.start()
+                flag_ref[0] = 0
+                flag_ref[1] = 0
+
+            # assemble the extended strip: center always from the local
+            # slab; halo rows from the slab (interior strips) or the RDMA
+            # receive buffers (boundary strips, after a one-time wait)
+            center = pltpu.make_async_copy(
+                ext_ref.at[pl.ds(c, 1), pl.ds(i * T0, T0)],
+                strip_ref.at[:, pl.ds(H, T0)],
+                sem_ref,
+            )
+            center.start()
+            center.wait()
+
+            @pl.when(i > 0)
+            def _top_local():
+                d_ = pltpu.make_async_copy(
+                    ext_ref.at[pl.ds(c, 1), pl.ds(i * T0 - H, H)],
+                    strip_ref.at[:, pl.ds(0, H)],
+                    sem_ref,
+                )
+                d_.start()
+                d_.wait()
+
+            @pl.when(i == 0)
+            def _top_remote():
+                @pl.when(flag_ref[0] == 0)
+                def _wait():
+                    recv_up = pltpu.make_async_remote_copy(
+                        src_ref=stage_ref.at[1], dst_ref=recv_ref.at[0],
+                        send_sem=ssem.at[1], recv_sem=rsem.at[0],
+                        device_id=right,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
+                    recv_up.wait_recv()
+                    flag_ref[0] = 1
+
+                d_ = pltpu.make_async_copy(
+                    recv_ref.at[0, pl.ds(c, 1)], strip_ref.at[:, pl.ds(0, H)],
+                    sem_ref,
+                )
+                d_.start()
+                d_.wait()
+
+            @pl.when(i < nt - 1)
+            def _bot_local():
+                d_ = pltpu.make_async_copy(
+                    ext_ref.at[pl.ds(c, 1), pl.ds((i + 1) * T0, H)],
+                    strip_ref.at[:, pl.ds(H + T0, H)],
+                    sem_ref,
+                )
+                d_.start()
+                d_.wait()
+
+            @pl.when(i == nt - 1)
+            def _bot_remote():
+                @pl.when(flag_ref[1] == 0)
+                def _wait():
+                    recv_dn = pltpu.make_async_remote_copy(
+                        src_ref=stage_ref.at[0], dst_ref=recv_ref.at[1],
+                        send_sem=ssem.at[0], recv_sem=rsem.at[1],
+                        device_id=left,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
+                    recv_dn.wait_recv()
+                    flag_ref[1] = 1
+
+                d_ = pltpu.make_async_copy(
+                    recv_ref.at[1, pl.ds(c, 1)],
+                    strip_ref.at[:, pl.ds(H + T0, H)],
+                    sem_ref,
+                )
+                d_.start()
+                d_.wait()
+
+            # wait for MY sends before the launch can retire reusing stage
+            @pl.when((c == pl.num_programs(0) - 1) & (it == nt - 1))
+            def _drain():
+                s_up = pltpu.make_async_remote_copy(
+                    src_ref=stage_ref.at[0], dst_ref=recv_ref.at[1],
+                    send_sem=ssem.at[0], recv_sem=rsem.at[1],
+                    device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                s_up.wait_send()
+                s_dn = pltpu.make_async_remote_copy(
+                    src_ref=stage_ref.at[1], dst_ref=recv_ref.at[0],
+                    send_sem=ssem.at[1], recv_sem=rsem.at[0],
+                    device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                s_dn.wait_send()
+        else:
+            # one contiguous DMA: this strip's extended rows (ext row i*T0
+            # is local row i*T0 - H0, i.e. the strip's upper halo).  For
+            # 2-D the sliced dim is the sublane dim: i*T0 and E0 are
+            # 8-aligned by construction (T0 % 8 == 0, H0 % 8 == 0).
+            dma = pltpu.make_async_copy(
+                ext_ref.at[pl.ds(c, 1), pl.ds(i * T0, E0)], strip_ref, sem_ref
+            )
+            dma.start()
+            dma.wait()
         # rank-3 (E0, E1, LFe) / rank-2 (E0, E1) math — rank-4 vectors with
         # leading singletons trip Mosaic relayout limits
         phi0 = strip_ref[0]
@@ -748,6 +913,7 @@ def _sharded_chunk_call(
     W: int,
     halos,
     interpret: bool,
+    rdma: bool = False,
 ):
     loc = tuple(local_shape)
     ext = tuple(l + 2 * h for l, h in zip(loc, halos))
@@ -759,7 +925,10 @@ def _sharded_chunk_call(
         raise ValueError(f"tile_rows={T0} must divide the local slab {L0_loc}")
     nt = L0_loc // T0
     E0 = T0 + 2 * halos[0]
-    kernel = _build_sharded_chunk_kernel(action, cfg, T0, W, halos, loc)
+    kernel = _build_sharded_chunk_kernel(
+        action, cfg, T0, W, halos, loc, rdma=rdma,
+        use_barrier=not interpret,
+    )
 
     ext_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM; strips DMA'd
     lat_tail = (E1,) if cfg.ndim == 2 else (E1, LFe)
@@ -791,25 +960,38 @@ def _sharded_chunk_call(
         sl_shape,
         jax.ShapeDtypeStruct((C, nt, 5 * W), jnp.float32),
     )
+    scratch = [
+        pltpu.VMEM((1, E0) + lat_tail, jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if rdma:
+        halo_buf = (2, C, halos[0]) + lat_tail
+        scratch += [
+            pltpu.VMEM(halo_buf, jnp.float32),   # stage (my edges)
+            pltpu.VMEM(halo_buf, jnp.float32),   # recv (neighbour halos)
+            pltpu.SemaphoreType.DMA((2,)),       # send sems
+            pltpu.SemaphoreType.DMA((2,)),       # recv sems
+            pltpu.SMEM((2,), jnp.int32),         # recv-consumed flags
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(C, nt),
         in_specs=[ext_spec, dtau_spec],
         out_specs=(lat_o, sl, stats),
-        scratch_shapes=[
-            pltpu.VMEM((1, E0) + lat_tail, jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
+    params = dict(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    if rdma:
+        params.update(has_side_effects=True, collective_id=13)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
+        compiler_params=pltpu.CompilerParams(**params),
     )
 
 
@@ -896,6 +1078,85 @@ def make_sharded_chunk_step_md(
         return phi_out, sl, stats
 
     return step, halos
+
+
+def make_rdma_chunk_step(
+    action: FieldAction,
+    cfg: FieldConfig,
+    c_local: int,
+    local_shape,
+    W: int,
+    *,
+    tile_rows=None,
+    interpret: bool = False,
+):
+    """Returns ``(step, H)`` where ``step(phi_local, dtau, step_base,
+    (chain_off, row_off, ring_idx, ring_size)) -> (phi_out, slices,
+    stats)`` advances W micro-steps on the UNEXTENDED local dim-0 slab in
+    one launch, with the halo exchange done IN-KERNEL by remote DMA
+    (VERDICT r3 item 2) — the runner performs no ppermute and no concat.
+
+    Dim-0-only splits, single-hop halos (H <= local rows and H <= T0)."""
+    if W % 2 or W < 2:
+        raise ValueError("the chunk kernel advances an even number of steps")
+    if not rng.counter_based(cfg.rng_impl):
+        raise ValueError(
+            "the RDMA chunk kernel requires counter-based noise — "
+            "rng_impl='threefry'"
+        )
+    loc = tuple(local_shape)
+    split = (True,) + (False,) * (cfg.ndim - 1)
+    halos = chunk_halos_md(cfg, W, split, loc, device=not interpret)
+    if halos is None:
+        raise ValueError(
+            "no aligned halo depth exists for this geometry; use "
+            "backend='pallas' or 'xla'"
+        )
+    H = halos[0]
+    if H > loc[0]:
+        raise ValueError(
+            "the RDMA chunk kernel is single-hop: halo depth must not "
+            "exceed the local slab (use backend='pallas' for thin slabs)"
+        )
+    if cfg.ndim == 2 and loc[0] % 8:
+        raise ValueError(
+            "2-D RDMA chunk kernel: the local dim-0 slab must be a "
+            "multiple of 8 rows"
+        )
+    T0 = tile_rows or sharded_tile_rows_md(cfg, loc, halos)
+    if T0 is None:
+        raise ValueError("no admissible dim-0 tile fits the VMEM budget")
+    if H > T0:
+        # halo rows are copied from the slab rows of the NEIGHBOURING
+        # strip: needs H <= T0
+        cands = [
+            t for t in range(T0, loc[0] + 1)
+            if loc[0] % t == 0 and t >= H
+            and (cfg.ndim != 2 or t % 8 == 0)
+        ]
+        if not cands:
+            raise ValueError("no tile with tile_rows >= halo depth exists")
+        T0 = cands[0]
+    call = _sharded_chunk_call(
+        action, cfg, c_local, loc, T0, W, halos, interpret, True
+    )
+    tail = (loc[1],) if cfg.ndim == 2 else (loc[1], int(np.prod(loc[2:])))
+
+    def step(phi, dtau, step_base, offs):
+        u32 = lambda v: jnp.asarray(v, jnp.uint32)
+        chain_off, row_off, left_id, right_id = offs
+        scalars = jnp.stack(
+            [u32(cfg.seed), u32(step_base), u32(chain_off), u32(row_off)]
+            + [u32(0)] * (cfg.ndim - 1)
+            + [u32(left_id), u32(right_id)]
+        )
+        phi_flat = phi.reshape((c_local, loc[0]) + tail)
+        phi_out, sl, stats = call(scalars, phi_flat, dtau[:, None])
+        if cfg.ndim == 2:
+            sl = sl[..., 0]
+        return phi_out, sl, stats
+
+    return step, H
 
 
 def make_sharded_chunk_step(

@@ -144,7 +144,9 @@ def make_halo_runner(
     """
     if cfg.mesh_axes is None:
         raise ValueError("cfg.mesh_axes required for the halo runner")
-    if backend not in ("xla", "pallas", "pallas_step", "pallas_pair"):
+    if backend not in (
+        "xla", "pallas", "pallas_step", "pallas_pair", "pallas_rdma"
+    ):
         raise ValueError(f"unknown halo backend {backend!r}")
     ndim = cfg.ndim
     shape = tuple(cfg.shape)
@@ -192,6 +194,19 @@ def make_halo_runner(
                 "cfg.mesh_axes[0] set for the ring-of-one bench case)"
             )
         backend = "pallas_nd"
+    if backend == "pallas_rdma":
+        # in-kernel remote-DMA halo exchange (r4, VERDICT r3 item 2):
+        # dim-0-only splits, single-hop halos; the ring-of-one bench case
+        # is allowed like pallas_pair
+        if any(sharded_dims[1:]):
+            raise ValueError(
+                "backend='pallas_rdma' supports dim-0-only lattice splits"
+            )
+        if not lat_axes_spec[0]:
+            raise ValueError(
+                "backend='pallas_rdma' needs cfg.mesh_axes[0] set (the "
+                "dim-0 ring axis)"
+            )
     if backend == "pallas":
         if not any(sharded_dims):
             backend = "pallas_frame"
@@ -210,7 +225,7 @@ def make_halo_runner(
                 "composed chunk kernel (odd loops/W, non-counter RNG, or "
                 "no aligned halo/tile); use backend='xla'"
             )
-    if backend in ("pallas_frame", "pallas_step", "pallas_nd"):
+    if backend in ("pallas_frame", "pallas_step", "pallas_nd", "pallas_rdma"):
         if cfg.dtype != "float32":
             raise ValueError(
                 "the fused halo kernels are float32-only; use backend='xla' "
@@ -410,6 +425,27 @@ def make_halo_runner(
         if W_tail:
             kstep_tail, halos_tail = fknd.make_sharded_chunk_step_md(
                 action, cfg, c_local, local_shape, W_tail, chunk_split,
+                interpret=interpret,
+            )
+    elif backend == "pallas_rdma":
+        from stochquant_tpu.kernels import field_kernel_nd as fknd
+
+        if cfg.loops % 2:
+            raise ValueError("the RDMA chunk kernel needs an even cfg.loops")
+        W_cfg = cfg.exchange_steps or fknd.default_exchange_steps(cfg)
+        if W_cfg % 2 or W_cfg < 2:
+            raise ValueError("cfg.exchange_steps must be even and >= 2")
+        W_main = min(W_cfg, cfg.loops)
+        n_chunks = cfg.loops // W_main
+        W_tail = cfg.loops - n_chunks * W_main
+        kstep_main, _H = fknd.make_rdma_chunk_step(
+            action, cfg, c_local, local_shape, W_main, interpret=interpret
+        )
+        halos_main = None
+        kstep_tail = halos_tail = None
+        if W_tail:
+            kstep_tail, _Ht = fknd.make_rdma_chunk_step(
+                action, cfg, c_local, local_shape, W_tail,
                 interpret=interpret,
             )
     elif backend == "pallas_frame":
@@ -772,13 +808,41 @@ def make_halo_runner(
 
         def chunk_step_md(carry, kstep, halos, Wx):
             phi, ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg, step = carry
-            ext = phi
-            for d in range(ndim):
-                if halos[d]:
-                    ext = _extend(ext, d, halos[d])
-            phi2_arr, sl, stats = kstep(
-                ext, state.dtau, step, (ch_off,) + tuple(lat_off)
-            )
+            if halos is None:
+                # RDMA mode: the KERNEL exchanges the halos itself — no
+                # ppermute, no concat.  Pass the ring neighbours' LOGICAL
+                # device ids (flattened mesh coordinates, C order) so the
+                # kernel addresses the right chip on multi-axis meshes.
+                ax0 = lat_axes_spec[0]
+                n0 = axis_sizes[ax0]
+                me0 = lax.axis_index(ax0)
+                base = jnp.int32(0)
+                for name in mesh.axis_names:
+                    sz = axis_sizes[name]
+                    idx = lax.axis_index(name) if name != ax0 else 0
+                    base = base * sz + idx
+                stride = jnp.int32(1)
+                seen = False
+                for name in reversed(mesh.axis_names):
+                    if name == ax0:
+                        seen = True
+                        break
+                    stride = stride * axis_sizes[name]
+                assert seen
+                left_id = base + ((me0 + n0 - 1) % n0) * stride
+                right_id = base + ((me0 + 1) % n0) * stride
+                phi2_arr, sl, stats = kstep(
+                    phi, state.dtau, step, (ch_off, lat_off[0], left_id, right_id)
+                )
+                halos = (0,) * ndim
+            else:
+                ext = phi
+                for d in range(ndim):
+                    if halos[d]:
+                        ext = _extend(ext, d, halos[d])
+                phi2_arr, sl, stats = kstep(
+                    ext, state.dtau, step, (ch_off,) + tuple(lat_off)
+                )
 
             def obs_step(vals, s_slice_loc, st):
                 ms, m2s, m4s, ams, p2s, acs, cs, unstable, lrg = vals
@@ -840,7 +904,7 @@ def make_halo_runner(
                 step + Wx,
             )
 
-        if backend == "pallas_nd":
+        if backend in ("pallas_nd", "pallas_rdma"):
             pair_step = odd_tail = None  # chunk scan below
         elif backend == "pallas_step":
             def pair_step(carry, _):
@@ -867,7 +931,7 @@ def make_halo_runner(
             state.phi, zc, zc, zc, zc, zc, zc, jnp.zeros_like(state.corr_mean),
             jnp.zeros((c_local,), bool), state.lrg_vl, state.step,
         )
-        if backend == "pallas_nd":
+        if backend in ("pallas_nd", "pallas_rdma"):
             carry, _ = lax.scan(
                 lambda cr, _: (
                     chunk_step_md(cr, kstep_main, halos_main, W_main), None

