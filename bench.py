@@ -31,6 +31,83 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def timeit(run, reps=5):
+    """Median of ``reps`` timed calls (after one warm/compile call), plus
+    the (min, max) spread — VERDICT r3 weak #1: no more min-of-2 headline
+    numbers; the tunnel's readback variance is reported, not hidden."""
+    run()
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    ts.sort()
+    return ts[len(ts) // 2], ts[0], ts[-1]
+
+
+def ab_timeit(runs, reps=5):
+    """Paired A/B timing in ONE process: warm every variant once, then
+    round-robin the timed reps so machine drift hits all variants equally
+    (VERDICT r3 item 4).  Returns {name: (median, min, max)}."""
+    for r in runs.values():
+        r()
+    ts = {k: [] for k in runs}
+    for _ in range(reps):
+        for k, r in runs.items():
+            t0 = time.time()
+            r()
+            ts[k].append(time.time() - t0)
+    out = {}
+    for k, v in ts.items():
+        v.sort()
+        out[k] = (v[len(v) // 2], v[0], v[-1])
+    return out
+
+
+#: headline keys compared against the previous round's BENCH json: a >15%
+#: drop makes the bench FAIL LOUDLY (stderr banner + "regressions" in the
+#: JSON; the record is still printed so the driver never loses the data)
+_REGRESSION_KEYS = (
+    "value", "threefry_mlups", "config2_anharmonic_mlups",
+    "field_runtime_pallas_mlups", "u1_gauge_kernel_mlups",
+    "su2_gauge_kernel_mlups", "su3_gauge_kernel_mlups", "nd4d_kernel_mlups",
+    "halo_pair_mlups", "config2_multiframe_k8_mlups",
+)
+
+
+def check_regressions(result: dict) -> dict:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not prev:
+        return {}
+    try:
+        with open(prev[-1]) as f:
+            old = json.load(f)
+    except Exception as e:  # noqa: BLE001
+        log(f"regression gate: cannot read {prev[-1]}: {e}")
+        return {}
+    regressions = {}
+    for k in _REGRESSION_KEYS:
+        a, b = old.get(k), result.get(k)
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a > 0:
+            if b < 0.85 * a:
+                regressions[k] = {"prev": a, "now": b,
+                                  "ratio": round(b / a, 3)}
+    if regressions:
+        log("=" * 60)
+        log(f"PERF REGRESSION vs {os.path.basename(prev[-1])} (>15% drop):")
+        for k, v in regressions.items():
+            log(f"  {k}: {v['prev']} -> {v['now']} ({v['ratio']}x)")
+        log("=" * 60)
+    return regressions
+
+
 def worker() -> None:
     import jax
 
@@ -179,53 +256,33 @@ def worker() -> None:
         loops=100 if on_tpu else 4, frames=10 if on_tpu else 2, seed=13,
         fps=10 if on_tpu else 2, grow_after=10**9,
     )
-    sink = metrics_mod.MetricsSink(stream=open(os.devnull, "w"))
-    runtime.run_field(fcfg, backend="pallas" if on_tpu else "xla", sink=sink)  # warmup
-    f_times = []
-    for _ in range(2):
-        t0 = time.time()
-        runtime.run_field(
-            fcfg, backend="pallas" if on_tpu else "xla",
-            sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")),
-        )
-        f_times.append(time.time() - t0)
+    fb = "pallas" if on_tpu else "xla"
+    null_sink = lambda: metrics_mod.MetricsSink(stream=open(os.devnull, "w"))
     f_updates = fcfg.n_chains * 256 * 256 * fcfg.loops * fcfg.frames
-    field_mlups = f_updates / min(f_times) / 1e6
-    log(f"field product path (256^2 x {fcfg.n_chains} chains): "
-        f"{field_mlups:.0f} MLUPS")
-
-    # field multiframe (r3): K frames per launch, epilogue in-kernel
     fmf = dataclasses_replace(fcfg, frames_per_launch=10)
-    runtime.run_field(fmf, backend="pallas" if on_tpu else "xla",
-                      sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")))
-    fmf_times = []
-    for _ in range(2):
-        t0 = time.time()
-        runtime.run_field(
-            fmf, backend="pallas" if on_tpu else "xla",
-            sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")),
-        )
-        fmf_times.append(time.time() - t0)
-    field_mf_mlups = f_updates / min(fmf_times) / 1e6
-    log(f"field product path, multiframe K=10: {field_mf_mlups:.0f} MLUPS")
-
-    field_hw_mlups = 0.0
+    field_runs = {
+        "single": lambda: runtime.run_field(fcfg, backend=fb, sink=null_sink()),
+        "multiframe": lambda: runtime.run_field(fmf, backend=fb, sink=null_sink()),
+    }
     if on_tpu:
-        import dataclasses as _dc
-
-        fhw = _dc.replace(fcfg, rng_impl="hardware")
-        runtime.run_field(fhw, backend="pallas",
-                          sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")))
-        fh_times = []
-        for _ in range(2):
-            t0 = time.time()
-            runtime.run_field(
-                fhw, backend="pallas",
-                sink=metrics_mod.MetricsSink(stream=open(os.devnull, "w")),
-            )
-            fh_times.append(time.time() - t0)
-        field_hw_mlups = f_updates / min(fh_times) / 1e6
-        log(f"field product path, hardware PRNG: {field_hw_mlups:.0f} MLUPS")
+        fhw = dataclasses_replace(fcfg, rng_impl="hardware")
+        field_runs["hw"] = lambda: runtime.run_field(
+            fhw, backend="pallas", sink=null_sink()
+        )
+    # paired A/B in one process, median of 5 (VERDICT r3 item 4) — the
+    # multiframe-vs-single comparison is interleaved so drift cancels
+    f_t = ab_timeit(field_runs, reps=5 if on_tpu else 1)
+    field_mlups = f_updates / f_t["single"][0] / 1e6
+    field_mf_mlups = f_updates / f_t["multiframe"][0] / 1e6
+    field_hw_mlups = f_updates / f_t["hw"][0] / 1e6 if on_tpu else 0.0
+    field_spreads = {
+        k: [round(f_updates / hi / 1e6, 1), round(f_updates / lo / 1e6, 1)]
+        for k, (med, lo, hi) in f_t.items()
+    }
+    log(f"field product path (256^2 x {fcfg.n_chains} chains): "
+        f"single {field_mlups:.0f} / multiframe {field_mf_mlups:.0f} / "
+        f"hw {field_hw_mlups:.0f} MLUPS (paired medians of 5; "
+        f"spreads {field_spreads})")
 
     # --- U(1) gauge fast path: fused link-update kernel (VERDICT r1 item 7)
     from stochquant_tpu.integrators import gauge as gauge_mod
@@ -248,28 +305,28 @@ def worker() -> None:
     gact = gauge_mod.resolve_gauge_action(gcfg)
     gstate = gauge_mod.init_gauge_state(gcfg, gact)
     g_frames = 3 if on_tpu else 1
+    g_reps = 5 if on_tpu else 1
 
-    def time_gauge(runner):
-        s, _ = runner(gstate, g_frames)  # compile + warmup
-        np.asarray(s.drift_max)
-        times = []
-        for _ in range(2):
-            t0 = time.time()
-            s, _ = runner(gstate, g_frames)
+    def gauge_ab(cfg_, act_, state_, frames):
+        """Paired kernel-vs-XLA timing for one gauge config."""
+        ups = (
+            cfg_.n_chains * 2 * int(np.prod(cfg_.shape)) * cfg_.loops * frames
+        )
+
+        def k_run():
+            s, _ = gauge_kernel.run_gauge_frames_pallas(
+                state_, act_, cfg_, frames, interpret=not on_tpu
+            )
             np.asarray(s.drift_max)
-            times.append(time.time() - t0)
-        lups = (
-            gcfg.n_chains * 2 * 256 * 256 * gcfg.loops * g_frames
-            / sorted(times)[0] / 1e6
-        )
-        return lups
 
-    glups_k = time_gauge(
-        lambda s, n: gauge_kernel.run_gauge_frames_pallas(
-            s, gact, gcfg, n, interpret=not on_tpu
-        )
-    )
-    glups_x = time_gauge(lambda s, n: gauge_mod.run_gauge_frames(s, gact, gcfg, n))
+        def x_run():
+            s, _ = gauge_mod.run_gauge_frames(state_, act_, cfg_, frames)
+            np.asarray(s.drift_max)
+
+        t = ab_timeit({"kernel": k_run, "xla": x_run}, reps=g_reps)
+        return ups / t["kernel"][0] / 1e6, ups / t["xla"][0] / 1e6
+
+    glups_k, glups_x = gauge_ab(gcfg, gact, gstate, g_frames)
     log(f"u1 gauge link-updates/s: kernel {glups_k:.0f} vs XLA {glups_x:.0f} MLUPS")
 
     # SU(2): quaternion links, same kernel shape (VERDICT r1 item 7 follow-on)
@@ -288,27 +345,7 @@ def worker() -> None:
                         loops=100 if on_tpu else 4, seed=19, grow_after=10**9)
     g2act = gauge_mod.resolve_gauge_action(g2cfg)
     g2state = gauge_mod.init_gauge_state(g2cfg, g2act)
-
-    def time_su2(runner):
-        s, _ = runner(g2state, g_frames)
-        np.asarray(s.drift_max)
-        times = []
-        for _ in range(2):
-            t0 = time.time()
-            s, _ = runner(g2state, g_frames)
-            np.asarray(s.drift_max)
-            times.append(time.time() - t0)
-        return (
-            g2cfg.n_chains * 2 * 128 * 128 * g2cfg.loops * g_frames
-            / sorted(times)[0] / 1e6
-        )
-
-    glups2_k = time_su2(
-        lambda s, n: gauge_kernel.run_gauge_frames_pallas(
-            s, g2act, g2cfg, n, interpret=not on_tpu
-        )
-    )
-    glups2_x = time_su2(lambda s, n: gauge_mod.run_gauge_frames(s, g2act, g2cfg, n))
+    glups2_k, glups2_x = gauge_ab(g2cfg, g2act, g2state, g_frames)
     log(f"su2 gauge link-updates/s: kernel {glups2_k:.0f} vs XLA {glups2_x:.0f} MLUPS")
 
     # --- SU(3) fused gauge kernel (VERDICT r2 item 2): matrix links as split
@@ -335,28 +372,47 @@ def worker() -> None:
                         loops=50 if on_tpu else 4, seed=19, grow_after=10**9)
     g3act = gauge_mod.resolve_gauge_action(g3cfg)
     g3state = gauge_mod.init_gauge_state(g3cfg, g3act)
-
-    def time_su3(runner):
-        s, _ = runner(g3state, 2)
-        np.asarray(s.drift_max)
-        times = []
-        for _ in range(2):
-            t0 = time.time()
-            s, _ = runner(g3state, 2)
-            np.asarray(s.drift_max)
-            times.append(time.time() - t0)
-        return (
-            g3cfg.n_chains * 2 * 64 * 64 * g3cfg.loops * 2
-            / sorted(times)[0] / 1e6
-        )
-
-    glups3_k = time_su3(
-        lambda s, n: gauge_kernel.run_gauge_frames_pallas(
-            s, g3act, g3cfg, n, interpret=not on_tpu
-        )
-    )
-    glups3_x = time_su3(lambda s, n: gauge_mod.run_gauge_frames(s, g3act, g3cfg, n))
+    glups3_k, glups3_x = gauge_ab(g3cfg, g3act, g3state, 2)
     log(f"su3 gauge link-updates/s: kernel {glups3_k:.0f} vs XLA {glups3_x:.0f} MLUPS")
+
+    # --- gauge multi-frame launches at 256 chains (VERDICT r3 item 3): the
+    # in-kernel accept/reject + Δτ epilogue now covers every fused group;
+    # K=8 vs K=1 paired per group at the launch-bound scale (small lattice,
+    # many chains).  Requires the r4 (1, C)-SMEM layout — the (C, 1)
+    # scalar blocks exhausted SMEM at 256 chains.
+    gauge_mf = {}
+    for grp, beta_, dtau_, shape_ in (
+        ("u1", 1.0, 5e-3, (16, 128)),
+        ("su2", 2.0, 2e-3, (16, 128)),
+        ("su3", 5.0, 1e-3, (8, 128)),
+    ):
+        mcfg = GaugeConfig(group=grp, beta=beta_, shape=shape_,
+                           n_chains=256 if on_tpu else 8, dtau=dtau_,
+                           loops=10, seed=29, grow_after=10**9)
+        mact = gauge_mod.resolve_gauge_action(mcfg)
+        mstate = gauge_mod.init_gauge_state(mcfg, mact)
+        m_frames = 8
+
+        def mk(k):
+            def run():
+                s, _ = gauge_kernel.run_gauge_frames_pallas(
+                    mstate, mact, mcfg, m_frames, interpret=not on_tpu,
+                    frames_per_launch=k,
+                )
+                np.asarray(s.drift_max)
+
+            return run
+
+        m_ups = (
+            mcfg.n_chains * 2 * int(np.prod(shape_)) * mcfg.loops * m_frames
+        )
+        t = ab_timeit({"k1": mk(1), "k8": mk(8 if on_tpu else 2)},
+                      reps=g_reps)
+        gauge_mf[f"{grp}_single_mlups"] = round(m_ups / t["k1"][0] / 1e6, 1)
+        gauge_mf[f"{grp}_multiframe_mlups"] = round(m_ups / t["k8"][0] / 1e6, 1)
+        log(f"{grp} multiframe @256 chains: K=8 "
+            f"{gauge_mf[f'{grp}_multiframe_mlups']:.0f} vs K=1 "
+            f"{gauge_mf[f'{grp}_single_mlups']:.0f} MLUPS")
 
     # --- D-dim tiled kernel (VERDICT r2 item 3): config 4's 32^4 fused path.
     from stochquant_tpu.kernels import field_kernel_nd
@@ -377,25 +433,40 @@ def worker() -> None:
     )
     nd_state = field_mod.init_field_state(nd_cfg)
     nd_vol = int(np.prod(nd_cfg.shape))
-
-    def time_nd(runner):
-        s, _ = runner(nd_state, 2)
-        np.asarray(s.lrg_vl)
-        times = []
-        for _ in range(2):
-            t0 = time.time()
-            s, _ = runner(nd_state, 2)
-            np.asarray(s.lrg_vl)
-            times.append(time.time() - t0)
-        return nd_cfg.n_chains * nd_vol * nd_cfg.loops * 2 / sorted(times)[0] / 1e6
-
-    nd_k = time_nd(
-        lambda s, n: field_kernel_nd.run_field_frames_nd(
-            s, fact, nd_cfg, n, interpret=not on_tpu
-        )
+    nd_ups = nd_cfg.n_chains * nd_vol * nd_cfg.loops * 2
+    # r4: the unsharded W-step chunk variant (exchange_steps > 2) — one
+    # launch per W micro-steps with trapezoidal dim-0 halo recompute
+    nd_chunk_cfg = dataclasses_replace(
+        nd_cfg, exchange_steps=4 if on_tpu else 4
     )
-    nd_x = time_nd(lambda s, n: field_mod.run_field_frames(s, fact, nd_cfg, n))
-    log(f"32^4 site-updates/s: nd kernel {nd_k:.0f} vs XLA {nd_x:.0f} MLUPS")
+
+    def nd_run(cfg_, tile=None):
+        def run():
+            s, _ = field_kernel_nd.run_field_frames_nd(
+                nd_state, fact, cfg_, 2, tile_rows=tile,
+                interpret=not on_tpu,
+            )
+            np.asarray(s.lrg_vl)
+
+        return run
+
+    def nd_x_run():
+        s, _ = field_mod.run_field_frames(nd_state, fact, nd_cfg, 2)
+        np.asarray(s.lrg_vl)
+
+    nd_t = ab_timeit(
+        {
+            "pair": nd_run(nd_cfg),
+            "chunk": nd_run(nd_chunk_cfg, tile=8 if on_tpu else None),
+            "xla": nd_x_run,
+        },
+        reps=g_reps,
+    )
+    nd_k = nd_ups / nd_t["pair"][0] / 1e6
+    nd_chunk = nd_ups / nd_t["chunk"][0] / 1e6
+    nd_x = nd_ups / nd_t["xla"][0] / 1e6
+    log(f"32^4 site-updates/s: pair {nd_k:.0f} / chunk(W=4) {nd_chunk:.0f} "
+        f"/ XLA {nd_x:.0f} MLUPS")
 
     # --- fused kernels × shard_map decomposition (VERDICT r2 item 1): on
     # the single chip, a 1-device mesh exercises both composition paths —
@@ -417,44 +488,54 @@ def worker() -> None:
     h_frames = 5 if on_tpu else 2
     h_updates = hcfg.n_chains * int(np.prod(hcfg.shape)) * hcfg.loops * h_frames
 
-    def time_halo(runner):
-        out, _ = runner(hs0_sh, h_frames)
-        np.asarray(out.lrg_vl)
-        times = []
-        for _ in range(2):
-            t0 = time.time()
-            out, _ = runner(hs0_sh, h_frames)
-            np.asarray(out.lrg_vl)
-            times.append(time.time() - t0)
-        return out, h_updates / sorted(times)[0] / 1e6
-
     hb = "pallas" if on_tpu else "xla"
-    _, halo_frame_mlups = time_halo(
-        make_halo_runner(fact, hcfg, hmesh, backend=hb, interpret=not on_tpu)
-    )
-    out_step, halo_step_mlups = time_halo(
-        make_halo_runner(fact, hcfg, hmesh, backend="pallas_step",
-                         interpret=not on_tpu)
-    )
-    # r3: the chunk kernel (wide halo, W=8 per exchange) forced on the
-    # 1-way ring — the communication-avoiding alternative to 'pallas_step'
-    out_pair, halo_pair_mlups = time_halo(
-        make_halo_runner(fact, hcfg, hmesh, backend="pallas_pair",
-                         interpret=not on_tpu)
-    )
-    out_hx, halo_xla_mlups = time_halo(
-        make_halo_runner(fact, hcfg, hmesh, backend="xla")
-    )
+    halo_runners = {
+        "frame": make_halo_runner(fact, hcfg, hmesh, backend=hb,
+                                  interpret=not on_tpu),
+        "step": make_halo_runner(fact, hcfg, hmesh, backend="pallas_step",
+                                 interpret=not on_tpu),
+        # r3: the chunk kernel (wide halo, W=8 per exchange) forced on the
+        # 1-way ring — the communication-avoiding alternative; r4 adds the
+        # in-kernel remote-DMA variant (no host-visible collective at all)
+        "pair": make_halo_runner(fact, hcfg, hmesh, backend="pallas_pair",
+                                 interpret=not on_tpu),
+        "rdma": make_halo_runner(fact, hcfg, hmesh, backend="pallas_rdma",
+                                 interpret=not on_tpu),
+        "xla": make_halo_runner(fact, hcfg, hmesh, backend="xla"),
+    }
+    halo_out = {}
+
+    def h_run(name):
+        def run():
+            out, _ = halo_runners[name](hs0_sh, h_frames)
+            np.asarray(out.lrg_vl)
+            halo_out[name] = out
+
+        return run
+
+    h_t = ab_timeit({k: h_run(k) for k in halo_runners}, reps=g_reps)
+    halo_frame_mlups = h_updates / h_t["frame"][0] / 1e6
+    halo_step_mlups = h_updates / h_t["step"][0] / 1e6
+    halo_pair_mlups = h_updates / h_t["pair"][0] / 1e6
+    halo_rdma_mlups = h_updates / h_t["rdma"][0] / 1e6
+    halo_xla_mlups = h_updates / h_t["xla"][0] / 1e6
     halo_gate = float(
-        np.max(np.abs(np.asarray(out_step.phi) - np.asarray(out_hx.phi)))
+        np.max(np.abs(np.asarray(halo_out["step"].phi)
+                      - np.asarray(halo_out["xla"].phi)))
     )
     halo_pair_gate = float(
-        np.max(np.abs(np.asarray(out_pair.phi) - np.asarray(out_hx.phi)))
+        np.max(np.abs(np.asarray(halo_out["pair"].phi)
+                      - np.asarray(halo_out["xla"].phi)))
+    )
+    halo_rdma_gate = float(
+        np.max(np.abs(np.asarray(halo_out["rdma"].phi)
+                      - np.asarray(halo_out["xla"].phi)))
     )
     log(f"halo composition: frame {halo_frame_mlups:.0f} / step "
-        f"{halo_step_mlups:.0f} / pair {halo_pair_mlups:.0f} / xla "
-        f"{halo_xla_mlups:.0f} MLUPS, step-vs-xla gate {halo_gate:.2e}, "
-        f"pair-vs-xla gate {halo_pair_gate:.2e}")
+        f"{halo_step_mlups:.0f} / pair {halo_pair_mlups:.0f} / rdma "
+        f"{halo_rdma_mlups:.0f} / xla {halo_xla_mlups:.0f} MLUPS, "
+        f"step-vs-xla gate {halo_gate:.2e}, pair {halo_pair_gate:.2e}, "
+        f"rdma {halo_rdma_gate:.2e}")
 
     # --- multi-frame chain kernel (VERDICT r2 item 7): config-2 chain count,
     # epilogue in-kernel, K=8 frames per launch.
@@ -491,7 +572,7 @@ def worker() -> None:
     ref_mlups = ref.updates_per_sec / 1e6
     log(f"oracle baseline: {ref_mlups:.1f} MLUPS (serial CPU)")
 
-    print(json.dumps({
+    result = {
         "metric": "double_well_site_updates_per_sec_per_chip",
         "value": round(mlups, 1),
         "unit": "MLUPS",
@@ -502,17 +583,21 @@ def worker() -> None:
         "field_runtime_pallas_mlups": round(field_mlups, 1),
         "field_runtime_multiframe_mlups": round(field_mf_mlups, 1),
         "field_runtime_hw_prng_mlups": round(field_hw_mlups, 1),
+        "field_mlups_spreads": field_spreads,
         "u1_gauge_kernel_mlups": round(glups_k, 1),
         "u1_gauge_xla_mlups": round(glups_x, 1),
         "su2_gauge_kernel_mlups": round(glups2_k, 1),
         "su2_gauge_xla_mlups": round(glups2_x, 1),
         "su3_gauge_kernel_mlups": round(glups3_k, 1),
         "su3_gauge_xla_mlups": round(glups3_x, 1),
+        **gauge_mf,
         "nd4d_kernel_mlups": round(nd_k, 1),
+        "nd4d_chunk_w4_mlups": round(nd_chunk, 1),
         "nd4d_xla_mlups": round(nd_x, 1),
         "halo_pallas_frame_mlups": round(halo_frame_mlups, 1),
         "halo_pallas_step_mlups": round(halo_step_mlups, 1),
         "halo_pallas_pair_mlups": round(halo_pair_mlups, 1),
+        "halo_pallas_rdma_mlups": round(halo_rdma_mlups, 1),
         "halo_xla_mlups": round(halo_xla_mlups, 1),
         "config2_multiframe_k8_mlups": round(mf_mlups, 1),
         "kernel_equals_xla_on_device": kernel_equals_xla
@@ -521,14 +606,20 @@ def worker() -> None:
         and su3_gate <= 1e-5
         and nd_gate <= 2e-6
         and halo_gate <= 2e-6
-        and halo_pair_gate <= 2e-6,
+        and halo_pair_gate <= 2e-6
+        and halo_rdma_gate <= 2e-6,
         "kernel_vs_xla_max_abs_diff": {
             "chain": chain_gate, "field": field_gate, "gauge": gauge_gate,
             "su2": su2_gate, "su3": su3_gate, "nd4d": nd_gate,
             "halo_step_vs_xla": halo_gate, "halo_pair_vs_xla": halo_pair_gate,
+            "halo_rdma_vs_xla": halo_rdma_gate,
         },
         "stable_fraction": stable,
-    }))
+    }
+    regressions = check_regressions(result)
+    if regressions:
+        result["regressions"] = regressions
+    print(json.dumps(result))
 
 
 def main() -> None:

@@ -242,22 +242,22 @@ def _build_frame_kernel(action, cfg: GaugeConfig, ops_factory):
         site = p_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
         k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
 
-        dtau = dtau_ref[i, 0]
+        dtau = dtau_ref[0, i]
 
         def substep(eta):
             th = tho_ref[:]          # (1, planes, L0, L1)
-            ps = ps_ref[i, 0]
-            dmax = dmaxo_ref[i, 0]
-            unst = unst_ref[i, 0] > 0
+            ps = ps_ref[0, i]
+            dmax = dmaxo_ref[0, i]
+            unst = unst_ref[0, i] > 0
 
             new_th, plaq_mean, dnorm, bad = step_math(th, eta, dtau)
             ps2 = ps + plaq_mean
             dmax2 = jnp.maximum(dmax, dnorm)
 
             tho_ref[:] = jnp.where(unst, th, new_th)
-            ps_ref[i, 0] = jnp.where(unst, ps, ps2)
-            dmaxo_ref[i, 0] = jnp.where(unst, dmax, dmax2)
-            unst_ref[i, 0] = jnp.where(unst | bad, 1, 0)
+            ps_ref[0, i] = jnp.where(unst, ps, ps2)
+            dmaxo_ref[0, i] = jnp.where(unst, dmax, dmax2)
+            unst_ref[0, i] = jnp.where(unst | bad, 1, 0)
 
         def normal_pair(step):
             b0, b1 = rng.threefry2x32(seed, k1, site, step)
@@ -275,9 +275,9 @@ def _build_frame_kernel(action, cfg: GaugeConfig, ops_factory):
             return 0
 
         tho_ref[:] = th_ref[:]
-        ps_ref[i, 0] = 0.0
-        dmaxo_ref[i, 0] = dmax_ref[i, 0]
-        unst_ref[i, 0] = 0
+        ps_ref[0, i] = 0.0
+        dmaxo_ref[0, i] = dmax_ref[0, i]
+        unst_ref[0, i] = 0
         lax.fori_loop(0, cfg.loops // 2, pair_body, 0, unroll=False)
         if cfg.loops % 2:
             step = step0 + jnp.uint32(cfg.loops - 1)
@@ -292,19 +292,24 @@ def _build_kernel(action, cfg: GaugeConfig):
 
 
 @functools.lru_cache(maxsize=64)
-def _frame_call(action, cfg: GaugeConfig, interpret: bool):
-    kernel = _build_kernel(action, cfg)
+def _frame_call_g(action, cfg: GaugeConfig, interpret: bool):
+    ops_factory = _ops_factory_of(action)
+    planes = ops_factory(action, cfg)[0]
+    kernel = _build_frame_kernel(action, cfg, ops_factory)
     C = cfg.n_chains
     L0, L1 = cfg.shape
     lat = pl.BlockSpec(
-        (1, 2, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, planes, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
+    # per-chain scalars as (1, C) SMEM rows: a (C, 1) layout lane-pads each
+    # chain to 128 entries and exhausts the 1 MiB SMEM at 256 chains (r4
+    # on-device finding: "Used 1.88M of 1.00M smem")
+    sca = lambda: pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     out_shapes = (
-        jax.ShapeDtypeStruct((C, 2, L0, L1), jnp.float32),  # links
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),          # frame Σ ⟨cos P⟩
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),          # drift max
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),            # unstable
+        jax.ShapeDtypeStruct((C, planes, L0, L1), jnp.float32),  # links
+        jax.ShapeDtypeStruct((1, C), jnp.float32),          # frame plaq sum
+        jax.ShapeDtypeStruct((1, C), jnp.float32),          # drift max
+        jax.ShapeDtypeStruct((1, C), jnp.int32),            # unstable
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -313,7 +318,10 @@ def _frame_call(action, cfg: GaugeConfig, interpret: bool):
         out_specs=(lat, sca(), sca(), sca()),
     )
     return pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret
+        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )
 
 
@@ -702,61 +710,6 @@ def _build_su3_kernel(action, cfg: GaugeConfig):
     return _build_frame_kernel(action, cfg, _su3_ops)
 
 
-@functools.lru_cache(maxsize=64)
-def _frame_call_su3(action, cfg: GaugeConfig, interpret: bool):
-    kernel = _build_su3_kernel(action, cfg)
-    C = cfg.n_chains
-    L0, L1 = cfg.shape
-    lat = pl.BlockSpec(
-        (1, 36, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((C, 36, L0, L1), jnp.float32),  # links (planes)
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),           # frame Σ ⟨ReTrP/3⟩
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),           # drift max
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),             # unstable
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(C,),
-        in_specs=[lat, sca(), sca()],
-        out_specs=(lat, sca(), sca(), sca()),
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )
-
-
-@functools.lru_cache(maxsize=64)
-def _frame_call_su2(action, cfg: GaugeConfig, interpret: bool):
-    kernel = _build_su2_kernel(action, cfg)
-    C = cfg.n_chains
-    L0, L1 = cfg.shape
-    lat = pl.BlockSpec(
-        (1, 8, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((C, 8, L0, L1), jnp.float32),  # links (planes)
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),          # frame Σ ⟨½Tr P⟩
-        jax.ShapeDtypeStruct((C, 1), jnp.float32),          # drift max
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),            # unstable
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(C,),
-        in_specs=[lat, sca(), sca()],
-        out_specs=(lat, sca(), sca(), sca()),
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret
-    )
-
-
 def gauge_frame_pallas(state: GaugeState, action, cfg: GaugeConfig, *, interpret=False):
     """One frame through the fused U(1) kernel + the exact XLA epilogue of
     integrators/gauge.py's frame (accept/reject, adaptive Δτ, merge)."""
@@ -765,43 +718,19 @@ def gauge_frame_pallas(state: GaugeState, action, cfg: GaugeConfig, *, interpret
             "gauge kernel supports 2-D compact u1/su2 without cooling; use "
             "the XLA path (integrators.gauge.run_gauge_frames) otherwise"
         )
-    from stochquant_tpu.actions.gauge import SU2Wilson, SU3Wilson
-
     C = cfg.n_chains
-    L0, L1 = cfg.shape
-    su2 = isinstance(action, SU2Wilson)
-    su3 = isinstance(action, SU3Wilson)
-    if su2:
-        call = _frame_call_su2(action, cfg, interpret)
-        links_in = state.links.reshape((C, 8) + tuple(cfg.shape))
-    elif su3:
-        call = _frame_call_su3(action, cfg, interpret)
-        # (C, 2, L0, L1, 3, 3) complex → 36 real planes μ·18+(3r+c)·2+reim
-        planes = jnp.stack(
-            [jnp.real(state.links), jnp.imag(state.links)], axis=-1
-        )  # (C, 2, L0, L1, 3, 3, 2)
-        links_in = jnp.transpose(planes, (0, 1, 4, 5, 6, 2, 3)).reshape(
-            (C, 36, L0, L1)
-        )
-    else:
-        call = _frame_call(action, cfg, interpret)
-        links_in = state.links
+    call = _frame_call_g(action, cfg, interpret)
+    links_in = _links_to_planes(state.links, action, cfg)
     scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
     links, ps, dmax, unst = call(
         scalars,
         links_in,
-        state.drift_max[:, None],
-        state.dtau[:, None],
+        state.drift_max[None, :],
+        state.dtau[None, :],
     )
-    if su2:
-        links = links.reshape((C, 4, 2) + tuple(cfg.shape))
-    elif su3:
-        planes = jnp.transpose(
-            links.reshape((C, 2, 3, 3, 2, L0, L1)), (0, 1, 5, 6, 2, 3, 4)
-        )
-        links = lax.complex(planes[..., 0], planes[..., 1])
-    ps, dmax = ps[:, 0], dmax[:, 0]
-    accept = unst[:, 0] == 0
+    links = _planes_to_links(links, action, cfg)
+    ps, dmax = ps[0], dmax[0]
+    accept = unst[0] == 0
 
     n_new = accum.runs_after(state.runs, cfg.loops)
     pm = accum.merge_frame_sum(state.plaq_mean, ps, cfg.loops, n_new)
@@ -875,17 +804,17 @@ def _build_multiframe_kernel(action, cfg: GaugeConfig, K: int, ops_factory):
         def substep(eta):
             th = tho_ref[:]
             ps = fs_ref[0]
-            dmax = dmaxo_ref[i, 0]
+            dmax = dmaxo_ref[0, i]
             unst = fs_ref[2] > 0.0
 
-            dtau = dtauo_ref[i, 0]
+            dtau = dtauo_ref[0, i]
             new_th, plaq_mean, dnorm, bad = step_math(th, eta, dtau)
             ps2 = ps + plaq_mean
             dmax2 = jnp.maximum(dmax, dnorm)
 
             tho_ref[:] = jnp.where(unst, th, new_th)
             fs_ref[0] = jnp.where(unst, ps, ps2)
-            dmaxo_ref[i, 0] = jnp.where(unst, dmax, dmax2)
+            dmaxo_ref[0, i] = jnp.where(unst, dmax, dmax2)
             fs_ref[2] = jnp.where(unst | bad, f32(1.0), f32(0.0))
 
         def normal_pair(step):
@@ -904,7 +833,7 @@ def _build_multiframe_kernel(action, cfg: GaugeConfig, K: int, ops_factory):
         def frame_body(j, _):
             ths_ref[:] = tho_ref[:]
             fs_ref[0] = 0.0                    # frame Σ plaquette
-            fs_ref[1] = dmaxo_ref[i, 0]        # drift-max snapshot
+            fs_ref[1] = dmaxo_ref[0, i]        # drift-max snapshot
             fs_ref[2] = 0.0                    # unstable flag
 
             step0 = step00 + j.astype(jnp.uint32) * jnp.uint32(loops)
@@ -923,23 +852,23 @@ def _build_multiframe_kernel(action, cfg: GaugeConfig, K: int, ops_factory):
 
             # --- in-kernel epilogue (gauge_frame_pallas's, verbatim) -------
             accept = fs_ref[2] == 0.0
-            dtau_old = dtauo_ref[i, 0]
-            rlo = rloo_ref[i, 0]
+            dtau_old = dtauo_ref[0, i]
+            rlo = rloo_ref[0, i]
             lo_n = rlo + jnp.uint32(loops)
             carry = jnp.where(lo_n < rlo, jnp.uint32(1), jnp.uint32(0))
-            hi_n = rhio_ref[i, 0] + carry
+            hi_n = rhio_ref[0, i] + carry
             n_new = u32_to_f32(hi_n) * f32(4294967296.0) + u32_to_f32(lo_n)
             w = f32(loops) / n_new
-            pm = pmo_ref[i, 0]
+            pm = pmo_ref[0, i]
             merged = pm + (fs_ref[0] * inv_loops - pm) * w
-            pmo_ref[i, 0] = jnp.where(accept, merged, pm)
+            pmo_ref[0, i] = jnp.where(accept, merged, pm)
 
             tho_ref[:] = jnp.where(accept, tho_ref[:], ths_ref[:])
-            dmaxo_ref[i, 0] = jnp.where(accept, dmaxo_ref[i, 0], fs_ref[1])
-            rloo_ref[i, 0] = jnp.where(accept, lo_n, rlo)
-            rhio_ref[i, 0] = jnp.where(accept, hi_n, rhio_ref[i, 0])
+            dmaxo_ref[0, i] = jnp.where(accept, dmaxo_ref[0, i], fs_ref[1])
+            rloo_ref[0, i] = jnp.where(accept, lo_n, rlo)
+            rhio_ref[0, i] = jnp.where(accept, hi_n, rhio_ref[0, i])
 
-            grow = accept & (stabo_ref[i, 0] >= cfg.grow_after)
+            grow = accept & (stabo_ref[0, i] >= cfg.grow_after)
             dtau_new = jnp.where(
                 grow,
                 dtau_old / shrink,
@@ -947,27 +876,27 @@ def _build_multiframe_kernel(action, cfg: GaugeConfig, K: int, ops_factory):
             )
             if cfg.dtau_max is not None:
                 dtau_new = jnp.minimum(dtau_new, f32(cfg.dtau_max))
-            dtauo_ref[i, 0] = dtau_new
-            stabo_ref[i, 0] = jnp.where(
-                accept, jnp.where(grow, 0, stabo_ref[i, 0] + 1), 0
+            dtauo_ref[0, i] = dtau_new
+            stabo_ref[0, i] = jnp.where(
+                accept, jnp.where(grow, 0, stabo_ref[0, i] + 1), 0
             )
 
-            st_hist_ref[i, j] = jnp.where(accept, 1, 0)
-            dt_hist_ref[i, j] = dtau_new
-            dm_hist_ref[i, j] = dmaxo_ref[i, 0]
+            st_hist_ref[j, i] = jnp.where(accept, 1, 0)
+            dt_hist_ref[j, i] = dtau_new
+            dm_hist_ref[j, i] = dmaxo_ref[0, i]
             return 0
 
         tho_ref[:] = th_ref[:]
-        dmaxo_ref[i, 0] = dmax_ref[i, 0]
-        dtauo_ref[i, 0] = dtau_ref[i, 0]
-        pmo_ref[i, 0] = pm_ref[i, 0]
-        rloo_ref[i, 0] = rlo_ref[i, 0]
-        rhio_ref[i, 0] = rhi_ref[i, 0]
-        stabo_ref[i, 0] = stab_ref[i, 0]
+        dmaxo_ref[0, i] = dmax_ref[0, i]
+        dtauo_ref[0, i] = dtau_ref[0, i]
+        pmo_ref[0, i] = pm_ref[0, i]
+        rloo_ref[0, i] = rlo_ref[0, i]
+        rhio_ref[0, i] = rhi_ref[0, i]
+        stabo_ref[0, i] = stab_ref[0, i]
         for j0 in range(K):
-            st_hist_ref[i, j0] = 0
-            dt_hist_ref[i, j0] = 0.0
-            dm_hist_ref[i, j0] = 0.0
+            st_hist_ref[j0, i] = 0
+            dt_hist_ref[j0, i] = 0.0
+            dm_hist_ref[j0, i] = 0.0
         lax.fori_loop(0, K, frame_body, 0, unroll=False)
 
     return kernel
@@ -1025,18 +954,19 @@ def _multiframe_call(action, cfg: GaugeConfig, K: int, interpret: bool):
     lat = lambda: pl.BlockSpec(
         (1, planes, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    sca = lambda: pl.BlockSpec((C, 1), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
-    hist = lambda: pl.BlockSpec((C, K), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
+    # (1, C) / (K, C) SMEM layouts — see _frame_call_g's note on lane padding
+    sca = lambda: pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
+    hist = lambda: pl.BlockSpec((K, C), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     f32s = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     out_shapes = (
         f32s((C, planes, L0, L1)),                    # links (planes)
-        f32s((C, 1)), f32s((C, 1)), f32s((C, 1)),     # dmax, dtau, plaq_mean
-        jax.ShapeDtypeStruct((C, 1), jnp.uint32),     # runs lo
-        jax.ShapeDtypeStruct((C, 1), jnp.uint32),     # runs hi
-        jax.ShapeDtypeStruct((C, 1), jnp.int32),      # stab_cnt
-        jax.ShapeDtypeStruct((C, K), jnp.int32),      # stable history
-        f32s((C, K)),                                 # dtau history
-        f32s((C, K)),                                 # drift-max history
+        f32s((1, C)), f32s((1, C)), f32s((1, C)),     # dmax, dtau, plaq_mean
+        jax.ShapeDtypeStruct((1, C), jnp.uint32),     # runs lo
+        jax.ShapeDtypeStruct((1, C), jnp.uint32),     # runs hi
+        jax.ShapeDtypeStruct((1, C), jnp.int32),      # stab_cnt
+        jax.ShapeDtypeStruct((K, C), jnp.int32),      # stable history
+        f32s((K, C)),                                 # dtau history
+        f32s((K, C)),                                 # drift-max history
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1070,7 +1000,7 @@ def gauge_frames_multi(
     C = cfg.n_chains
     call = _multiframe_call(action, cfg, K, interpret)
     scalars = jnp.array([cfg.seed, 0, 0], jnp.uint32).at[1].set(state.step)
-    col = lambda v: v[:, None]
+    col = lambda v: v[None, :]
     (
         links, dmax, dtau, pm, rlo, rhi, stab, st_h, dt_h, dm_h,
     ) = call(
@@ -1079,24 +1009,24 @@ def gauge_frames_multi(
         col(state.drift_max),
         col(state.dtau),
         col(state.plaq_mean),
-        state.runs[:, 0:1],
-        state.runs[:, 1:2],
+        state.runs[:, 0][None, :],
+        state.runs[:, 1][None, :],
         col(state.stab_cnt),
     )
     links = _planes_to_links(links, action, cfg)
     new_state = GaugeState(
         links=links,
-        plaq_mean=pm[:, 0],
-        drift_max=dmax[:, 0],
-        runs=jnp.concatenate([rlo, rhi], axis=1),
-        dtau=dtau[:, 0],
-        stab_cnt=stab[:, 0],
+        plaq_mean=pm[0],
+        drift_max=dmax[0],
+        runs=jnp.stack([rlo[0], rhi[0]], axis=1),
+        dtau=dtau[0],
+        stab_cnt=stab[0],
         step=state.step + jnp.uint32(cfg.loops) * jnp.uint32(K),
     )
     metrics = {
-        "stable": (st_h != 0).T,  # (K, C)
-        "dtau": dt_h.T,
-        "drift_max": dm_h.T,
+        "stable": st_h != 0,  # (K, C)
+        "dtau": dt_h,
+        "drift_max": dm_h,
         # 0 placeholder within the launch (metrics-shape parity with the
         # single-frame path, which reports it per frame; the true value for
         # the final state is cheap in XLA below)
