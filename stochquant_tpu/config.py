@@ -192,7 +192,9 @@ class FieldConfig:
     mesh_chain_axis: Optional[str] = None
     #: Pallas backend: rows per lattice tile for the HBM-resident tiled
     #: kernel (lattices too large for one VMEM-resident program).  None =
-    #: whole-lattice-in-VMEM kernel.
+    #: whole-lattice-in-VMEM kernel (2-D) / budget heuristic (D >= 3);
+    #: 0 = autotune on device at first use (D >= 3 only,
+    #: kernels/autotune.best_tile_rows — one compile per candidate).
     tile_rows: Optional[int] = None
     #: Composed halo kernels (dim-0-split lattices): micro-steps advanced
     #: per halo exchange (the wide-halo / communication-avoiding knob, W).

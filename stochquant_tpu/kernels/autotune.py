@@ -84,6 +84,66 @@ def best_block_chains(
     return best
 
 
+def best_tile_rows(
+    action,
+    cfg,
+    *,
+    candidates=None,
+    interpret: bool = False,
+) -> int:
+    """Measure one D >= 3 frame per candidate dim-0 ``tile_rows`` and
+    return the fastest (VERDICT r3 item 7 — the nd analog of
+    ``best_block_chains``).  Opt-in via ``FieldConfig.tile_rows = 0``.
+    Candidates default to the divisors of L0 whose extended strip is within
+    2x the VMEM budget (the r4 sweep showed the budget boundary is soft);
+    failing candidates (Mosaic VMEM overflow) are skipped."""
+    from stochquant_tpu.integrators import field as field_mod
+    from stochquant_tpu.kernels import field_kernel_nd as fknd
+
+    key = (
+        "T0", cfg.action, cfg.shape, cfg.n_chains, cfg.loops, cfg.rng_impl,
+        int(cfg.sweep), cfg.exchange_steps, interpret,
+        tuple(candidates) if candidates else None,
+        jax.devices()[0].device_kind,
+    )
+    if key in _CACHE:
+        return _CACHE[key]
+    L0 = cfg.shape[0]
+    if not candidates:
+        slab = 1
+        for n in cfg.shape[1:]:
+            slab *= n
+        slab *= 4
+        H = fknd._halo_depth(cfg)
+        candidates = [
+            t for t in range(1, L0 + 1)
+            if L0 % t == 0
+            and (t + 2 * H) * slab <= 2 * fknd._STRIP_BUDGET_BYTES
+        ]
+    state = field_mod.init_field_state(cfg)
+    best, best_t = None, float("inf")
+    for t0 in candidates:
+        try:
+            def run():
+                s, _ = fknd.run_field_frames_nd(
+                    state, action, cfg, 1, tile_rows=int(t0),
+                    interpret=interpret,
+                )
+                np.asarray(s.lrg_vl)
+
+            run()  # compile + warm
+            t_start = time.time()
+            run()
+            t = time.time() - t_start
+        except Exception:
+            continue  # VMEM overflow / invalid tile — skip
+        if t < best_t:
+            best, best_t = int(t0), t
+    best = best or fknd.default_tile_rows(cfg)
+    _CACHE[key] = best
+    return best
+
+
 def best_exchange_steps(
     action,
     cfg,

@@ -107,12 +107,18 @@ def _build_kernel(
                 lap = lap + (roll(phi, -1, d) + roll(phi, 1, d) - 2.0 * phi)
             return lap * inv_a2
 
-        def action_density(phi):
+        def lap_and_act(phi):
+            """Shared-roll fusion (r4): 4 rolls instead of 6 per step —
+            per-term expressions and order unchanged, outputs bitwise
+            identical to the separate laplacian/action_density."""
+            lap = jnp.zeros_like(phi)
             kin = jnp.zeros_like(phi)
             for d in (1, 2):
-                diff = roll(phi, -1, d) - phi
+                up = roll(phi, -1, d)
+                lap = lap + (up + roll(phi, 1, d) - 2.0 * phi)
+                diff = up - phi
                 kin = kin + 0.5 * diff * diff * inv_a2
-            return kin + action.V(phi)
+            return lap * inv_a2, kin + action.V(phi)
 
         # Box–Muller pair from the pair-base counter; bit0 selects which of
         # the two outputs this micro-step consumes (the XLA runner draws the
@@ -136,7 +142,8 @@ def _build_kernel(
         else:
             mask = None
 
-        det = (laplacian(phi) - action.dV(phi).astype(jnp.float32)) * dtau
+        lap, act_pre = lap_and_act(phi)
+        det = (lap - action.dV(phi).astype(jnp.float32)) * dtau
         new_raw = phi + det + noise
         newphi = jnp.clip(new_raw, -clamp, clamp)
         newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
@@ -171,7 +178,7 @@ def _build_kernel(
         # runner ignores them (observables sample once per micro-step)
         mag_ref[i, 0] = jnp.sum(phi)
         phi2_ref[i, 0] = jnp.sum(phi * phi)
-        act_ref[i, 0] = jnp.sum(action_density(phi).astype(jnp.float32))
+        act_ref[i, 0] = jnp.sum(act_pre.astype(jnp.float32))
         slice_ref[:] = jnp.sum(phi, axis=2, keepdims=True)  # (1, L0, 1)
 
         phio_ref[:] = newphi

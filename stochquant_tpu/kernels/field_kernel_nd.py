@@ -70,8 +70,12 @@ def _halo_depth(cfg: FieldConfig) -> int:
 
 #: per-chain extended-strip bytes the kernel working set tolerates (the
 #: kernel holds ~10 strip-sized temporaries; Mosaic's scoped-vmem window is
-#: raised below like the 2-D tiled kernel's)
-_STRIP_BUDGET_BYTES = 1 << 20
+#: raised below like the 2-D tiled kernel's).  r4 on-device sweep: 1.5-2.5
+#: MiB strips compile and run, and the 32⁴ pair kernel is FASTER at
+#: tile_rows=8 (1.5 MiB ext strip, 1544 MLUPS) than at the old 1 MiB
+#: budget's tile_rows=4 (1460) — redundant halo recompute shrinks from 2x
+#: to 1.5x.
+_STRIP_BUDGET_BYTES = 2 << 20
 
 
 def default_tile_rows(cfg: FieldConfig) -> int:
@@ -199,15 +203,23 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
                 lap = lap + (roll(phi, -1, d) + roll(phi, 1, d) - 2.0 * phi)
             return lap * inv_a2
 
-        def action_density(phi):
+        def lap_and_act(phi):
+            """Shared-roll fusion (r4): the laplacian's up-neighbours double
+            as the forward differences of the action-density observable,
+            halving the kernel's shuffle count — the measured bound at 32⁴
+            (per-term expressions and order unchanged, so both outputs are
+            bitwise identical to the separate evaluations)."""
+            lap = jnp.zeros_like(phi)
             kin = jnp.zeros_like(phi)
             for d in range(D):
-                diff = roll(phi, -1, d) - phi
+                up = roll(phi, -1, d)
+                lap = lap + (up + roll(phi, 1, d) - 2.0 * phi)
+                diff = up - phi
                 kin = kin + 0.5 * diff * diff * inv_a2
-            return kin + action.V(phi)
+            return lap * inv_a2, kin + action.V(phi)
 
-        def em_apply(phi, mask, noise):
-            det = (laplacian(phi) - action.dV(phi).astype(f32)) * dtau
+        def em_apply(phi, mask, noise, lap):
+            det = (lap - action.dV(phi).astype(f32)) * dtau
             new_raw = phi + det + noise
             newphi = jnp.clip(new_raw, -clamp, clamp)
             newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
@@ -219,11 +231,15 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
             return newphi, absdet
 
         def micro(phi, noise):
+            """One micro-step; also returns the pre-update action density
+            (from the shared rolls) for the stats epilogue."""
+            lap, act_d = lap_and_act(phi)
             if checkerboard:
-                phi_e, absdet_e = em_apply(phi, even, noise)
-                newphi, absdet_o = em_apply(phi_e, ~even, noise)
-                return newphi, jnp.maximum(absdet_e, absdet_o)
-            return em_apply(phi, None, noise)
+                phi_e, absdet_e = em_apply(phi, even, noise, lap)
+                newphi, absdet_o = em_apply(phi_e, ~even, noise, laplacian(phi_e))
+                return newphi, jnp.maximum(absdet_e, absdet_o), act_d
+            newphi, absdet = em_apply(phi, None, noise, lap)
+            return newphi, absdet, act_d
 
         strip = (lambda x: x) if periodic else (lambda x: x[H : H + T0])
 
@@ -236,11 +252,11 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
         def max_all(x):
             return jnp.max(x)
 
-        def stats(phi_pre, phi_post, absdet, base):
+        def stats(phi_pre, phi_post, absdet, act_d, base):
             p = strip(phi_pre)
             stats_ref[c, i, base + 0] = sum_all(p)
             stats_ref[c, i, base + 1] = sum_all(p * p)
-            stats_ref[c, i, base + 2] = sum_all(strip(action_density(phi_pre)))
+            stats_ref[c, i, base + 2] = sum_all(strip(act_d))
             stats_ref[c, i, base + 3] = max_all(strip(absdet))
             stats_ref[c, i, base + 4] = max_all(jnp.abs(strip(phi_post)))
 
@@ -254,8 +270,8 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
         z0 = rr * jnp.cos(th)
         z1 = rr * jnp.sin(th)
 
-        phi1, absdet0 = micro(phi0, namp * z0)
-        phi2, absdet1 = micro(phi1, namp * z1)
+        phi1, absdet0, act0 = micro(phi0, namp * z0)
+        phi2, absdet1, act1 = micro(phi1, namp * z1)
 
         inv_sl = f32(1.0 / (L1 * LF))
 
@@ -269,8 +285,8 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
 
         store_slices(sl0_ref, phi0)
         store_slices(sl1_ref, phi1)
-        stats(phi0, phi1, absdet0, 0)
-        stats(phi1, phi2, absdet1, 5)
+        stats(phi0, phi1, absdet0, act0, 0)
+        stats(phi1, phi2, absdet1, act1, 5)
         phio_ref[0] = strip(phi2)
 
     return kernel
@@ -817,15 +833,23 @@ def _build_sharded_chunk_kernel(
                 lap = lap + (roll(phi, -1, d) + roll(phi, 1, d) - 2.0 * phi)
             return lap * inv_a2
 
-        def action_density(phi):
+        def lap_and_act(phi):
+            """Shared-roll fusion (r4): the laplacian's up-neighbours double
+            as the forward differences of the action-density observable,
+            halving the kernel's shuffle count — the measured bound at 32⁴
+            (per-term expressions and order unchanged, so both outputs are
+            bitwise identical to the separate evaluations)."""
+            lap = jnp.zeros_like(phi)
             kin = jnp.zeros_like(phi)
             for d in range(D):
-                diff = roll(phi, -1, d) - phi
+                up = roll(phi, -1, d)
+                lap = lap + (up + roll(phi, 1, d) - 2.0 * phi)
+                diff = up - phi
                 kin = kin + 0.5 * diff * diff * inv_a2
-            return kin + action.V(phi)
+            return lap * inv_a2, kin + action.V(phi)
 
-        def em_apply(phi, mask, noise):
-            det = (laplacian(phi) - action.dV(phi).astype(f32)) * dtau
+        def em_apply(phi, mask, noise, lap):
+            det = (lap - action.dV(phi).astype(f32)) * dtau
             new_raw = phi + det + noise
             newphi = jnp.clip(new_raw, -clamp, clamp)
             newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
@@ -837,11 +861,15 @@ def _build_sharded_chunk_kernel(
             return newphi, absdet
 
         def micro(phi, noise):
+            """One micro-step; also returns the pre-update action density
+            (from the shared rolls) for the stats epilogue."""
+            lap, act_d = lap_and_act(phi)
             if checkerboard:
-                phi_e, absdet_e = em_apply(phi, even, noise)
-                newphi, absdet_o = em_apply(phi_e, ~even, noise)
-                return newphi, jnp.maximum(absdet_e, absdet_o)
-            return em_apply(phi, None, noise)
+                phi_e, absdet_e = em_apply(phi, even, noise, lap)
+                newphi, absdet_o = em_apply(phi_e, ~even, noise, laplacian(phi_e))
+                return newphi, jnp.maximum(absdet_e, absdet_o), act_d
+            newphi, absdet = em_apply(phi, None, noise, lap)
+            return newphi, absdet, act_d
 
         strip = lambda x: x[H0 : H0 + T0]
 
@@ -869,12 +897,12 @@ def _build_sharded_chunk_kernel(
                 for r in range(T0):
                     sl_ref[c, w, i * T0 + r] = jnp.sum(pm[r : r + 1])
 
-        def stats(phi_pre, phi_post, absdet, w):
+        def stats(phi_pre, phi_post, absdet, act_d, w):
             base = 5 * w
             p = strip(phi_pre)
             stats_ref[c, i, base + 0] = sum_all(p)
             stats_ref[c, i, base + 1] = sum_all(p * p)
-            stats_ref[c, i, base + 2] = sum_all(strip(action_density(phi_pre)))
+            stats_ref[c, i, base + 2] = sum_all(strip(act_d))
             stats_ref[c, i, base + 3] = max_all(strip(absdet))
             stats_ref[c, i, base + 4] = max_all(jnp.abs(strip(phi_post)))
 
@@ -891,12 +919,12 @@ def _build_sharded_chunk_kernel(
             z0 = rr * jnp.cos(th)
             z1 = rr * jnp.sin(th)
 
-            phi1, absdet0 = micro(phi, namp * z0)
-            phi2, absdet1 = micro(phi1, namp * z1)
+            phi1, absdet0, act0 = micro(phi, namp * z0)
+            phi2, absdet1, act1 = micro(phi1, namp * z1)
             store_slices(2 * w, phi)
             store_slices(2 * w + 1, phi1)
-            stats(phi, phi1, absdet0, 2 * w)
-            stats(phi1, phi2, absdet1, 2 * w + 1)
+            stats(phi, phi1, absdet0, act0, 2 * w)
+            stats(phi1, phi2, absdet1, act1, 2 * w + 1)
             phi = phi2
         phio_ref[0] = strip(phi)
 

@@ -715,8 +715,16 @@ def run_field(
     elif backend == "pallas_nd":
         from stochquant_tpu.kernels import field_kernel_nd
 
+        nd_tile = cfg.tile_rows
+        if nd_tile == 0:
+            # opt-in on-device tile autotune (kernels/autotune.py, r4 —
+            # the nd analog of block_chains=0)
+            from stochquant_tpu.kernels import autotune
+
+            nd_tile = autotune.best_tile_rows(act, cfg, interpret=not on_tpu)
+            sink.emit({"type": "autotune", "tile_rows": nd_tile})
         run_n = lambda s, n: field_kernel_nd.run_field_frames_nd(
-            s, act, cfg, n, tile_rows=cfg.tile_rows, interpret=not on_tpu
+            s, act, cfg, n, tile_rows=nd_tile, interpret=not on_tpu
         )
     else:
         run_n = lambda s, n: field_mod.run_field_frames(s, act, cfg, n)

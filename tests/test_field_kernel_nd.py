@@ -162,3 +162,30 @@ def test_runtime_routes_sharded_4d_to_composed_kernel():
         == "xla"
     )
     assert notes and "chunk" in notes[0]
+
+
+def test_tile_rows_autotune(tmp_path):
+    """tile_rows=0 autotunes the dim-0 tile through runtime.run_field
+    (interpret): result matches an explicit-tile run bitwise and the
+    winner is a valid divisor."""
+    import dataclasses
+
+    from stochquant_tpu import metrics, runtime
+    from stochquant_tpu.kernels import autotune
+
+    cfg = _cfg(shape=(8, 8, 4, 4), loops=4, tile_rows=0)
+    cfg = dataclasses.replace(cfg, frames=2)
+    act = phi4.get_field(cfg.action)
+    autotune.clear_cache()
+    t = autotune.best_tile_rows(
+        act, dataclasses.replace(cfg, tile_rows=None), candidates=(4, 8),
+        interpret=True,
+    )
+    assert t in (4, 8)
+    a = runtime.run_field(cfg, backend="pallas", sink=metrics.MetricsSink())
+    b = runtime.run_field(
+        dataclasses.replace(cfg, tile_rows=None), backend="pallas",
+        sink=metrics.MetricsSink(),
+    )
+    # tile size changes blocking, not semantics: bitwise regardless
+    np.testing.assert_array_equal(np.asarray(a.state.phi), np.asarray(b.state.phi))
