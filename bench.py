@@ -457,7 +457,7 @@ def worker() -> None:
     nd_t = ab_timeit(
         {
             "pair": nd_run(nd_cfg),
-            "chunk": nd_run(nd_chunk_cfg, tile=8 if on_tpu else None),
+            "chunk": nd_run(nd_chunk_cfg, tile=4 if on_tpu else None),
             "xla": nd_x_run,
         },
         reps=g_reps,
