@@ -227,8 +227,9 @@ def main(argv=None):
     )
     r.add_argument(
         "--scheme", choices=["em", "heun", "lm", "exact"],
-        help="integration scheme (chains): em | heun | lm | exact "
-        "(exact-OU propagator, BACKGROUND frozen-omega only)",
+        help="integration scheme: em | heun | lm (chains) | exact "
+        "(exact-OU propagator — chains: BACKGROUND frozen-omega, any BC; "
+        "fields: free_field, per-rfftn-mode)",
     )
     r.add_argument(
         "--rng", choices=["threefry", "threefry13", "hardware"],
