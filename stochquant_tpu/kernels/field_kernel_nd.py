@@ -175,6 +175,21 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
                 return jnp.concatenate([x[E - 1 :], x[: E - 1]], axis=0)
             return jnp.concatenate([x[1:], x[:1]], axis=0)
 
+        # edge masks for the flattened-dim wrap fixes, hoisted out of the
+        # roll calls (r4: they depend only on static geometry — one iota
+        # divmod per dim instead of one per roll per micro-step)
+        _edge_masks = {}
+        for _d in range(2, D):
+            _sd = strides[_d - 2]
+            _nd = shape[_d]
+            if _sd * _nd == LF:
+                continue
+            _coord = (
+                lax.broadcasted_iota(jnp.int32, (E, L1, LF), 2)
+                // jnp.int32(_sd)
+            ) % jnp.int32(_nd)
+            _edge_masks[_d] = (_coord == 0, _coord == _nd - 1)
+
         def roll_flat(x, lat_d, shift):
             """±1 roll along flattened lattice dim ``lat_d`` (>= 2)."""
             sd = strides[lat_d - 2]
@@ -182,12 +197,8 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
             main = pltpu.roll(x, (shift * sd) % LF, 2)
             if sd * nd == LF:
                 return main  # outermost flattened dim: flat wrap is exact
-            coord = (
-                lax.broadcasted_iota(jnp.int32, (E, L1, LF), 2)
-                // jnp.int32(sd)
-            ) % jnp.int32(nd)
             fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 2)
-            edge = coord == (0 if shift == 1 else nd - 1)
+            edge = _edge_masks[lat_d][0 if shift == 1 else 1]
             return jnp.where(edge, fix, main)
 
         def roll(x, shift, lat_d):
@@ -800,6 +811,21 @@ def _build_sharded_chunk_kernel(
                 return jnp.concatenate([x[E0 - 1 :], x[: E0 - 1]], axis=0)
             return jnp.concatenate([x[1:], x[:1]], axis=0)
 
+        # hoisted edge masks for the flattened-dim wrap fixes (r4: static
+        # geometry — one iota divmod per dim, not one per roll call)
+        _edge_masks = {}
+        if D > 2:
+            for _d in range(2, D):
+                _sd = strides[_d - 2]
+                _nde = ext[_d]
+                if _sd * _nde == LFe or halos[_d]:
+                    continue
+                _coord = (
+                    lax.broadcasted_iota(jnp.int32, blk, 2)
+                    // jnp.int32(_sd)
+                ) % jnp.int32(_nde)
+                _edge_masks[_d] = (_coord == 0, _coord == _nde - 1)
+
         def roll_flat(x, lat_d, shift):
             sd = strides[lat_d - 2]
             nde = ext[lat_d]
@@ -812,12 +838,8 @@ def _build_sharded_chunk_kernel(
                 # split inner dim: the cross-block bleed at the dim edge is
                 # halo garbage, consumed by the trapezoid — no fix
                 return main
-            coord = (
-                lax.broadcasted_iota(jnp.int32, blk, 2)
-                // jnp.int32(sd)
-            ) % jnp.int32(nde)
             fix = pltpu.roll(x, (shift * sd - shift * nde * sd) % LFe, 2)
-            edge = coord == (0 if shift == 1 else nde - 1)
+            edge = _edge_masks[lat_d][0 if shift == 1 else 1]
             return jnp.where(edge, fix, main)
 
         def roll(x, shift, lat_d):

@@ -114,7 +114,7 @@ def test_su3_kernel_matches_xla_interpret():
     scan: trajectories to float tolerance (split-complex lowering cannot be
     bitwise vs complex64), trip decisions exact, links stay on SU(3).
 
-    ``slow``: ~1.5 min under the Pallas interpreter — the same gate runs
+    ``slow``: ~1 min under the Pallas interpreter — the same gate runs
     compiled on the real chip every bench round (bench.py su3 gate)."""
     from stochquant_tpu.integrators import gauge as gauge_mod
     from stochquant_tpu.integrators.gauge import GaugeConfig
@@ -125,8 +125,8 @@ def test_su3_kernel_matches_xla_interpret():
     act = gauge_mod.resolve_gauge_action(cfg)
     assert gauge_kernel.supports(act, cfg)
     s0 = gauge_mod.init_gauge_state(cfg, act)
-    a, ma = gauge_mod.run_gauge_frames(s0, act, cfg, 2)
-    b, mb = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 2, interpret=True)
+    a, ma = gauge_mod.run_gauge_frames(s0, act, cfg, 1)
+    b, mb = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 1, interpret=True)
     np.testing.assert_allclose(
         np.asarray(a.links), np.asarray(b.links), rtol=2e-5, atol=2e-6
     )
@@ -151,7 +151,7 @@ def test_su3_kernel_through_runtime_auto():
     from stochquant_tpu.integrators.gauge import GaugeConfig
 
     cfg = GaugeConfig(group="su3", beta=5.0, shape=(8, 8), n_chains=2,
-                      dtau=1e-3, loops=4, frames=2, seed=3, grow_after=10**9)
+                      dtau=1e-3, loops=2, frames=1, seed=3, grow_after=10**9)
     a = runtime.run_gauge(cfg, backend="xla", sink=metrics.MetricsSink())
     b = runtime.run_gauge(cfg, backend="pallas", sink=metrics.MetricsSink())
     np.testing.assert_allclose(
