@@ -1,8 +1,16 @@
 """Watchdogged subprocess runner (the tunnel-environment recovery pattern)."""
 
+import json
+import os
+import subprocess
 import sys
 
 from stochquant_tpu.watchdog import run_watchdogged
+
+_PERF = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "perf_experiments.py",
+)
 
 
 def test_success_first_try():
@@ -54,3 +62,31 @@ def test_recovers_after_transient_failure(tmp_path):
     assert res.ok
     assert res.success.index == 1
     assert "second try ok" in res.success.stdout
+
+
+def test_perf_experiments_survive_wedged_experiment():
+    """VERDICT r4 weak #7: a wedged remote-compile must kill one experiment,
+    not the session.  Drive tools/perf_experiments.py's parent loop with a
+    test-only sleeping experiment followed by a healthy one: the sleeper
+    times out, the healthy one still runs and emits its JSON line."""
+    env = dict(os.environ, SQ_PERF_TEST_EXPS="1", SQ_PERF_TIMEOUT_S="2",
+               SQ_PERF_ATTEMPTS="1", SQ_PERF_BACKOFF_S="0")
+    out = subprocess.run(
+        [sys.executable, _PERF, "_sleep", "_ok"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=60,
+    )
+    lines = [json.loads(l) for l in out.stdout.decode().splitlines() if l.strip()]
+    by_exp = {l["exp"]: l for l in lines}
+    assert by_exp["_sleep"].get("error") == "all watchdogged attempts failed"
+    assert by_exp["_ok"] == {"exp": "_ok", "mlups": 1.0}
+    assert out.returncode == 1  # failures are reported, not swallowed
+    assert "watchdog timeout" in out.stderr.decode()
+
+
+def test_perf_experiments_rejects_unknown_experiment():
+    out = subprocess.run(
+        [sys.executable, _PERF, "nosuch"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=60,
+    )
+    assert out.returncode == 2
+    assert "unknown experiments" in out.stderr.decode()

@@ -1,15 +1,21 @@
 #!/usr/bin/env python
-"""On-device perf experiments for the r4 tuning questions (run on the real
-TPU through the tunnel; one experiment per CLI arg so a wedged tunnel run
-loses one data point, not the session):
+"""On-device perf experiments (run on the real TPU through the tunnel):
 
   nd_tile   — 32⁴ pair-kernel tile_rows sweep (VERDICT r3 weak #6/#7)
   nd_chunk  — 32⁴ unsharded W-step chunk sweep (exchange_steps × tile_rows)
   rdma      — 2-D ring-of-one: rdma vs pallas_pair vs xla halo runners
   gauge_mf  — su2/su3 multi-frame (K=8) vs single-frame at 256 chains
   w4d       — 4-D sharded chunk exchange_steps sweep on the 1-way ring
+  field_rt  — field runtime rows (single/multiframe/hw) paired, high reps
+  c2mf      — config-2 chain multiframe K=1 vs K=8 paired, high reps
 
 Each prints one JSON line per measurement (median of N with spread).
+
+Every experiment runs in its OWN watchdogged child process
+(``stochquant_tpu.watchdog.run_watchdogged``): the tunnel's remote-compile
+service can wedge indefinitely (r4 lost a 50-minute run to it — VERDICT r4
+weak #7), so a wedged experiment now costs one timeout, not the session.
+``--worker NAME`` is the in-process entry the parent spawns.
 """
 
 import json
@@ -18,6 +24,8 @@ import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -33,6 +41,24 @@ def timeit(run, reps=5):
         ts.append(time.time() - t0)
     ts.sort()
     return ts[len(ts) // 2], ts[0], ts[-1]
+
+
+def ab_timeit(runs, reps=5):
+    """Paired A/B: warm all variants, then round-robin timed reps so machine
+    drift hits every variant equally.  Returns {name: (med, lo, hi)}."""
+    for r in runs.values():
+        r()
+    ts = {k: [] for k in runs}
+    for _ in range(reps):
+        for k, r in runs.items():
+            t0 = time.time()
+            r()
+            ts[k].append(time.time() - t0)
+    out = {}
+    for k, v in ts.items():
+        v.sort()
+        out[k] = (v[len(v) // 2], v[0], v[-1])
+    return out
 
 
 def emit(**kw):
@@ -212,24 +238,152 @@ def w4d():
             emit(exp="w4d", W=w, error=str(e)[:200])
 
 
-def main():
-    import jax
+def field_rt(reps=10):
+    """Field runtime rows with enough paired reps to bound the spread
+    (VERDICT r4 weak #5: the r4 single-path spread was ±25%, too wide for
+    the deltas being claimed)."""
+    import dataclasses
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".jax_cache",
-        ),
+    import jax
+    from stochquant_tpu import metrics as metrics_mod
+    from stochquant_tpu import runtime
+    from stochquant_tpu.config import FieldConfig
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    fcfg = FieldConfig(
+        action="phi4", shape=(256, 256), n_chains=16 if on_tpu else 2,
+        loops=100 if on_tpu else 4, frames=10 if on_tpu else 2, seed=13,
+        fps=10 if on_tpu else 2, grow_after=10**9,
     )
-    log(f"devices: {jax.devices()}")
-    exps = {
-        "nd_tile": nd_tile, "nd_chunk": nd_chunk, "rdma": rdma,
-        "gauge_mf": gauge_mf, "w4d": w4d,
+    fb = "pallas" if on_tpu else "xla"
+    null_sink = lambda: metrics_mod.MetricsSink(stream=open(os.devnull, "w"))
+    ups = fcfg.n_chains * 256 * 256 * fcfg.loops * fcfg.frames
+    fmf = dataclasses.replace(fcfg, frames_per_launch=10)
+    runs = {
+        "single": lambda: runtime.run_field(fcfg, backend=fb, sink=null_sink()),
+        "multiframe": lambda: runtime.run_field(fmf, backend=fb,
+                                                sink=null_sink()),
     }
-    for name in sys.argv[1:] or list(exps):
-        log(f"=== {name} ===")
-        exps[name]()
+    if on_tpu:
+        fhw = dataclasses.replace(fcfg, rng_impl="hardware")
+        runs["hw"] = lambda: runtime.run_field(fhw, backend="pallas",
+                                               sink=null_sink())
+    t = ab_timeit(runs, reps=reps if on_tpu else 1)
+    for k, (med, lo, hi) in t.items():
+        emit(exp="field_rt", variant=k, mlups=round(ups / med / 1e6, 1),
+             med_s=round(med, 4),
+             mlups_spread=[round(ups / hi / 1e6, 1), round(ups / lo / 1e6, 1)])
+
+
+def c2mf(reps=6):
+    """Config-2 chain kernel: K=1 vs K=8 frames/launch, paired (the r4
+    -27% multiframe drop vs r3 was measured un-paired, min-of-2)."""
+    import jax
+    from stochquant_tpu import actions
+    from stochquant_tpu.config import BoundaryCondition, ChainConfig, Formulation
+    from stochquant_tpu.integrators import langevin
+    from stochquant_tpu.kernels import chain_kernel
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    c2 = ChainConfig(
+        action="anharmonic", n_sites=1024, dt=0.25, dtau=0.01, n_chains=256,
+        loops=1000 if on_tpu else 10, seed=14, bc=BoundaryCondition.PERIODIC,
+        formulation=Formulation.DIRECT, grow_after=10**9,
+        rng_impl="hardware" if on_tpu else "threefry",
+    )
+    act = actions.get("anharmonic")
+    s0 = langevin.init_chain_state(c2, act)
+    frames = 8
+    block = 128 if on_tpu else 32
+    ups = c2.n_chains * c2.n_sites * c2.loops * frames
+
+    def mk(k):
+        def run():
+            s, _ = chain_kernel.run_frames_pallas(
+                s0, act, c2, frames, block_chains=block,
+                interpret=not on_tpu, frames_per_launch=k,
+            )
+            np.asarray(s.lrg_vl)
+
+        return run
+
+    t = ab_timeit({"k1": mk(1), "k8": mk(8 if on_tpu else 2)},
+                  reps=reps if on_tpu else 1)
+    for k, (med, lo, hi) in t.items():
+        emit(exp="c2mf", variant=k, mlups=round(ups / med / 1e6, 1),
+             med_s=round(med, 4),
+             mlups_spread=[round(ups / hi / 1e6, 1), round(ups / lo / 1e6, 1)])
+
+
+EXPS = {
+    "nd_tile": nd_tile, "nd_chunk": nd_chunk, "rdma": rdma,
+    "gauge_mf": gauge_mf, "w4d": w4d, "field_rt": field_rt, "c2mf": c2mf,
+}
+
+# test-only experiments (underscore names skip JAX init in the worker):
+# _sleep simulates a wedged tunnel; _ok a healthy measurement.  Enabled via
+# env so tests/test_watchdog.py can drive the parent loop without a TPU.
+if os.environ.get("SQ_PERF_TEST_EXPS"):
+    EXPS["_sleep"] = lambda: time.sleep(600)
+    EXPS["_ok"] = lambda: emit(exp="_ok", mlups=1.0)
+
+#: per-experiment watchdog (s); first-compile through the tunnel can take
+#: minutes, so these are generous — but finite, unlike a wedged tunnel
+_TIMEOUT_S = float(os.environ.get("SQ_PERF_TIMEOUT_S", 1800.0))
+_ATTEMPTS = int(os.environ.get("SQ_PERF_ATTEMPTS", 2))
+_BACKOFF_S = float(os.environ.get("SQ_PERF_BACKOFF_S", 60.0))
+
+
+def worker(name: str) -> None:
+    if not name.startswith("_"):
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        log(f"devices: {jax.devices()}")
+    log(f"=== {name} ===")
+    EXPS[name]()
+
+
+def main():
+    if "--worker" in sys.argv:
+        worker(sys.argv[sys.argv.index("--worker") + 1])
+        return
+    from stochquant_tpu.watchdog import run_watchdogged
+
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(EXPS)
+    bad = [n for n in names if n not in EXPS]
+    if bad:
+        log(f"unknown experiments: {bad}; available: {list(EXPS)}")
+        sys.exit(2)
+    failures = 0
+    for name in names:
+        def report(att, name=name):
+            if att.stderr:
+                sys.stderr.write(att.stderr)
+            if att.timed_out:
+                log(f"[{name}] attempt {att.index}: watchdog timeout "
+                    f"({_TIMEOUT_S:.0f}s) — tunnel wedged?")
+            elif not att.ok:
+                log(f"[{name}] attempt {att.index}: exit {att.returncode}")
+
+        res = run_watchdogged(
+            [os.path.abspath(__file__), "--worker", name],
+            python=True, timeout_s=_TIMEOUT_S, attempts=_ATTEMPTS,
+            backoff_s=_BACKOFF_S, on_attempt=report,
+        )
+        if res.ok:
+            sys.stdout.write(res.success.stdout)
+            sys.stdout.flush()
+        else:
+            failures += 1
+            emit(exp=name, error="all watchdogged attempts failed")
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
