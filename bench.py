@@ -262,11 +262,17 @@ def worker() -> None:
     # path, not an ad-hoc kernel call).
     # fps=frames: one jitted superframe scan + one metrics readback, the
     # configuration a production throughput run uses (fps=1 would pay a
-    # ~100ms tunnel readback per frame and measure the link, not the chip)
+    # ~100ms tunnel readback per frame and measure the link, not the chip).
+    # frames=40 (r5, VERDICT r4 weak #5): a run_field call carries ~0.4s of
+    # fixed overhead (state init + tunnel dispatch + readback) — at the old
+    # 10-frame size that overhead DOMINATED the 0.45s measurement, which is
+    # what the r3→r4 "-26%" was: overhead jitter, not kernel speed
+    # (r5 on-device diagnosis: marginal rate ~10 GLUPS, so 30 extra frames
+    # cost only ~0.2s).  40 frames puts ~70% of each rep in actual compute.
     fcfg = FieldConfig(
         action="phi4", shape=(256, 256), n_chains=16 if on_tpu else 2,
-        loops=100 if on_tpu else 4, frames=10 if on_tpu else 2, seed=13,
-        fps=10 if on_tpu else 2, grow_after=10**9,
+        loops=100 if on_tpu else 4, frames=40 if on_tpu else 2, seed=13,
+        fps=40 if on_tpu else 2, grow_after=10**9,
     )
     fb = "pallas" if on_tpu else "xla"
     null_sink = lambda: metrics_mod.MetricsSink(stream=open(os.devnull, "w"))
@@ -316,14 +322,22 @@ def worker() -> None:
                        loops=100 if on_tpu else 4, seed=15, grow_after=10**9)
     gact = gauge_mod.resolve_gauge_action(gcfg)
     gstate = gauge_mod.init_gauge_state(gcfg, gact)
-    g_frames = 3 if on_tpu else 1
+    # r5: 10 kernel frames/rep so the ~22ms fixed dispatch overhead is
+    # <10% of each measurement (see gauge_ab's docstring)
+    g_frames = 10 if on_tpu else 1
     g_reps = 5 if on_tpu else 1
 
-    def gauge_ab(cfg_, act_, state_, frames):
-        """Paired kernel-vs-XLA timing for one gauge config."""
-        ups = (
-            cfg_.n_chains * 2 * int(np.prod(cfg_.shape)) * cfg_.loops * frames
-        )
+    def gauge_ab(cfg_, act_, state_, frames, frames_x=None):
+        """Paired kernel-vs-XLA timing for one gauge config.
+
+        frames_x lets the slow XLA arm run fewer frames than the kernel arm
+        (r5): each rep pays ~22ms of fixed dispatch+readback overhead
+        through the tunnel (measured by a chains/shape sweep: work scaled
+        7x, time scaled 1.7x), so the kernel arm needs enough frames that
+        the overhead stops dominating — while su3's XLA arm at 1.4 MLUPS
+        cannot afford them.  Per-arm medians are still interleave-paired."""
+        frames_x = frames_x or frames
+        per_frame = cfg_.n_chains * 2 * int(np.prod(cfg_.shape)) * cfg_.loops
 
         def k_run():
             s, _ = gauge_kernel.run_gauge_frames_pallas(
@@ -332,11 +346,14 @@ def worker() -> None:
             np.asarray(s.drift_max)
 
         def x_run():
-            s, _ = gauge_mod.run_gauge_frames(state_, act_, cfg_, frames)
+            s, _ = gauge_mod.run_gauge_frames(state_, act_, cfg_, frames_x)
             np.asarray(s.drift_max)
 
         t = ab_timeit({"kernel": k_run, "xla": x_run}, reps=g_reps)
-        return ups / t["kernel"][0] / 1e6, ups / t["xla"][0] / 1e6
+        return (
+            per_frame * frames / t["kernel"][0] / 1e6,
+            per_frame * frames_x / t["xla"][0] / 1e6,
+        )
 
     glups_k, glups_x = gauge_ab(gcfg, gact, gstate, g_frames)
     log(f"u1 gauge link-updates/s: kernel {glups_k:.0f} vs XLA {glups_x:.0f} MLUPS")
@@ -384,7 +401,10 @@ def worker() -> None:
                         loops=50 if on_tpu else 4, seed=19, grow_after=10**9)
     g3act = gauge_mod.resolve_gauge_action(g3cfg)
     g3state = gauge_mod.init_gauge_state(g3cfg, g3act)
-    glups3_k, glups3_x = gauge_ab(g3cfg, g3act, g3state, 2)
+    glups3_k, glups3_x = gauge_ab(
+        g3cfg, g3act, g3state, 24 if on_tpu else 2,
+        frames_x=2,  # XLA su3 runs at ~1.4 MLUPS; 2 frames is already ~5s/rep
+    )
     log(f"su3 gauge link-updates/s: kernel {glups3_k:.0f} vs XLA {glups3_x:.0f} MLUPS")
 
     # --- gauge multi-frame launches at 256 chains (VERDICT r3 item 3): the
@@ -550,35 +570,35 @@ def worker() -> None:
         f"rdma {halo_rdma_gate:.2e}")
 
     # --- multi-frame chain kernel (VERDICT r2 item 7): config-2 chain count,
-    # epilogue in-kernel, K=8 frames per launch.
+    # epilogue in-kernel, K=8 frames per launch.  Paired K=1/K=8 medians
+    # (r5, VERDICT r4 weak #5): the old unpaired min-of-2 is what made the
+    # r3 26.2 vs r4 19.2 GLUPS "regression" — a paired on-device re-run got
+    # 24.1 vs 24.2 with ±5% spreads (no code change between measurements).
     mf_s0 = langevin.init_chain_state(c2, actions.get("anharmonic"))
     mf_frames = 8
 
     mf_block = 128 if on_tpu else 32  # r3 sweep: K=8 peaks at 128
 
-    def time_mf(k):
-        s, _ = chain_kernel.run_frames_pallas(
-            mf_s0, actions.get("anharmonic"), c2, mf_frames,
-            block_chains=mf_block, interpret=not on_tpu, frames_per_launch=k,
-        )
-        np.asarray(s.lrg_vl)
-        times = []
-        for _ in range(2):
-            t0 = time.time()
+    def mk_mf(k):
+        def run():
             s, _ = chain_kernel.run_frames_pallas(
                 mf_s0, actions.get("anharmonic"), c2, mf_frames,
                 block_chains=mf_block, interpret=not on_tpu,
                 frames_per_launch=k,
             )
             np.asarray(s.lrg_vl)
-            times.append(time.time() - t0)
-        return (
-            c2.n_chains * c2.n_sites * c2.loops * mf_frames
-            / sorted(times)[0] / 1e6
-        )
 
-    mf_mlups = time_mf(8 if on_tpu else 2)
-    log(f"config-2 multiframe (K=8): {mf_mlups:.0f} MLUPS (K=1: {mlups_c2:.0f})")
+        return run
+
+    mf_t = ab_timeit(
+        {"k1": mk_mf(1), "k8": mk_mf(8 if on_tpu else 2)},
+        reps=5 if on_tpu else 1,
+    )
+    mf_ups = c2.n_chains * c2.n_sites * c2.loops * mf_frames
+    mf_k1_mlups = mf_ups / mf_t["k1"][0] / 1e6
+    mf_mlups = mf_ups / mf_t["k8"][0] / 1e6
+    log(f"config-2 multiframe (K=8): {mf_mlups:.0f} MLUPS "
+        f"(paired K=1: {mf_k1_mlups:.0f})")
 
     ref = oracle.run_reference(200, 0.02, 2e-4, frames=5, loops=1000, seed=7)
     ref_mlups = ref.updates_per_sec / 1e6
@@ -612,6 +632,7 @@ def worker() -> None:
         "halo_pallas_rdma_mlups": round(halo_rdma_mlups, 1),
         "halo_xla_mlups": round(halo_xla_mlups, 1),
         "config2_multiframe_k8_mlups": round(mf_mlups, 1),
+        "config2_multiframe_k1_mlups": round(mf_k1_mlups, 1),
         "kernel_equals_xla_on_device": kernel_equals_xla
         and gauge_gate <= 2e-6
         and su2_gate <= 2e-6

@@ -156,70 +156,156 @@ def _acosf(x):
 
 
 # ---------------------------------------------------------------------------
+# Lane-packed lattice layout (r5, VERDICT r4 item 2).
+#
+# The kernels view the (L0, L1) lattice as (S, F) = (L0/g, g·L1) with F a
+# multiple of 128 — a C-order reshape (free in XLA) that packs g lattice
+# rows into each vreg lane row, so L1 < 128 lattices stop wasting lanes
+# (su3 at (64, 64) ran at HALF rate under the plain (L0, L1) mapping:
+# 127 vs ~580 MLUPS lane-aligned, BASELINE.md r4 analysis).  g = 1 (the
+# identity layout, single-roll fast path) whenever L1 % 128 == 0 or no
+# admissible packing exists.
+#
+# Rolls per lattice dim decompose exactly on the packed layout (the
+# field_kernel_nd.py flat-roll playbook):
+#
+# - dim 1 (±1): lane roll ±1, plus a boundary fix (second roll + hoisted
+#   edge mask) where the lane crosses a lattice-row seam;
+# - dim 0 (±1): flat roll by ±L1 = lane roll ±L1 combined with a ±1
+#   sublane roll selected on the carried lane band; the global L0 wrap is
+#   exact because the flat order covers the whole lattice.
+# ---------------------------------------------------------------------------
+
+
+def _lattice_layout(cfg: GaugeConfig):
+    """(S, F, g): kernel lattice view (L0/g, g·L1) with F % 128 == 0."""
+    L0, L1 = cfg.shape
+    if L1 % 128 == 0:
+        return L0, L1, 1
+    for g in range(2, L0 + 1):
+        if L0 % g == 0 and (g * L1) % 128 == 0:
+            return L0 // g, g * L1, g
+    return L0, L1, 1
+
+
+def _make_roll(cfg: GaugeConfig):
+    """Returns ``make_roll()`` for the kernel body: builds the packed
+    layout's edge masks ONCE (hoisted out of the micro-step loop — they
+    depend only on static geometry) and returns ``roll(x, shift, axis)``
+    with the historic axis convention (2 = lattice dim 0, 3 = dim 1)."""
+    L0, L1 = cfg.shape
+    S, F, g = _lattice_layout(cfg)
+    if g == 1:
+        def make_roll():
+            def roll(x, shift, axis):
+                return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
+
+            return roll
+
+        return make_roll
+
+    def make_roll():
+        col = lax.broadcasted_iota(jnp.int32, (1, 1, S, F), 3)
+        edge_lo = col % L1 == 0        # first site of each lattice row
+        edge_hi = col % L1 == L1 - 1   # last site of each lattice row
+        lo_band = col < L1             # first packed row in each lane row
+        hi_band = col >= F - L1        # last packed row in each lane row
+
+        def roll(x, shift, axis):
+            if shift not in (1, -1):
+                raise ValueError(
+                    "lane-packed gauge layout supports ±1 rolls only"
+                )
+            if axis == 3:  # lattice dim 1: lane roll + row-seam fix
+                main = pltpu.roll(x, shift % F, 3)
+                fix = pltpu.roll(x, (shift - shift * L1) % F, 3)
+                edge = edge_lo if shift == 1 else edge_hi
+                return jnp.where(edge, fix, main)
+            # lattice dim 0: flat roll by shift·L1 with sublane carry
+            y = pltpu.roll(x, (shift * L1) % F, 3)
+            z = pltpu.roll(y, shift % S, 2)
+            band = lo_band if shift == 1 else hi_band
+            return jnp.where(band, z, y)
+
+        return roll
+
+    return make_roll
+
+
+# ---------------------------------------------------------------------------
 # Per-group step math, extracted so the single-frame AND multi-frame kernels
 # share ONE implementation per group (r4: the multi-frame epilogue is
 # group-agnostic; r3 had it u1-only).  Each factory returns
-# ``(link_planes, noise_planes, step_math)`` with
+# ``(link_planes, noise_planes, make_step)``; ``make_step()`` runs in the
+# kernel body (hoisting the packed layout's masks out of the loop) and
+# returns
 #
 #     step_math(block, eta, dtau) -> (new_block, plaq_contrib, dnorm, bad)
 #
-# on (1, planes, L0, L1) f32 blocks; expression order matches the XLA
+# on (1, planes, S, F) f32 blocks; expression order matches the XLA
 # integrator op-for-op (the on-device gate contract).
 # ---------------------------------------------------------------------------
 
 
 def _u1_ops(action, cfg: GaugeConfig):
-    L0, L1 = cfg.shape
     f32 = np.float32
     beta = f32(action.beta)
     cap = f32(cfg.drift_cap)
     two_pi = f32(2.0 * np.pi)
-    inv_vol = f32(1.0 / (L0 * L1))
+    inv_vol = f32(1.0 / (cfg.shape[0] * cfg.shape[1]))
+    make_roll = _make_roll(cfg)
 
-    def roll(x, shift, axis):
-        # lattice axes of the (1, P, L0, L1) block are 2 (rows) and 3
-        return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
+    def make_step():
+        roll = make_roll()
 
-    def shift_lat(x, d, sign):
-        """x(pos + sign·d̂) — mirrors actions.gauge.shift (roll by −sign)."""
-        return roll(x, -sign, 2 + d)
+        def shift_lat(x, d, sign):
+            """x(pos + sign·d̂) — mirrors actions.gauge.shift (roll by −sign)."""
+            return roll(x, -sign, 2 + d)
 
-    def plaq(t_mu, t_nu, mu, nu):
-        """P_{μν} with the same expression order as
-        U1Wilson.plaquette_angle (actions/gauge.py:200-211)."""
-        return t_mu + shift_lat(t_nu, mu, +1) - shift_lat(t_mu, nu, +1) - t_nu
+        def plaq(t_mu, t_nu, mu, nu):
+            """P_{μν} with the same expression order as
+            U1Wilson.plaquette_angle (actions/gauge.py:200-211)."""
+            return (
+                t_mu + shift_lat(t_nu, mu, +1) - shift_lat(t_mu, nu, +1) - t_nu
+            )
 
-    def step_math(th, eta, dtau):
-        t0 = th[:, 0:1, :, :]
-        t1 = th[:, 1:2, :, :]
-        # drift, both directions, mirroring U1Wilson.drift's loop order
-        p01 = plaq(t0, t1, 0, 1)
-        sp01 = jnp.sin(p01)
-        acc0 = sp01 - shift_lat(sp01, 1, -1)
-        p10 = plaq(t1, t0, 1, 0)
-        sp10 = jnp.sin(p10)
-        acc1 = sp10 - shift_lat(sp10, 0, -1)
-        f = jnp.concatenate([-beta * acc0, -beta * acc1], axis=1)
+        def step_math(th, eta, dtau):
+            t0 = th[:, 0:1, :, :]
+            t1 = th[:, 1:2, :, :]
+            # drift, both directions, mirroring U1Wilson.drift's loop order
+            p01 = plaq(t0, t1, 0, 1)
+            sp01 = jnp.sin(p01)
+            acc0 = sp01 - shift_lat(sp01, 1, -1)
+            p10 = plaq(t1, t0, 1, 0)
+            sp10 = jnp.sin(p10)
+            acc1 = sp10 - shift_lat(sp10, 0, -1)
+            f = jnp.concatenate([-beta * acc0, -beta * acc1], axis=1)
 
-        dnorm = jnp.max(jnp.abs(f))
-        scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
-        dtau_eff = dtau * scale
-        omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
-        t = th + omega
-        new_th = t - two_pi * jnp.round(t / two_pi)
+            dnorm = jnp.max(jnp.abs(f))
+            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+            dtau_eff = dtau * scale
+            omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
+            t = th + omega
+            new_th = t - two_pi * jnp.round(t / two_pi)
 
-        bad = jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0))) > 0.0
-        # observable samples the pre-update links; frame SUM of the mean
-        # plaquette (two-level accumulation, integrators/accum.py)
-        plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
-        return new_th, plaq_mean, dnorm, bad
+            bad = (
+                jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0)))
+                > 0.0
+            )
+            # observable samples the pre-update links; frame SUM of the mean
+            # plaquette (two-level accumulation, integrators/accum.py)
+            plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
+            return new_th, plaq_mean, dnorm, bad
 
-    return 2, 2, step_math
+        return step_math
+
+    return 2, 2, make_step
 
 
 def _build_frame_kernel(action, cfg: GaugeConfig, ops_factory):
-    planes, noise_planes, step_math = ops_factory(action, cfg)
+    planes, noise_planes, make_step = ops_factory(action, cfg)
     L0, L1 = cfg.shape
+    S, F, _g = _lattice_layout(cfg)
     f32 = np.float32
     plane = L0 * L1
 
@@ -232,20 +318,22 @@ def _build_frame_kernel(action, cfg: GaugeConfig, ops_factory):
         seed = scalars_ref[0]
         step0 = scalars_ref[1]
         chain = scalars_ref[2] + jnp.uint32(i)
+        step_math = make_step()
 
         # global noise ids: C-order linearization of (noise_planes, L0, L1)
         # — exactly rng.normal_pair_for_shape's counters for the group's
-        # noise shape
-        p_idx = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 1)
-        row = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 2)
-        col = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 3)
-        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
+        # noise shape.  The packed (S, F) view preserves the C-order flat
+        # index: site = p·L0·L1 + (sub·F + col).
+        p_idx = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 1)
+        row = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 2)
+        col = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 3)
+        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(F) + col
         k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
 
         dtau = dtau_ref[0, i]
 
         def substep(eta):
-            th = tho_ref[:]          # (1, planes, L0, L1)
+            th = tho_ref[:]          # (1, planes, S, F)
             ps = ps_ref[0, i]
             dmax = dmaxo_ref[0, i]
             unst = unst_ref[0, i] > 0
@@ -297,16 +385,16 @@ def _frame_call_g(action, cfg: GaugeConfig, interpret: bool):
     planes = ops_factory(action, cfg)[0]
     kernel = _build_frame_kernel(action, cfg, ops_factory)
     C = cfg.n_chains
-    L0, L1 = cfg.shape
+    S, F, _g = _lattice_layout(cfg)
     lat = pl.BlockSpec(
-        (1, planes, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, planes, S, F), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     # per-chain scalars as (1, C) SMEM rows: a (C, 1) layout lane-pads each
     # chain to 128 entries and exhausts the 1 MiB SMEM at 256 chains (r4
     # on-device finding: "Used 1.88M of 1.00M smem")
     sca = lambda: pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     out_shapes = (
-        jax.ShapeDtypeStruct((C, planes, L0, L1), jnp.float32),  # links
+        jax.ShapeDtypeStruct((C, planes, S, F), jnp.float32),  # links
         jax.ShapeDtypeStruct((1, C), jnp.float32),          # frame plaq sum
         jax.ShapeDtypeStruct((1, C), jnp.float32),          # drift max
         jax.ShapeDtypeStruct((1, C), jnp.int32),            # unstable
@@ -327,26 +415,34 @@ def _frame_call_g(action, cfg: GaugeConfig, interpret: bool):
 
 def _su2_ops(action, cfg: GaugeConfig):
     """2-D SU(2) step math: quaternion links as 8 (component, direction)
-    planes of a (1, 8, L0, L1) block.  Reuses the exact quaternion helpers
+    planes of a (1, 8, S, F) block.  Reuses the exact quaternion helpers
     of actions/gauge.py (qmul/qconj/qexp_su2/qnormalize are pure jnp and
     lower unchanged in Pallas), so op order matches the XLA integrator."""
     from stochquant_tpu.actions.gauge import qconj, qexp_su2, qmul, qnormalize
 
-    L0, L1 = cfg.shape
     f32 = np.float32
     beta = f32(action.beta)
     cap = f32(cfg.drift_cap)
-    inv_vol = f32(1.0 / (L0 * L1))
+    inv_vol = f32(1.0 / (cfg.shape[0] * cfg.shape[1]))
+    make_roll = _make_roll(cfg)
 
-    def roll(x, shift, axis):
-        return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
+    def make_step():
+        roll = make_roll()
 
-    def shq(t, d, sign):
-        """quaternion tuple at pos + sign·d̂ (mirrors actions.gauge.shift)."""
-        return tuple(roll(c, -sign, 2 + d) for c in t)
+        def shq(t, d, sign):
+            """quaternion tuple at pos + sign·d̂ (actions.gauge.shift)."""
+            return tuple(roll(c, -sign, 2 + d) for c in t)
 
+        return _su2_step_math_fn(shq, f32, beta, cap, inv_vol,
+                                 qconj, qexp_su2, qmul, qnormalize)
+
+    return 8, 6, make_step
+
+
+def _su2_step_math_fn(shq, f32, beta, cap, inv_vol,
+                      qconj, qexp_su2, qmul, qnormalize):
     def step_math(q, eta, dtau):
-        # (1, 8, L0, L1): plane 2c+μ = component c of dir μ
+        # (1, 8, S, F): plane 2c+μ = component c of dir μ
         link = lambda mu: tuple(
             q[:, 2 * c + mu : 2 * c + mu + 1] for c in range(4)
         )
@@ -410,7 +506,7 @@ def _su2_ops(action, cfg: GaugeConfig):
         plaq_mean = jnp.sum(p[0]) * inv_vol
         return new_q, plaq_mean, dnorm, tripped
 
-    return 8, 6, step_math
+    return step_math
 
 
 def _build_su2_kernel(action, cfg: GaugeConfig):
@@ -427,16 +523,12 @@ def _su3_ops(action, cfg: GaugeConfig):
     split re/im), group update + one-Newton-step re-unitarization
     (project_su3).  All lane-batched over the lattice — ~10 matmuls/link of
     pure VPU elementwise work fused in VMEM."""
-    L0, L1 = cfg.shape
     f32 = np.float32
     beta = f32(action.beta)
     cap = f32(cfg.drift_cap)
-    inv_vol = f32(1.0 / (L0 * L1))
+    inv_vol = f32(1.0 / (cfg.shape[0] * cfg.shape[1]))
     s3 = f32(1.0 / np.sqrt(3.0))
-
-    def roll(x, shift, axis):
-        return pltpu.roll(x, shift % (L0 if axis == 2 else L1), axis)
-
+    make_roll = _make_roll(cfg)
 
     def link(q, mu):
         """split-complex 3×3 matrix field for direction mu."""
@@ -451,9 +543,9 @@ def _su3_ops(action, cfg: GaugeConfig):
             for r in range(3)
         ]
 
-    sh = lambda A, d, sign: _cmat_map(A, d, sign, roll)
-
-    def staple(u, mu, nu):
+    # ``sh`` (the roll-dependent matrix shift) is built per-kernel in
+    # make_step and threaded through the staple/drift helpers
+    def staple(sh, u, mu, nu):
         """forward + backward staple V_μ (SU3Wilson._staple_sum order)."""
         u_mu, u_nu = u[mu], u[nu]
         f = _cmat_mul(
@@ -469,9 +561,9 @@ def _su3_ops(action, cfg: GaugeConfig):
         )
         return _cmat_add(f, b)
 
-    def drift_h(u, mu, nu):
+    def drift_h(sh, u, mu, nu):
         """H = (β/4N)·[G − (tr G/N)·1], G = i(M − M†), M = U_μ·V_μ."""
-        m = _cmat_mul(u[mu], staple(u, mu, nu))
+        m = _cmat_mul(u[mu], staple(sh, u, mu, nu))
         g = [
             [
                 (
@@ -642,10 +734,10 @@ def _su3_ops(action, cfg: GaugeConfig):
         ph = (jnp.cos(ang * f32(-1.0 / 3.0)), jnp.sin(ang * f32(-1.0 / 3.0)))
         return [[_cmul(v[r][c], ph) for c in range(3)] for r in range(3)]
 
-    def step_math(q, eta, dtau):
-        # q: (1, 36, L0, L1)
+    def step_math(sh, q, eta, dtau):
+        # q: (1, 36, S, F)
         u = [link(q, 0), link(q, 1)]
-        hs = [drift_h(u, 0, 1), drift_h(u, 1, 0)]
+        hs = [drift_h(sh, u, 0, 1), drift_h(sh, u, 1, 0)]
 
         # drift norm √(2·ΣTr H²) per link, max over sites & directions
         dnorm = jnp.maximum(
@@ -703,7 +795,12 @@ def _su3_ops(action, cfg: GaugeConfig):
         plaq_mean = jnp.sum(retr * f32(1.0 / 3.0)) * inv_vol
         return new_q, plaq_mean, dnorm, tripped
 
-    return 36, 16, step_math
+    def make_step():
+        roll = make_roll()
+        sh = lambda A, d, sign: _cmat_map(A, d, sign, roll)
+        return lambda q, eta, dtau: step_math(sh, q, eta, dtau)
+
+    return 36, 16, make_step
 
 
 def _build_su3_kernel(action, cfg: GaugeConfig):
@@ -774,8 +871,9 @@ def _build_multiframe_kernel(action, cfg: GaugeConfig, K: int, ops_factory):
     chain/field multi-frame kernels; per-frame semantics identical to K
     single-frame launches — same Threefry counters, same epilogue
     expressions incl. the uint32-pair runs carry)."""
-    planes, noise_planes, step_math = ops_factory(action, cfg)
+    planes, noise_planes, make_step = ops_factory(action, cfg)
     L0, L1 = cfg.shape
+    S, F, _g = _lattice_layout(cfg)
     f32 = np.float32
     plane = L0 * L1
     loops = cfg.loops
@@ -794,11 +892,13 @@ def _build_multiframe_kernel(action, cfg: GaugeConfig, K: int, ops_factory):
         seed = scalars_ref[0]
         step00 = scalars_ref[1]
         chain = scalars_ref[2] + jnp.uint32(i)
+        step_math = make_step()
 
-        p_idx = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 1)
-        row = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 2)
-        col = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, L0, L1), 3)
-        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(L1) + col
+        # packed (S, F) view preserves the C-order flat site index
+        p_idx = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 1)
+        row = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 2)
+        col = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 3)
+        site = p_idx * jnp.uint32(plane) + row * jnp.uint32(F) + col
         k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
 
         def substep(eta):
@@ -913,20 +1013,22 @@ def _ops_factory_of(action):
 
 
 def _links_to_planes(links, action, cfg: GaugeConfig):
-    """State links → the kernel's (C, planes, L0, L1) f32 plane layout."""
+    """State links → the kernel's (C, planes, S, F) f32 plane layout (the
+    lane-packed (S, F) lattice view is a C-order reshape — free in XLA)."""
     from stochquant_tpu.actions.gauge import SU2Wilson, SU3Wilson
 
     C = cfg.n_chains
     L0, L1 = cfg.shape
+    S, F, _g = _lattice_layout(cfg)
     if isinstance(action, SU2Wilson):
-        return links.reshape((C, 8) + tuple(cfg.shape))
+        return links.reshape((C, 8, S, F))
     if isinstance(action, SU3Wilson):
         # (C, 2, L0, L1, 3, 3) complex → 36 real planes μ·18+(3r+c)·2+reim
         planes = jnp.stack([jnp.real(links), jnp.imag(links)], axis=-1)
         return jnp.transpose(planes, (0, 1, 4, 5, 6, 2, 3)).reshape(
-            (C, 36, L0, L1)
+            (C, 36, S, F)
         )
-    return links
+    return links.reshape((C, 2, S, F))
 
 
 def _planes_to_links(planes, action, cfg: GaugeConfig):
@@ -941,7 +1043,7 @@ def _planes_to_links(planes, action, cfg: GaugeConfig):
             planes.reshape((C, 2, 3, 3, 2, L0, L1)), (0, 1, 5, 6, 2, 3, 4)
         )
         return lax.complex(p[..., 0], p[..., 1])
-    return planes
+    return planes.reshape((C, 2, L0, L1))
 
 
 @functools.lru_cache(maxsize=64)
@@ -950,16 +1052,16 @@ def _multiframe_call(action, cfg: GaugeConfig, K: int, interpret: bool):
     planes = ops_factory(action, cfg)[0]
     kernel = _build_multiframe_kernel(action, cfg, K, ops_factory)
     C = cfg.n_chains
-    L0, L1 = cfg.shape
+    S, F, _g = _lattice_layout(cfg)
     lat = lambda: pl.BlockSpec(
-        (1, planes, L0, L1), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, planes, S, F), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     # (1, C) / (K, C) SMEM layouts — see _frame_call_g's note on lane padding
     sca = lambda: pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     hist = lambda: pl.BlockSpec((K, C), lambda i, *_: (0, 0), memory_space=pltpu.SMEM)
     f32s = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     out_shapes = (
-        f32s((C, planes, L0, L1)),                    # links (planes)
+        f32s((C, planes, S, F)),                      # links (planes)
         f32s((1, C)), f32s((1, C)), f32s((1, C)),     # dmax, dtau, plaq_mean
         jax.ShapeDtypeStruct((1, C), jnp.uint32),     # runs lo
         jax.ShapeDtypeStruct((1, C), jnp.uint32),     # runs hi
@@ -977,7 +1079,7 @@ def _multiframe_call(action, cfg: GaugeConfig, K: int, interpret: bool):
             hist(), hist(), hist(),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, planes, L0, L1), jnp.float32),  # link snapshot
+            pltpu.VMEM((1, planes, S, F), jnp.float32),  # link snapshot
             pltpu.SMEM((4,), jnp.float32),            # Σ plaq, dmax snap, unst
         ],
     )

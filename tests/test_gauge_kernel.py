@@ -190,6 +190,66 @@ def test_u1_multiframe_matches_single_frame_launches():
         np.asarray(ma["dtau"]), np.asarray(mb["dtau"]), rtol=1e-6
     )
 
+def test_lattice_layout_packing():
+    """r5 lane-packed layout selection: (S, F) = (L0/g, g·L1) with F a
+    multiple of 128 whenever an admissible g exists; identity otherwise."""
+    lay = lambda shape: gauge_kernel._lattice_layout(_cfg(shape=shape))
+    assert lay((16, 128)) == (16, 128, 1)      # already aligned
+    assert lay((64, 64)) == (32, 128, 2)       # the su3 bench lattice
+    assert lay((8, 16)) == (1, 128, 8)         # deep packing
+    assert lay((8, 8)) == (8, 8, 1)            # g=16 > L0: no packing
+    assert lay((16, 96)) == (4, 384, 4)        # F = 384 (3 vregs/row)
+
+
+@pytest.mark.parametrize("group,beta,dtau", [("u1", 1.0, 5e-3), ("su2", 2.0, 2e-3)])
+def test_lane_packed_kernel_matches_xla_path(group, beta, dtau):
+    """(8, 64) → packed (4, 128) view (g=2): the lane-packed rolls (row-seam
+    fix + sublane carry) must reproduce the XLA integrator exactly like the
+    identity layout does."""
+    cfg = _cfg(group=group, beta=beta, shape=(8, 64), n_chains=2, loops=7,
+               dtau=dtau)
+    assert gauge_kernel._lattice_layout(cfg) == (4, 128, 2)
+    act = gauge_mod.resolve_gauge_action(cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    ref, ref_m = gauge_mod.run_gauge_frames(s0, act, cfg, 3)
+    out, out_m = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 3,
+                                                      interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref_m["stable"]), np.asarray(out_m["stable"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.links), np.asarray(out.links), rtol=2e-6, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.plaq_mean), np.asarray(out.plaq_mean), rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.drift_max), np.asarray(out.drift_max), rtol=2e-6, atol=0
+    )
+
+
+def test_lane_packed_multiframe_matches_single(monkeypatch):
+    """Packed layout × in-kernel multi-frame epilogue (u1 at (8, 64))."""
+    cfg = _cfg(shape=(8, 64), n_chains=2, loops=4)
+    act = gauge_mod.resolve_gauge_action(cfg)
+    s0 = gauge_mod.init_gauge_state(cfg, act)
+    a, ma = gauge_kernel.run_gauge_frames_pallas(s0, act, cfg, 4, interpret=True)
+    b, mb = gauge_kernel.run_gauge_frames_pallas(
+        s0, act, cfg, 4, interpret=True, frames_per_launch=2
+    )
+    for name, x, y in zip(a._fields, a, b):
+        if name in ("runs", "stab_cnt", "step"):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), err_msg=name)
+        else:
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=3e-6, atol=3e-6, err_msg=name
+            )
+    np.testing.assert_array_equal(
+        np.asarray(ma["stable"]), np.asarray(mb["stable"])
+    )
+
+
 @pytest.mark.parametrize("group,beta,dtau", [("su2", 2.0, 2e-3), ("su3", 5.0, 1e-3)])
 @pytest.mark.slow  # heavy statistical/sweep gate (r4 re-tier: default suite < judge cap)
 def test_nonabelian_multiframe_matches_single_frame_launches(group, beta, dtau):

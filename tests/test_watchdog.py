@@ -69,11 +69,14 @@ def test_perf_experiments_survive_wedged_experiment():
     not the session.  Drive tools/perf_experiments.py's parent loop with a
     test-only sleeping experiment followed by a healthy one: the sleeper
     times out, the healthy one still runs and emits its JSON line."""
-    env = dict(os.environ, SQ_PERF_TEST_EXPS="1", SQ_PERF_TIMEOUT_S="2",
+    # watchdog window 15s: the healthy child still needs interpreter start
+    # + numpy import, which can exceed a tight window when the 2-CPU box is
+    # loaded (the _sleep experiment sleeps 600s, far beyond any load jitter)
+    env = dict(os.environ, SQ_PERF_TEST_EXPS="1", SQ_PERF_TIMEOUT_S="15",
                SQ_PERF_ATTEMPTS="1", SQ_PERF_BACKOFF_S="0")
     out = subprocess.run(
         [sys.executable, _PERF, "_sleep", "_ok"],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=60,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=120,
     )
     lines = [json.loads(l) for l in out.stdout.decode().splitlines() if l.strip()]
     by_exp = {l["exp"]: l for l in lines}

@@ -241,9 +241,14 @@ def main():
         from stochquant_tpu.integrators.gauge import GaugeConfig
         from stochquant_tpu.kernels import gauge_kernel
 
-        for group, beta, dtau in (("u1", 1.0, 5e-3), ("su2", 2.0, 2e-3),
-                                  ("su3", 5.0, 1e-3)):
-            gcfg = GaugeConfig(group=group, beta=beta, shape=(16, 128),
+        # (16, 128) = identity layout; (64, 64) = the r5 lane-packed
+        # (32, 128) view (VERDICT r4 item 2) — both must Mosaic-compile
+        for group, beta, dtau, shape in (
+            ("u1", 1.0, 5e-3, (16, 128)), ("su2", 2.0, 2e-3, (16, 128)),
+            ("su3", 5.0, 1e-3, (16, 128)), ("u1", 1.0, 5e-3, (64, 64)),
+            ("su2", 2.0, 2e-3, (64, 64)), ("su3", 5.0, 1e-3, (64, 64)),
+        ):
+            gcfg = GaugeConfig(group=group, beta=beta, shape=shape,
                                n_chains=2, dtau=dtau, loops=4, seed=1,
                                grow_after=10**9)
             gact = gauge_mod.resolve_gauge_action(gcfg)

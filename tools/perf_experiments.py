@@ -238,6 +238,45 @@ def w4d():
             emit(exp="w4d", W=w, error=str(e)[:200])
 
 
+def gauge_lane():
+    """Gauge kernel MLUPS at the bench lattices (r5 lane-packed layout
+    check: su3 at (64, 64) ran at 127 MLUPS under the plain layout vs
+    ~580 lane-aligned — the packed (32, 128) view should close that)."""
+    import jax
+    from stochquant_tpu.integrators import gauge as gauge_mod
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+    from stochquant_tpu.kernels import gauge_kernel
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    for group, beta, dtau, shape, chains, loops, frames in (
+        ("su3", 5.0, 1e-3, (64, 64), 8, 50, 2),
+        ("su2", 2.0, 2e-3, (128, 128), 16, 100, 3),
+        ("u1", 1.0, 5e-3, (256, 256), 32, 100, 3),
+    ):
+        cfg = GaugeConfig(group=group, beta=beta, shape=shape,
+                          n_chains=chains if on_tpu else 2, dtau=dtau,
+                          loops=loops if on_tpu else 4, seed=19,
+                          grow_after=10**9)
+        act = gauge_mod.resolve_gauge_action(cfg)
+        s0 = gauge_mod.init_gauge_state(cfg, act)
+        ups = cfg.n_chains * 2 * shape[0] * shape[1] * cfg.loops * frames
+        try:
+            def run():
+                s, _ = gauge_kernel.run_gauge_frames_pallas(
+                    s0, act, cfg, frames, interpret=not on_tpu
+                )
+                np.asarray(s.drift_max)
+
+            med, lo, hi = timeit(run)
+            emit(exp="gauge_lane", group=group, shape=list(shape),
+                 layout=list(gauge_kernel._lattice_layout(cfg)),
+                 mlups=round(ups / med / 1e6, 1), med_s=round(med, 4),
+                 mlups_spread=[round(ups / hi / 1e6, 1),
+                               round(ups / lo / 1e6, 1)])
+        except Exception as e:  # noqa: BLE001
+            emit(exp="gauge_lane", group=group, error=str(e)[:300])
+
+
 def field_rt(reps=10):
     """Field runtime rows with enough paired reps to bound the spread
     (VERDICT r4 weak #5: the r4 single-path spread was ±25%, too wide for
@@ -250,14 +289,19 @@ def field_rt(reps=10):
     from stochquant_tpu.config import FieldConfig
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    # frames=40 (vs bench r4's 10): each rep ~1.8s of device work, so the
+    # tunnel's few-hundred-ms dispatch/readback jitter stops dominating the
+    # measurement (r4 single-path spread was ±25% at 0.45s/rep)
+    frames = int(os.environ.get("SQ_FIELD_RT_FRAMES", 40))
     fcfg = FieldConfig(
         action="phi4", shape=(256, 256), n_chains=16 if on_tpu else 2,
-        loops=100 if on_tpu else 4, frames=10 if on_tpu else 2, seed=13,
-        fps=10 if on_tpu else 2, grow_after=10**9,
+        loops=100 if on_tpu else 4, frames=frames if on_tpu else 2, seed=13,
+        fps=frames if on_tpu else 2, grow_after=10**9,
     )
     fb = "pallas" if on_tpu else "xla"
     null_sink = lambda: metrics_mod.MetricsSink(stream=open(os.devnull, "w"))
     ups = fcfg.n_chains * 256 * 256 * fcfg.loops * fcfg.frames
+    reps = int(os.environ.get("SQ_FIELD_RT_REPS", reps))
     fmf = dataclasses.replace(fcfg, frames_per_launch=10)
     runs = {
         "single": lambda: runtime.run_field(fcfg, backend=fb, sink=null_sink()),
@@ -318,6 +362,7 @@ def c2mf(reps=6):
 EXPS = {
     "nd_tile": nd_tile, "nd_chunk": nd_chunk, "rdma": rdma,
     "gauge_mf": gauge_mf, "w4d": w4d, "field_rt": field_rt, "c2mf": c2mf,
+    "gauge_lane": gauge_lane,
 }
 
 # test-only experiments (underscore names skip JAX init in the worker):
