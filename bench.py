@@ -214,8 +214,11 @@ def worker() -> None:
         formulation=Formulation.DIRECT, grow_after=10**9,
         rng_impl="hardware" if on_tpu else "threefry",
     )
+    # r5: 16 frames/rep — at 3 frames the ~22ms dispatch overhead was ~25%
+    # of each config-2 rep (BASELINE.md r5 diagnosis)
     mlups_c2, _ = time_chain(
-        c2, actions.get("anharmonic"), n_frames, 2 if on_tpu else 1,
+        c2, actions.get("anharmonic"), 16 if on_tpu else n_frames,
+        2 if on_tpu else 1,
         256 if on_tpu else 32,  # r3 sweep: 256 > 128 > 64 at this config
     )
 
@@ -407,6 +410,57 @@ def worker() -> None:
     )
     log(f"su3 gauge link-updates/s: kernel {glups3_k:.0f} vs XLA {glups3_x:.0f} MLUPS")
 
+    # --- gauge chunk runner vs the XLA gauge halo runner on the 1-way ring
+    # (r5, VERDICT r4 item 3): the fused sharded-gauge composition — one
+    # launch per W micro-steps on the halo-extended block; u1 links must
+    # come back BITWISE equal to the XLA halo runner's on device.
+    from stochquant_tpu.parallel import make_mesh as _mk_mesh, shard_gauge_state
+    from stochquant_tpu.parallel.gauge_halo import (
+        make_gauge_chunk_runner,
+        make_gauge_halo_runner,
+    )
+
+    ghcfg = GaugeConfig(group="u1", beta=1.0, shape=(256, 256),
+                        n_chains=32 if on_tpu else 2, dtau=5e-3,
+                        loops=100 if on_tpu else 4, seed=15,
+                        grow_after=10**9, mesh_axes=("x", None))
+    ghact = gauge_mod.resolve_gauge_action(ghcfg)
+    ghmesh = _mk_mesh([("x", 1)])
+    gh0 = shard_gauge_state(
+        gauge_mod.init_gauge_state(ghcfg, ghact), ghact, ghmesh, ghcfg
+    )
+    gh_runners = {
+        "chunk": make_gauge_chunk_runner(ghact, ghcfg, ghmesh,
+                                         interpret=not on_tpu),
+        "xla": make_gauge_halo_runner(ghact, ghcfg, ghmesh,
+                                      interpret=not on_tpu),
+    }
+    gh_frames = 5 if on_tpu else 1
+    gh_ups = (
+        ghcfg.n_chains * 2 * 256 * 256 * ghcfg.loops * gh_frames
+    )
+    gh_out = {}
+
+    def gh_run(name):
+        def run():
+            s, _ = gh_runners[name](gh0, gh_frames)
+            np.asarray(s.drift_max)
+            gh_out[name] = s
+
+        return run
+
+    gh_t = ab_timeit({k: gh_run(k) for k in gh_runners},
+                     reps=3 if on_tpu else 1)
+    gauge_chunk_mlups = gh_ups / gh_t["chunk"][0] / 1e6
+    gauge_chunk_xla_mlups = gh_ups / gh_t["xla"][0] / 1e6
+    gauge_chunk_gate = float(
+        np.max(np.abs(np.asarray(gh_out["chunk"].links)
+                      - np.asarray(gh_out["xla"].links)))
+    )
+    log(f"gauge halo composition (u1): chunk {gauge_chunk_mlups:.0f} vs "
+        f"xla {gauge_chunk_xla_mlups:.0f} MLUPS, links gate "
+        f"{gauge_chunk_gate:.2e}")
+
     # --- gauge multi-frame launches at 256 chains (VERDICT r3 item 3): the
     # in-kernel accept/reject + Δτ epilogue now covers every fused group;
     # K=8 vs K=1 paired per group at the launch-bound scale (small lattice,
@@ -465,7 +519,10 @@ def worker() -> None:
     )
     nd_state = field_mod.init_field_state(nd_cfg)
     nd_vol = int(np.prod(nd_cfg.shape))
-    nd_ups = nd_cfg.n_chains * nd_vol * nd_cfg.loops * 2
+    # r5: 8 frames/rep so the ~22ms fixed dispatch overhead (BASELINE.md r5
+    # diagnosis) is a few % of each rep instead of ~45% of the r4 one
+    nd_frames = 8 if on_tpu else 2
+    nd_ups = nd_cfg.n_chains * nd_vol * nd_cfg.loops * nd_frames
     # r4: the unsharded W-step chunk variant (exchange_steps > 2) — one
     # launch per W micro-steps with trapezoidal dim-0 halo recompute
     nd_chunk_cfg = dataclasses_replace(
@@ -475,7 +532,7 @@ def worker() -> None:
     def nd_run(cfg_, tile=None):
         def run():
             s, _ = field_kernel_nd.run_field_frames_nd(
-                nd_state, fact, cfg_, 2, tile_rows=tile,
+                nd_state, fact, cfg_, nd_frames, tile_rows=tile,
                 interpret=not on_tpu,
             )
             np.asarray(s.lrg_vl)
@@ -483,7 +540,7 @@ def worker() -> None:
         return run
 
     def nd_x_run():
-        s, _ = field_mod.run_field_frames(nd_state, fact, nd_cfg, 2)
+        s, _ = field_mod.run_field_frames(nd_state, fact, nd_cfg, nd_frames)
         np.asarray(s.lrg_vl)
 
     nd_t = ab_timeit(
@@ -517,7 +574,7 @@ def worker() -> None:
     hmesh = make_mesh([("x", 1)])
     hs0 = field_mod.init_field_state(hcfg)
     hs0_sh = shard_field_state(hs0, hmesh, hcfg)
-    h_frames = 5 if on_tpu else 2
+    h_frames = 20 if on_tpu else 2  # r5: amortize the ~22ms dispatch overhead
     h_updates = hcfg.n_chains * int(np.prod(hcfg.shape)) * hcfg.loops * h_frames
 
     hb = "pallas" if on_tpu else "xla"
@@ -575,7 +632,7 @@ def worker() -> None:
     # r3 26.2 vs r4 19.2 GLUPS "regression" — a paired on-device re-run got
     # 24.1 vs 24.2 with ±5% spreads (no code change between measurements).
     mf_s0 = langevin.init_chain_state(c2, actions.get("anharmonic"))
-    mf_frames = 8
+    mf_frames = 16 if on_tpu else 8  # r5: overhead amortization (2 launches at K=8)
 
     mf_block = 128 if on_tpu else 32  # r3 sweep: K=8 peaks at 128
 
@@ -633,6 +690,8 @@ def worker() -> None:
         "halo_xla_mlups": round(halo_xla_mlups, 1),
         "config2_multiframe_k8_mlups": round(mf_mlups, 1),
         "config2_multiframe_k1_mlups": round(mf_k1_mlups, 1),
+        "gauge_chunk_mlups": round(gauge_chunk_mlups, 1),
+        "gauge_chunk_xla_mlups": round(gauge_chunk_xla_mlups, 1),
         "kernel_equals_xla_on_device": kernel_equals_xla
         and gauge_gate <= 2e-6
         and su2_gate <= 2e-6
@@ -640,12 +699,14 @@ def worker() -> None:
         and nd_gate <= 2e-6
         and halo_gate <= 2e-6
         and halo_pair_gate <= 2e-6
-        and halo_rdma_gate <= 2e-6,
+        and halo_rdma_gate <= 2e-6
+        and gauge_chunk_gate <= 2e-6,
         "kernel_vs_xla_max_abs_diff": {
             "chain": chain_gate, "field": field_gate, "gauge": gauge_gate,
             "su2": su2_gate, "su3": su3_gate, "nd4d": nd_gate,
             "halo_step_vs_xla": halo_gate, "halo_pair_vs_xla": halo_pair_gate,
             "halo_rdma_vs_xla": halo_rdma_gate,
+            "gauge_chunk_vs_halo": gauge_chunk_gate,
         },
         "stable_fraction": stable,
     }

@@ -81,6 +81,10 @@ class GaugeConfig:
     # (parallel/gauge_halo.py): links sharded over the mesh with 1-site
     # halos exchanged per micro-step (r4 — lattices beyond one chip's HBM)
     mesh_chain_axis: Optional[str] = None
+    exchange_steps: int = 0              # gauge CHUNK runner (r5): micro-
+                                         # steps per halo exchange (W) for
+                                         # the fused sharded kernel path;
+                                         # 0 = auto (min(8, local rows))
 
     @property
     def ndim(self) -> int:

@@ -77,6 +77,14 @@ def _halo_depth(cfg: FieldConfig) -> int:
 #: to 1.5x.
 _STRIP_BUDGET_BYTES = 2 << 20
 
+#: perf DIAGNOSTIC only (r5, VERDICT r4 item 4): drop the inner-flat-dim
+#: wrap-fix rolls (+their selects) to bound what ANY fix-merging layout
+#: lever could recover.  Produces WRONG values at the dim-3 seam — never
+#: set outside tools/perf_experiments.py's nd_fixcost experiment.
+import os as _os
+
+_PERF_PROBE_NOFIX = bool(_os.environ.get("SQ_ND_PERF_PROBE_NOFIX"))
+
 
 def default_tile_rows(cfg: FieldConfig) -> int:
     """Largest dim-0 tile whose extended strip fits the VMEM budget (whole
@@ -197,6 +205,8 @@ def _build_pair_kernel(action: FieldAction, cfg: FieldConfig, T0: int, H: int):
             main = pltpu.roll(x, (shift * sd) % LF, 2)
             if sd * nd == LF:
                 return main  # outermost flattened dim: flat wrap is exact
+            if _PERF_PROBE_NOFIX:
+                return main  # diagnostic only: WRONG at the dim seam
             fix = pltpu.roll(x, (shift * sd - shift * nd * sd) % LF, 2)
             edge = _edge_masks[lat_d][0 if shift == 1 else 1]
             return jnp.where(edge, fix, main)

@@ -35,6 +35,9 @@ __all__ = [
     "run_gauge_frames_pallas",
     "gauge_frame_pallas",
     "gauge_frames_multi",
+    "make_gauge_chunk_step",
+    "links_to_planes_shaped",
+    "planes_to_links_shaped",
     "supports",
 ]
 
@@ -177,9 +180,9 @@ def _acosf(x):
 # ---------------------------------------------------------------------------
 
 
-def _lattice_layout(cfg: GaugeConfig):
-    """(S, F, g): kernel lattice view (L0/g, g·L1) with F % 128 == 0."""
-    L0, L1 = cfg.shape
+def _pack_shape(shape):
+    """(S, F, g): packed view (L0/g, g·L1) of ``shape`` with F % 128 == 0."""
+    L0, L1 = shape
     if L1 % 128 == 0:
         return L0, L1, 1
     for g in range(2, L0 + 1):
@@ -188,13 +191,23 @@ def _lattice_layout(cfg: GaugeConfig):
     return L0, L1, 1
 
 
-def _make_roll(cfg: GaugeConfig):
+def _lattice_layout(cfg: GaugeConfig):
+    """(S, F, g): kernel lattice view (L0/g, g·L1) with F % 128 == 0."""
+    return _pack_shape(cfg.shape)
+
+
+def _make_roll_shape(shape):
     """Returns ``make_roll()`` for the kernel body: builds the packed
     layout's edge masks ONCE (hoisted out of the micro-step loop — they
     depend only on static geometry) and returns ``roll(x, shift, axis)``
-    with the historic axis convention (2 = lattice dim 0, 3 = dim 1)."""
-    L0, L1 = cfg.shape
-    S, F, g = _lattice_layout(cfg)
+    with the historic axis convention (2 = lattice dim 0, 3 = dim 1).
+
+    ``shape`` is the (rows, L1) extent the rolls wrap over — the global
+    lattice for the whole-lattice kernels, the halo-EXTENDED local block
+    for the chunk kernel (there the dim-0 wrap is trapezoid garbage
+    confined to the halo rows, exactly like field_kernel_nd's roll0)."""
+    L0, L1 = shape
+    S, F, g = _pack_shape(shape)
     if g == 1:
         def make_roll():
             def roll(x, shift, axis):
@@ -232,6 +245,10 @@ def _make_roll(cfg: GaugeConfig):
     return make_roll
 
 
+def _make_roll(cfg: GaugeConfig):
+    return _make_roll_shape(tuple(cfg.shape))
+
+
 # ---------------------------------------------------------------------------
 # Per-group step math, extracted so the single-frame AND multi-frame kernels
 # share ONE implementation per group (r4: the multi-frame epilogue is
@@ -255,8 +272,8 @@ def _u1_ops(action, cfg: GaugeConfig):
     inv_vol = f32(1.0 / (cfg.shape[0] * cfg.shape[1]))
     make_roll = _make_roll(cfg)
 
-    def make_step():
-        roll = make_roll()
+    def make_step(own_mask=None, roll_factory=None):
+        roll = (roll_factory or make_roll)()
 
         def shift_lat(x, d, sign):
             """x(pos + sign·d̂) — mirrors actions.gauge.shift (roll by −sign)."""
@@ -269,7 +286,7 @@ def _u1_ops(action, cfg: GaugeConfig):
                 t_mu + shift_lat(t_nu, mu, +1) - shift_lat(t_mu, nu, +1) - t_nu
             )
 
-        def step_math(th, eta, dtau):
+        def drift_and_p01(th):
             t0 = th[:, 0:1, :, :]
             t1 = th[:, 1:2, :, :]
             # drift, both directions, mirroring U1Wilson.drift's loop order
@@ -279,25 +296,46 @@ def _u1_ops(action, cfg: GaugeConfig):
             p10 = plaq(t1, t0, 1, 0)
             sp10 = jnp.sin(p10)
             acc1 = sp10 - shift_lat(sp10, 0, -1)
-            f = jnp.concatenate([-beta * acc0, -beta * acc1], axis=1)
+            return jnp.concatenate([-beta * acc0, -beta * acc1], axis=1), p01
 
-            dnorm = jnp.max(jnp.abs(f))
-            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
-            dtau_eff = dtau * scale
+        def update(th, f, eta, dtau_eff):
             omega = dtau_eff * f + jnp.sqrt(2.0 * dtau_eff) * eta
             t = th + omega
-            new_th = t - two_pi * jnp.round(t / two_pi)
+            return t - two_pi * jnp.round(t / two_pi)
 
-            bad = (
-                jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0)))
-                > 0.0
-            )
-            # observable samples the pre-update links; frame SUM of the mean
-            # plaquette (two-level accumulation, integrators/accum.py)
-            plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
-            return new_th, plaq_mean, dnorm, bad
+        if own_mask is None:
+            def step_math(th, eta, dtau):
+                f, p01 = drift_and_p01(th)
+                dnorm = jnp.max(jnp.abs(f))
+                scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+                new_th = update(th, f, eta, dtau * scale)
+                bad = (
+                    jnp.sum(jnp.where(jnp.isfinite(new_th), f32(0.0), f32(1.0)))
+                    > 0.0
+                )
+                # observable samples the pre-update links; frame SUM of the
+                # mean plaquette (two-level accumulation, integrators/accum.py)
+                plaq_mean = jnp.sum(jnp.cos(p01)) * inv_vol
+                return new_th, plaq_mean, dnorm, bad
 
-        return step_math
+            return step_math
+
+        # chunk mode (r5): no per-step rescale (it needs a per-micro-step
+        # GLOBAL drift max — a collective the communication-avoiding chunk
+        # cannot afford); a cap event instead flags the frame for rejection.
+        # Stats are masked to the OWNED sites (halo stats are the
+        # neighbours' business); plaq comes back as a SUM (the runner
+        # psums across shards before normalising).
+        def step_chunk(th, eta, dtau):
+            f, p01 = drift_and_p01(th)
+            dnorm = jnp.max(jnp.where(own_mask, jnp.abs(f), f32(0.0)))
+            new_th = update(th, f, eta, dtau)
+            fin = jnp.isfinite(new_th) | ~own_mask
+            bad = jnp.sum(jnp.where(fin, f32(0.0), f32(1.0))) > 0.0
+            plaq_sum = jnp.sum(jnp.where(own_mask, jnp.cos(p01), f32(0.0)))
+            return new_th, plaq_sum, dnorm, bad, dnorm > cap
+
+        return step_chunk
 
     return 2, 2, make_step
 
@@ -426,21 +464,24 @@ def _su2_ops(action, cfg: GaugeConfig):
     inv_vol = f32(1.0 / (cfg.shape[0] * cfg.shape[1]))
     make_roll = _make_roll(cfg)
 
-    def make_step():
-        roll = make_roll()
+    def make_step(own_mask=None, roll_factory=None):
+        roll = (roll_factory or make_roll)()
 
         def shq(t, d, sign):
             """quaternion tuple at pos + sign·d̂ (actions.gauge.shift)."""
             return tuple(roll(c, -sign, 2 + d) for c in t)
 
         return _su2_step_math_fn(shq, f32, beta, cap, inv_vol,
-                                 qconj, qexp_su2, qmul, qnormalize)
+                                 qconj, qexp_su2, qmul, qnormalize,
+                                 own_mask=own_mask)
 
     return 8, 6, make_step
 
 
 def _su2_step_math_fn(shq, f32, beta, cap, inv_vol,
-                      qconj, qexp_su2, qmul, qnormalize):
+                      qconj, qexp_su2, qmul, qnormalize, own_mask=None):
+    chunk = own_mask is not None
+
     def step_math(q, eta, dtau):
         # (1, 8, S, F): plane 2c+μ = component c of dir μ
         link = lambda mu: tuple(
@@ -468,13 +509,20 @@ def _su2_step_math_fn(shq, f32, beta, cap, inv_vol,
             w = qmul(u_mu, v)
             fs.append(tuple(-0.5 * beta * w[c] for c in (1, 2, 3)))
 
-        # drift norm: max over (direction, sites) of √(Σ_a f_a²)
-        dnorm = jnp.maximum(
-            jnp.max(jnp.sqrt(sum(c * c for c in fs[0]))),
-            jnp.max(jnp.sqrt(sum(c * c for c in fs[1]))),
-        )
-        scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
-        dtau_eff = dtau * scale
+        # drift norm: max over (direction, sites) of √(Σ_a f_a²) — chunk
+        # mode masks to OWNED sites (halo stats belong to the neighbours)
+        mag0 = jnp.sqrt(sum(c * c for c in fs[0]))
+        mag1 = jnp.sqrt(sum(c * c for c in fs[1]))
+        if chunk:
+            mag0 = jnp.where(own_mask, mag0, f32(0.0))
+            mag1 = jnp.where(own_mask, mag1, f32(0.0))
+        dnorm = jnp.maximum(jnp.max(mag0), jnp.max(mag1))
+        if chunk:
+            # no per-step rescale (needs a global max); cap → frame reject
+            dtau_eff = dtau
+        else:
+            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+            dtau_eff = dtau * scale
         namp = jnp.sqrt(2.0 * dtau_eff)
 
         new_planes = []
@@ -488,9 +536,10 @@ def _su2_step_math_fn(shq, f32, beta, cap, inv_vol,
             r = qexp_su2(om[0], om[1], om[2])
             nq = qnormalize(qmul(r, u[mu]))
             for c in range(4):
-                bad = bad + jnp.sum(
-                    jnp.where(jnp.isfinite(nq[c]), f32(0.0), f32(1.0))
-                )
+                fin = jnp.isfinite(nq[c])
+                if chunk:
+                    fin = fin | ~own_mask
+                bad = bad + jnp.sum(jnp.where(fin, f32(0.0), f32(1.0)))
             new_planes.append(nq)
         tripped = bad > 0.0
         # interleave back to plane layout 2c+μ
@@ -503,6 +552,9 @@ def _su2_step_math_fn(shq, f32, beta, cap, inv_vol,
             qmul(u[0], shq(u[1], 0, +1)),
             qmul(qconj(shq(u[0], 1, +1)), qconj(u[1])),
         )
+        if chunk:
+            plaq_sum = jnp.sum(jnp.where(own_mask, p[0], f32(0.0)))
+            return new_q, plaq_sum, dnorm, tripped, dnorm > cap
         plaq_mean = jnp.sum(p[0]) * inv_vol
         return new_q, plaq_mean, dnorm, tripped
 
@@ -734,18 +786,26 @@ def _su3_ops(action, cfg: GaugeConfig):
         ph = (jnp.cos(ang * f32(-1.0 / 3.0)), jnp.sin(ang * f32(-1.0 / 3.0)))
         return [[_cmul(v[r][c], ph) for c in range(3)] for r in range(3)]
 
-    def step_math(sh, q, eta, dtau):
+    def step_math(sh, q, eta, dtau, own_mask=None):
         # q: (1, 36, S, F)
+        chunk = own_mask is not None
         u = [link(q, 0), link(q, 1)]
         hs = [drift_h(sh, u, 0, 1), drift_h(sh, u, 1, 0)]
 
-        # drift norm √(2·ΣTr H²) per link, max over sites & directions
-        dnorm = jnp.maximum(
-            jnp.max(jnp.sqrt(2.0 * frob2(hs[0]))),
-            jnp.max(jnp.sqrt(2.0 * frob2(hs[1]))),
-        )
-        scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
-        dtau_eff = dtau * scale
+        # drift norm √(2·ΣTr H²) per link, max over sites & directions —
+        # chunk mode masks to OWNED sites
+        mag0 = jnp.sqrt(2.0 * frob2(hs[0]))
+        mag1 = jnp.sqrt(2.0 * frob2(hs[1]))
+        if chunk:
+            mag0 = jnp.where(own_mask, mag0, f32(0.0))
+            mag1 = jnp.where(own_mask, mag1, f32(0.0))
+        dnorm = jnp.maximum(jnp.max(mag0), jnp.max(mag1))
+        if chunk:
+            # no per-step rescale (global max unavailable); cap → reject
+            dtau_eff = dtau
+        else:
+            scale = jnp.minimum(1.0, cap / jnp.maximum(dnorm, f32(1e-30)))
+            dtau_eff = dtau * scale
         namp = jnp.sqrt(2.0 * dtau_eff)
 
         new_planes = []
@@ -766,10 +826,15 @@ def _su3_ops(action, cfg: GaugeConfig):
             nq = project(_cmat_mul(rot, u[mu]))
             for r in range(3):
                 for c in range(3):
+                    fin_re = jnp.isfinite(nq[r][c][0])
+                    fin_im = jnp.isfinite(nq[r][c][1])
+                    if chunk:
+                        fin_re = fin_re | ~own_mask
+                        fin_im = fin_im | ~own_mask
                     bad = bad + jnp.sum(
-                        jnp.where(jnp.isfinite(nq[r][c][0]), f32(0.0), f32(1.0))
+                        jnp.where(fin_re, f32(0.0), f32(1.0))
                     ) + jnp.sum(
-                        jnp.where(jnp.isfinite(nq[r][c][1]), f32(0.0), f32(1.0))
+                        jnp.where(fin_im, f32(0.0), f32(1.0))
                     )
             new_planes.append(nq)
         tripped = bad > 0.0
@@ -792,13 +857,19 @@ def _su3_ops(action, cfg: GaugeConfig):
             _cmat_mul(_cmat_dag(sh(u[0], 1, +1)), _cmat_dag(u[1])),
         )
         retr = pmat[0][0][0] + pmat[1][1][0] + pmat[2][2][0]
+        if chunk:
+            plaq_sum = jnp.sum(
+                jnp.where(own_mask, retr * f32(1.0 / 3.0), f32(0.0))
+            )
+            return new_q, plaq_sum, dnorm, tripped, dnorm > cap
         plaq_mean = jnp.sum(retr * f32(1.0 / 3.0)) * inv_vol
         return new_q, plaq_mean, dnorm, tripped
 
-    def make_step():
-        roll = make_roll()
+    def make_step(own_mask=None, roll_factory=None):
+        roll = (roll_factory or make_roll)()
         sh = lambda A, d, sign: _cmat_map(A, d, sign, roll)
-        return lambda q, eta, dtau: step_math(sh, q, eta, dtau)
+        return lambda q, eta, dtau: step_math(sh, q, eta, dtau,
+                                              own_mask=own_mask)
 
     return 36, 16, make_step
 
@@ -1012,38 +1083,54 @@ def _ops_factory_of(action):
     return _u1_ops
 
 
-def _links_to_planes(links, action, cfg: GaugeConfig):
-    """State links → the kernel's (C, planes, S, F) f32 plane layout (the
-    lane-packed (S, F) lattice view is a C-order reshape — free in XLA)."""
+def links_to_planes_shaped(links, action, C, shape):
+    """Native links → UNPACKED (C, planes, L0, L1) f32 planes for an
+    arbitrary lattice extent (``shape`` may be a halo-extended LOCAL block —
+    the chunk runner's case — or the global lattice)."""
     from stochquant_tpu.actions.gauge import SU2Wilson, SU3Wilson
 
-    C = cfg.n_chains
-    L0, L1 = cfg.shape
-    S, F, _g = _lattice_layout(cfg)
+    L0, L1 = shape
     if isinstance(action, SU2Wilson):
-        return links.reshape((C, 8, S, F))
+        return links.reshape((C, 8, L0, L1))
     if isinstance(action, SU3Wilson):
         # (C, 2, L0, L1, 3, 3) complex → 36 real planes μ·18+(3r+c)·2+reim
         planes = jnp.stack([jnp.real(links), jnp.imag(links)], axis=-1)
         return jnp.transpose(planes, (0, 1, 4, 5, 6, 2, 3)).reshape(
-            (C, 36, S, F)
+            (C, 36, L0, L1)
         )
-    return links.reshape((C, 2, S, F))
+    return links.reshape((C, 2, L0, L1))
 
 
-def _planes_to_links(planes, action, cfg: GaugeConfig):
+def planes_to_links_shaped(planes, action, C, shape):
+    """Inverse of :func:`links_to_planes_shaped`."""
     from stochquant_tpu.actions.gauge import SU2Wilson, SU3Wilson
 
-    C = cfg.n_chains
-    L0, L1 = cfg.shape
+    L0, L1 = shape
     if isinstance(action, SU2Wilson):
-        return planes.reshape((C, 4, 2) + tuple(cfg.shape))
+        return planes.reshape((C, 4, 2, L0, L1))
     if isinstance(action, SU3Wilson):
         p = jnp.transpose(
             planes.reshape((C, 2, 3, 3, 2, L0, L1)), (0, 1, 5, 6, 2, 3, 4)
         )
         return lax.complex(p[..., 0], p[..., 1])
     return planes.reshape((C, 2, L0, L1))
+
+
+def _links_to_planes(links, action, cfg: GaugeConfig):
+    """State links → the kernel's (C, planes, S, F) f32 plane layout (the
+    lane-packed (S, F) lattice view is a C-order reshape — free in XLA)."""
+    C = cfg.n_chains
+    S, F, _g = _lattice_layout(cfg)
+    planes = links_to_planes_shaped(links, action, C, cfg.shape)
+    return planes.reshape(planes.shape[:2] + (S, F))
+
+
+def _planes_to_links(planes, action, cfg: GaugeConfig):
+    C = cfg.n_chains
+    L0, L1 = cfg.shape
+    return planes_to_links_shaped(
+        planes.reshape(planes.shape[:2] + (L0, L1)), action, C, cfg.shape
+    )
 
 
 @functools.lru_cache(maxsize=64)
@@ -1201,3 +1288,191 @@ def run_gauge_frames_pallas(
     else:
         metrics = metrics_parts[0]
     return state, metrics
+
+
+# ---------------------------------------------------------------------------
+# Gauge chunk kernel (r5, VERDICT r4 item 3): the communication-avoiding
+# composition for dim-0-split 2-D gauge lattices.  Per W micro-steps the
+# runner (parallel/gauge_halo.make_gauge_chunk_runner) ring-exchanges an
+# H = W row halo; ONE launch then advances the whole halo-extended local
+# block W steps with trapezoidal recompute — the global-(chain, link, step)
+# Threefry counters make the recomputed halo sites bitwise equal to the
+# owning shard's, so per-site trajectories match the UNSHARDED fused kernel
+# by construction (the gauge analog of field_kernel_nd's chunk path;
+# reference anchor: tauhost.c:481's one-launch frame, kept under sharding).
+#
+# Semantics note — the drift cap: the unsharded kernels rescale dτ_eff from
+# the PER-MICRO-STEP GLOBAL drift max, a collective no communication-
+# avoiding chunk can afford.  In chunk mode a cap event (|f| > drift_cap
+# anywhere, any step) instead flags the FRAME for rejection (rollback + Δτ
+# shrink — the recovery the chain/field sectors already use).  While the
+# cap is quiescent, scale == 1.0 exactly, so chunk trajectories are bitwise
+# equal to the unsharded rescaling kernel; a frame where the cap would have
+# fired is rejected here but rescaled-and-accepted there (both shrink
+# headroom — the controller converges either way; use the XLA halo runner
+# when exact rescale semantics matter).
+# ---------------------------------------------------------------------------
+
+
+def _build_gauge_chunk_kernel(action, cfg: GaugeConfig, ops_factory, W, H, loc0):
+    planes, noise_planes, make_step = ops_factory(action, cfg)
+    L0g, L1 = cfg.shape
+    E0 = loc0 + 2 * H
+    S, F, _g = _pack_shape((E0, L1))
+    f32 = np.float32
+    plane_g = L0g * L1
+    buf = (H // L0g + 1) * L0g  # keeps the −H underflow positive (uint mod)
+    roll_factory = _make_roll_shape((E0, L1))
+
+    def kernel(
+        scalars_ref,  # SMEM (4,): seed, step_base, chain_off, row_off
+        th_ref, dtau_ref,
+        tho_ref, ps_ref, dmax_ref, bad_ref, cap_ref,
+    ):
+        i = pl.program_id(0)
+        seed = scalars_ref[0]
+        step0 = scalars_ref[1]
+        chain = scalars_ref[2] + jnp.uint32(i)
+        row_off = scalars_ref[3]
+
+        # owned-row mask on the packed extended block: flat lane index is
+        # the C-order (E0, L1) site id, so row = flat // L1
+        sub1 = lax.broadcasted_iota(jnp.int32, (1, 1, S, F), 2)
+        col1 = lax.broadcasted_iota(jnp.int32, (1, 1, S, F), 3)
+        row1 = (sub1 * jnp.int32(F) + col1) // jnp.int32(L1)
+        own = (row1 >= H) & (row1 < H + loc0)
+        step_math = make_step(own_mask=own, roll_factory=roll_factory)
+
+        # GLOBAL noise ids (bitwise the unsharded kernel's counters): the
+        # extended row maps to global row (row_off + r − H) mod L0g
+        p_idx = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 1)
+        subn = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 2)
+        coln = lax.broadcasted_iota(jnp.uint32, (1, noise_planes, S, F), 3)
+        flat = subn * jnp.uint32(F) + coln
+        rown = flat // jnp.uint32(L1)
+        colg = flat % jnp.uint32(L1)
+        row_g = (
+            row_off + jnp.uint32(buf) + rown - jnp.uint32(H)
+        ) % jnp.uint32(L0g)
+        site = p_idx * jnp.uint32(plane_g) + row_g * jnp.uint32(L1) + colg
+        k1 = jnp.uint32(rng.Stream.FIELD) ^ lax.shift_left(chain, jnp.uint32(8))
+
+        dtau = dtau_ref[0, i]
+
+        def normal_pair(step):
+            b0, b1 = rng.threefry2x32(seed, k1, site, step)
+            u1 = rng.uniform_from_bits(b0)
+            u2 = rng.uniform_from_bits(b1)
+            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+            theta = f32(rng._TWO_PI) * u2
+            return r * jnp.cos(theta), r * jnp.sin(theta)
+
+        def substep(eta):
+            th = tho_ref[:]
+            new_th, ps_c, dnorm, bad, capped = step_math(th, eta, dtau)
+            # no freeze within the chunk: a bad/capped frame is rejected
+            # wholesale at the frame boundary, so post-trip values are
+            # discarded anyway (see module note above)
+            tho_ref[:] = new_th
+            ps_ref[0, i] = ps_ref[0, i] + ps_c
+            dmax_ref[0, i] = jnp.maximum(dmax_ref[0, i], dnorm)
+            bad_ref[0, i] = jnp.where(bad, 1, bad_ref[0, i])
+            cap_ref[0, i] = jnp.where(capped, 1, cap_ref[0, i])
+
+        def pair_body(k, _):
+            step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
+            z0, z1 = normal_pair(step)
+            substep(z0)
+            substep(z1)
+            return 0
+
+        tho_ref[:] = th_ref[:]
+        ps_ref[0, i] = 0.0
+        dmax_ref[0, i] = 0.0
+        bad_ref[0, i] = 0
+        cap_ref[0, i] = 0
+        lax.fori_loop(0, W // 2, pair_body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _chunk_call_g(action, cfg: GaugeConfig, c_local: int, loc0: int, W: int,
+                  interpret: bool):
+    ops_factory = _ops_factory_of(action)
+    planes = ops_factory(action, cfg)[0]
+    H = W
+    kernel = _build_gauge_chunk_kernel(action, cfg, ops_factory, W, H, loc0)
+    E0 = loc0 + 2 * H
+    S, F, _g = _pack_shape((E0, cfg.shape[1]))
+    C = c_local
+    lat = pl.BlockSpec(
+        (1, planes, S, F), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sca = lambda: pl.BlockSpec((1, C), lambda i, *_: (0, 0),
+                               memory_space=pltpu.SMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((C, planes, S, F), jnp.float32),  # ext links
+        jax.ShapeDtypeStruct((1, C), jnp.float32),   # Σ_steps Σ_owned plaq
+        jax.ShapeDtypeStruct((1, C), jnp.float32),   # chunk drift max
+        jax.ShapeDtypeStruct((1, C), jnp.int32),     # nonfinite flag
+        jax.ShapeDtypeStruct((1, C), jnp.int32),     # cap-would-fire flag
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[lat, sca()],
+        out_specs=(lat, sca(), sca(), sca(), sca()),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+def make_gauge_chunk_step(action, cfg: GaugeConfig, c_local: int, loc0: int,
+                          W: int, *, interpret: bool = False):
+    """Returns ``(step, H)`` where ``step(ext_planes, dtau, step_base,
+    chain_off, row_off) -> (owned_planes, plaq_sum, dmax, bad, capped)``
+    advances W micro-steps on a halo-extended local block in ONE launch.
+
+    ``ext_planes``: UNPACKED (c_local, planes, loc0 + 2H, L1) f32 planes
+    (``links_to_planes_shaped`` of the ppermute-extended local links);
+    ``owned_planes`` comes back with the halo rows sliced off.  ``plaq_sum``
+    is Σ over the chunk's steps of Σ over OWNED sites of the plaquette
+    observable (the runner psums across shards and normalises); ``dmax`` the
+    owned drift-norm max; ``bad``/``capped`` per-chain booleans (see the
+    module note on cap semantics)."""
+    if W % 2 or W < 2:
+        raise ValueError("the gauge chunk kernel advances an even number of "
+                         "micro-steps (W >= 2)")
+    if not supports(action, cfg):
+        raise ValueError("gauge chunk kernel: 2-D u1/su2/su3 without "
+                         "cooling only; use the XLA halo runner otherwise")
+    H = W
+    if H > loc0:
+        raise ValueError(
+            f"gauge chunk halo depth H={H} exceeds the local slab "
+            f"({loc0} rows) — single-hop exchange only; lower "
+            f"exchange_steps or use the XLA halo runner"
+        )
+    call = _chunk_call_g(action, cfg, c_local, loc0, W, interpret)
+    E0 = loc0 + 2 * H
+    L1 = cfg.shape[1]
+    P = _ops_factory_of(action)(action, cfg)[0]
+    S, F, _g = _pack_shape((E0, L1))
+
+    def step(ext_planes, dtau, step_base, chain_off, row_off):
+        u32 = lambda v: jnp.asarray(v, jnp.uint32)
+        scalars = jnp.stack(
+            [u32(cfg.seed), u32(step_base), u32(chain_off), u32(row_off)]
+        )
+        out, ps, dmax, bad, capped = call(
+            scalars, ext_planes.reshape((c_local, P, S, F)), dtau[None, :]
+        )
+        out = out.reshape((c_local, P, E0, L1))[:, :, H : H + loc0]
+        return out, ps[0], dmax[0], bad[0] != 0, capped[0] != 0
+
+    return step, H

@@ -41,7 +41,12 @@ from stochquant_tpu import rng
 from stochquant_tpu.integrators import accum
 from stochquant_tpu.integrators.gauge import GaugeConfig, GaugeState
 
-__all__ = ["make_gauge_halo_runner", "shard_gauge_state", "gauge_state_sharding"]
+__all__ = [
+    "make_gauge_halo_runner",
+    "make_gauge_chunk_runner",
+    "shard_gauge_state",
+    "gauge_state_sharding",
+]
 
 
 def _axis_sizes(mesh: Mesh):
@@ -295,6 +300,221 @@ def make_gauge_halo_runner(
             "stable": accept,
             "dtau": dtau,
             "drift_max": dmax,
+            "unitarity_norm": un,
+        }
+        return new_state, metrics
+
+    _cache = {}
+
+    def _runner(n_frames: int):
+        if n_frames not in _cache:
+            sharded = shard_map(
+                lambda s: lax.scan(
+                    lambda st, _: frame(st), s, None, length=n_frames
+                ),
+                mesh=mesh,
+                in_specs=(state_spec,),
+                out_specs=(state_spec, metrics_spec),
+                check_vma=False,
+            )
+            _cache[n_frames] = jax.jit(sharded)
+        return _cache[n_frames]
+
+    def run(state: GaugeState, n_frames: int):
+        return _runner(n_frames)(state)
+
+    return run
+
+
+def make_gauge_chunk_runner(
+    action, cfg: GaugeConfig, mesh: Mesh, *, interpret: bool = False
+):
+    """Fused gauge domain decomposition (r5, VERDICT r4 item 3): links
+    sharded on lattice dim 0, ONE Pallas launch per W micro-steps on the
+    halo-extended local block (kernels/gauge_kernel.make_gauge_chunk_step),
+    halos ring-exchanged once per chunk — the chunk-kernel treatment the
+    field sector got in r3/r4, now for links (tauhost.c:481's one-launch
+    frame preserved under sharding).
+
+    Because the noise is keyed by global (chain, link, step) Threefry
+    counters, recomputed halo sites take exactly the owning shard's values
+    and per-site trajectories are BITWISE equal to the unsharded fused
+    kernel — as long as the drift cap stays quiescent.  Cap semantics
+    differ by design: a cap event rejects the frame (rollback + Δτ shrink)
+    instead of the unsharded path's per-step global rescale, which would
+    need a collective per micro-step (see gauge_kernel.py's chunk note).
+    2-D u1/su2/su3, dim-0 split, even ``cfg.loops``; ``cfg.exchange_steps``
+    picks W (0 = auto: min(8, local rows, loops), floored even).
+
+    Composes with chain DP via ``cfg.mesh_chain_axis``.  The XLA halo
+    runner (:func:`make_gauge_halo_runner`) remains the general path
+    (any D, multi-dim splits, complexified groups, exact rescale)."""
+    from stochquant_tpu.kernels import gauge_kernel
+
+    if cfg.mesh_axes is None:
+        raise ValueError("cfg.mesh_axes required for the gauge chunk runner")
+    if cfg.ndim != 2:
+        raise ValueError("gauge chunk runner covers 2-D lattices; use "
+                         "make_gauge_halo_runner for other dims")
+    if not gauge_kernel.supports(action, cfg):
+        raise ValueError("gauge chunk runner needs a fused-kernel group "
+                         "(2-D u1/su2/su3, no cooling); use "
+                         "make_gauge_halo_runner")
+    if cfg.loops % 2:
+        raise ValueError("gauge chunk runner requires even cfg.loops")
+    sizes = _axis_sizes(mesh)
+    lat_spec = tuple(cfg.mesh_axes)
+    if lat_spec[1] is not None and sizes.get(lat_spec[1], 1) > 1:
+        raise ValueError("gauge chunk runner splits lattice dim 0 only; "
+                         "use make_gauge_halo_runner for dim-1 splits")
+    ax = lat_spec[0]
+    n0 = sizes[ax] if ax else 1
+    shape = tuple(cfg.shape)
+    L0g, L1 = shape
+    loc0 = L0g // n0
+    if ax and loc0 * n0 != L0g:
+        raise ValueError(f"lattice dim {L0g} not divisible by mesh axis {ax}")
+    ca = cfg.mesh_chain_axis
+    c_local = cfg.n_chains // (sizes[ca] if ca else 1)
+
+    W = cfg.exchange_steps or min(8, loc0, cfg.loops)
+    W -= W % 2
+    if W < 2:
+        raise ValueError("gauge chunk runner needs W >= 2 (local slab too "
+                         "thin?); use make_gauge_halo_runner")
+    n_full, rem = divmod(cfg.loops, W)
+    steps = {
+        W: gauge_kernel.make_gauge_chunk_step(
+            action, cfg, c_local, loc0, W, interpret=interpret
+        )
+    }
+    if rem:
+        steps[rem] = gauge_kernel.make_gauge_chunk_step(
+            action, cfg, c_local, loc0, rem, interpret=interpret
+        )
+
+    inv_vol = jnp.float32(1.0 / (L0g * L1))
+    lat_mesh_axes = (ax,) if ax else ()
+
+    def psum_lat(v):
+        return lax.psum(v, lat_mesh_axes) if lat_mesh_axes else v
+
+    def pmax_lat(v):
+        return lax.pmax(v, lat_mesh_axes) if lat_mesh_axes else v
+
+    def pany_lat(v):
+        if not lat_mesh_axes:
+            return v
+        return lax.pmax(v.astype(jnp.int32), lat_mesh_axes) > 0
+
+    # state / metrics specs (the XLA halo runner's, dim-0-only)
+    ndim = 2
+    lat_axes_state = action.lattice_axes(ndim)
+    links_rank = len(action.state_shape(cfg.n_chains, ndim, shape))
+    lspec = [None] * links_rank
+    lspec[0] = ca
+    lspec[lat_axes_state[0]] = ax
+    state_spec = GaugeState(
+        links=P(*lspec),
+        plaq_mean=P(ca), drift_max=P(ca), runs=P(ca), dtau=P(ca),
+        stab_cnt=P(ca), step=P(),
+    )
+    metrics_spec = {
+        "stable": P(None, ca), "dtau": P(None, ca),
+        "drift_max": P(None, ca), "unitarity_norm": P(None, ca),
+    }
+
+    def frame(state: GaugeState):
+        ch_off = (lax.axis_index(ca) * c_local) if ca else 0
+        row_off = (lax.axis_index(ax) * loc0) if ax else 0
+
+        planes0 = gauge_kernel.links_to_planes_shaped(
+            state.links, action, c_local, (loc0, L1)
+        )
+
+        def chunk(carry, w):
+            planes, ps, dmax, bad, capped, step = carry
+            step_fn, H = steps[w]
+            top = lax.slice_in_dim(planes, 0, H, axis=2)
+            bot = lax.slice_in_dim(planes, loc0 - H, loc0, axis=2)
+            if ax:
+                up = lax.ppermute(
+                    bot, ax, [((i - 1) % n0, i) for i in range(n0)]
+                )
+                down = lax.ppermute(
+                    top, ax, [((i + 1) % n0, i) for i in range(n0)]
+                )
+            else:
+                up, down = bot, top
+            ext = jnp.concatenate([up, planes, down], axis=2)
+            new_planes, ps_c, dmax_c, bad_c, cap_c = step_fn(
+                ext, state.dtau, step, ch_off, row_off
+            )
+            return (
+                new_planes, ps + ps_c, jnp.maximum(dmax, dmax_c),
+                bad | bad_c, capped | cap_c, step + jnp.uint32(w),
+            )
+
+        zero = jnp.zeros((c_local,), jnp.float32)
+        carry = (
+            planes0, zero, zero,
+            jnp.zeros((c_local,), bool), jnp.zeros((c_local,), bool),
+            state.step,
+        )
+        if n_full:
+            carry, _ = lax.scan(
+                lambda c, _: (chunk(c, W), None), carry, None, length=n_full
+            )
+        if rem:
+            carry = chunk(carry, rem)
+        planes, ps, dmax_acc, bad, capped, _ = carry
+
+        # frame epilogue — the fused kernels' expressions, with the lattice
+        # reductions completed across shards
+        plaq_frame = psum_lat(ps) * inv_vol
+        dmax_frame = jnp.maximum(state.drift_max, pmax_lat(dmax_acc))
+        accept = ~pany_lat(bad | capped)
+
+        n_new = accum.runs_after(state.runs, cfg.loops)
+        pm = accum.merge_frame_sum(
+            state.plaq_mean, plaq_frame, cfg.loops, n_new
+        )
+        new_links = gauge_kernel.planes_to_links_shaped(
+            planes, action, c_local, (loc0, L1)
+        )
+        au = accept.reshape((c_local,) + (1,) * (new_links.ndim - 1))
+        sel = lambda new, old: jnp.where(accept, new, old)
+        grow = accept & (state.stab_cnt >= cfg.grow_after)
+        dtau = jnp.where(
+            grow,
+            state.dtau / cfg.shrink,
+            jnp.where(accept, state.dtau, state.dtau * cfg.shrink),
+        )
+        if cfg.dtau_max is not None:
+            dtau = jnp.minimum(dtau, jnp.float32(cfg.dtau_max))
+        new_state = GaugeState(
+            links=jnp.where(au, new_links, state.links),
+            plaq_mean=sel(pm, state.plaq_mean),
+            drift_max=sel(dmax_frame, state.drift_max),
+            runs=accum.bump_runs(state.runs, cfg.loops, accept),
+            dtau=dtau,
+            stab_cnt=jnp.where(
+                accept,
+                jnp.where(
+                    state.stab_cnt >= cfg.grow_after, 0, state.stab_cnt + 1
+                ),
+                0,
+            ),
+            step=state.step + jnp.uint32(cfg.loops),
+        )
+        un = pmax_lat(action.unitarity_norm(new_state.links, ndim))
+        metrics = {
+            "stable": accept,
+            "dtau": dtau,
+            # on a rejected frame this reflects the rejected trajectory
+            # (the unsharded kernel freezes at the trip step instead);
+            # the STATE's drift_max is rolled back identically in both
+            "drift_max": dmax_frame,
             "unitarity_norm": un,
         }
         return new_state, metrics

@@ -324,10 +324,13 @@ def run_gauge(
 ) -> RunResult:
     """Run a lattice-gauge Langevin ensemble (``GaugeConfig``).
 
-    backend: 'pallas' (fused U(1) kernel — 2-D compact u1 without cooling),
+    backend: 'pallas' (fused kernels — 2-D u1/su2/su3 without cooling),
     'xla' (group-agnostic scan), or 'auto' (fused kernel on TPU where it
     applies).  With ``mesh`` + cfg.mesh_axes the links are sharded over the
-    mesh with 1-site halo exchange (parallel/gauge_halo.py — XLA path)."""
+    mesh (parallel/gauge_halo.py): auto/'xla' run the per-step halo runner
+    (exact rescale semantics); 'pallas' runs the fused CHUNK runner — one
+    launch per ``cfg.exchange_steps`` micro-steps, bitwise vs the unsharded
+    kernel while the drift cap is quiescent, cap events reject the frame."""
     from stochquant_tpu.integrators import gauge as gauge_mod
     from stochquant_tpu.kernels import gauge_kernel
 
@@ -335,19 +338,20 @@ def run_gauge(
     sink = sink or metrics_mod.MetricsSink()
     on_tpu = jax.devices()[0].platform != "cpu"
     use_halo = mesh is not None and cfg.mesh_axes is not None
-    if use_halo and backend == "pallas":
-        raise ValueError(
-            "the fused gauge kernels do not compose with the halo runner "
-            "yet; use backend='auto'/'xla' for sharded gauge lattices"
-        )
     if backend == "auto":
         if use_halo:
+            # auto keeps the XLA halo runner: it preserves the per-step
+            # global drift-cap rescale exactly.  backend='pallas' opts into
+            # the fused CHUNK runner (r5) — one launch per W micro-steps,
+            # bitwise while the cap is quiescent, cap events reject the
+            # frame (parallel/gauge_halo.make_gauge_chunk_runner).
             backend = "xla"
             if on_tpu and gauge_kernel.supports(act, cfg):
                 sink.emit({
                     "type": "backend_fallback", "backend": "xla",
-                    "reason": "sharded gauge lattices run the XLA halo "
-                    "runner (fused gauge kernels are single-chip)",
+                    "reason": "sharded gauge auto mode runs the XLA halo "
+                    "runner (exact rescale semantics); backend='pallas' "
+                    "opts into the fused chunk runner",
                 })
         else:
             backend = (
@@ -363,12 +367,20 @@ def run_gauge(
         state = gauge_mod.init_gauge_state(cfg, act)
     if use_halo:
         from stochquant_tpu.parallel.gauge_halo import (
+            make_gauge_chunk_runner,
             make_gauge_halo_runner,
             shard_gauge_state,
         )
 
         state = shard_gauge_state(state, act, mesh, cfg)
-        runner = make_gauge_halo_runner(act, cfg, mesh, interpret=not on_tpu)
+        if backend == "pallas":
+            runner = make_gauge_chunk_runner(
+                act, cfg, mesh, interpret=not on_tpu
+            )
+        else:
+            runner = make_gauge_halo_runner(
+                act, cfg, mesh, interpret=not on_tpu
+            )
         run_n = lambda s, n: runner(s, n)
     elif backend in ("pallas", "pallas_tiled"):
         # in-kernel multi-frame epilogue covers every fused group (r4)

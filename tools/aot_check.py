@@ -263,8 +263,44 @@ def main():
                 )
             ).lower(ab).compile()
 
+    def case_gauge_chunk():
+        # r5 (VERDICT r4 item 3): the fused gauge chunk runner — one launch
+        # per W micro-steps on the halo-extended block, dim-0 ring; compile
+        # for a 4-chip ring (u1, identity layout) and a 2-chip ring (su3,
+        # lane-packed extended block)
+        from stochquant_tpu.integrators import gauge as gauge_mod
+        from stochquant_tpu.integrators.gauge import GaugeConfig
+        from stochquant_tpu.parallel.gauge_halo import (
+            gauge_state_sharding,
+            make_gauge_chunk_runner,
+        )
+        import jax.tree as jt2
+
+        for group, beta, dtau, shape, ring in (
+            ("u1", 1.0, 5e-3, (256, 256), 4),
+            ("su3", 5.0, 1e-3, (64, 64), 2),
+        ):
+            gcfg = GaugeConfig(group=group, beta=beta, shape=shape,
+                               n_chains=2, dtau=dtau, loops=8, seed=1,
+                               grow_after=10**9, mesh_axes=("x", None))
+            gact = gauge_mod.resolve_gauge_action(gcfg)
+            mesh = Mesh(devs.reshape(4)[:ring], ("x",))
+            runner = make_gauge_chunk_runner(gact, gcfg, mesh,
+                                             interpret=False)
+            specs = gauge_state_sharding(gact, mesh, gcfg)
+            proto = jax.eval_shape(
+                lambda: gauge_mod.init_gauge_state(gcfg, gact)
+            )
+            ab = jt2.map(
+                lambda l, sp: jax.ShapeDtypeStruct(l.shape, l.dtype,
+                                                   sharding=sp),
+                proto, specs,
+            )
+            jax.jit(lambda st: runner(st, 1)).lower(ab).compile()
+
     cases = {
         "field_whole": case_field_whole,
+        "gauge_chunk": case_gauge_chunk,
         "field_multiframe": case_field_multiframe,
         "tiled_2d": case_tiled_2d,
         "nd_unsharded": case_nd_unsharded,

@@ -277,6 +277,130 @@ def gauge_lane():
             emit(exp="gauge_lane", group=group, error=str(e)[:300])
 
 
+def gauge_chunk():
+    """r5 gauge chunk runner vs the XLA gauge halo runner on the 1-chip
+    ring (the composition bench: VERDICT r4 item 3 wants chunk >= xla)."""
+    import jax
+    from stochquant_tpu.integrators import gauge as gauge_mod
+    from stochquant_tpu.integrators.gauge import GaugeConfig
+    from stochquant_tpu.parallel import make_mesh, shard_gauge_state
+    from stochquant_tpu.parallel.gauge_halo import (
+        make_gauge_chunk_runner,
+        make_gauge_halo_runner,
+    )
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    frames = 10 if on_tpu else 1
+    for group, beta, dtau, shape, chains, loops in (
+        ("u1", 1.0, 5e-3, (256, 256), 32, 100),
+        ("su2", 2.0, 2e-3, (128, 128), 16, 100),
+        ("su3", 5.0, 1e-3, (64, 64), 8, 50),
+    ):
+        cfg = GaugeConfig(group=group, beta=beta, shape=shape,
+                          n_chains=chains if on_tpu else 2, dtau=dtau,
+                          loops=loops if on_tpu else 4, seed=19,
+                          grow_after=10**9, mesh_axes=("x", None))
+        act = gauge_mod.resolve_gauge_action(cfg)
+        mesh = make_mesh([("x", 1)])
+        s0 = shard_gauge_state(
+            gauge_mod.init_gauge_state(cfg, act), act, mesh, cfg
+        )
+        ups = cfg.n_chains * 2 * shape[0] * shape[1] * cfg.loops * frames
+        runners = {}
+        try:
+            runners["chunk"] = make_gauge_chunk_runner(
+                act, cfg, mesh, interpret=not on_tpu
+            )
+            runners["xla"] = make_gauge_halo_runner(
+                act, cfg, mesh, interpret=not on_tpu
+            )
+        except Exception as e:  # noqa: BLE001
+            emit(exp="gauge_chunk", group=group, error=str(e)[:300])
+            continue
+
+        def mk(r):
+            def run():
+                s, _ = r(s0, frames)
+                np.asarray(s.drift_max)
+
+            return run
+
+        try:
+            t = ab_timeit({k: mk(r) for k, r in runners.items()},
+                          reps=5 if on_tpu else 1)
+            emit(exp="gauge_chunk", group=group,
+                 chunk_mlups=round(ups / t["chunk"][0] / 1e6, 1),
+                 xla_mlups=round(ups / t["xla"][0] / 1e6, 1),
+                 ratio=round(t["xla"][0] / t["chunk"][0], 2))
+        except Exception as e:  # noqa: BLE001
+            emit(exp="gauge_chunk", group=group, error=str(e)[:300])
+
+
+_ND_PROBE_CODE = r'''
+import os, sys, time, json
+sys.path.insert(0, os.environ["SQ_REPO"])
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.environ["SQ_REPO"], ".jax_cache"))
+from stochquant_tpu.actions import phi4
+from stochquant_tpu.config import FieldConfig
+from stochquant_tpu.integrators import field
+from stochquant_tpu.kernels import field_kernel_nd as fknd
+
+on_tpu = jax.devices()[0].platform != "cpu"
+frames = 8 if on_tpu else 1
+cfg = FieldConfig(action="phi4",
+                  shape=(32, 32, 32, 32) if on_tpu else (8, 8, 4, 4),
+                  n_chains=1, loops=20 if on_tpu else 4, seed=9,
+                  grow_after=10**9)
+act = phi4.get_field("phi4")
+s = field.init_field_state(cfg)
+ups = int(np.prod(cfg.shape)) * cfg.loops * frames
+
+def run():
+    out, _ = fknd.run_field_frames_nd(s, act, cfg, frames,
+                                      interpret=not on_tpu)
+    np.asarray(out.lrg_vl)
+
+run()
+ts = []
+for _ in range(5):
+    t0 = time.time(); run(); ts.append(time.time() - t0)
+ts.sort()
+med = ts[len(ts) // 2]
+print(json.dumps({"mlups": round(ups / med / 1e6, 1),
+                  "spread": [round(ups / ts[-1] / 1e6, 1),
+                             round(ups / ts[0] / 1e6, 1)]}))
+'''
+
+
+def nd_fixcost():
+    """r5 (VERDICT r4 item 4): bound the inner-flat-dim wrap-fix roll
+    overhead at 32⁴.  The fix rolls + selects are what BOTH named layout
+    levers (merged ±1 fixes, two dims on (sublane, lane)) could at best
+    remove — the 'nofix' variant (diagnostic flag, wrong at the dim-3
+    seam) measures that ceiling directly.  8 frames/rep so the ~22 ms
+    dispatch overhead is <3% of each measurement."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, flag in (("fix", ""), ("nofix", "1")):
+        env = dict(os.environ, SQ_REPO=repo)
+        if flag:
+            env["SQ_ND_PERF_PROBE_NOFIX"] = flag
+        out = subprocess.run(
+            [sys.executable, "-c", _ND_PROBE_CODE], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, timeout=1500,
+        )
+        if out.returncode:
+            emit(exp="nd_fixcost", variant=name,
+                 error=out.stderr.decode(errors="replace")[-300:])
+            continue
+        rec = json.loads(out.stdout.decode().strip().splitlines()[-1])
+        emit(exp="nd_fixcost", variant=name, **rec)
+
+
 def field_rt(reps=10):
     """Field runtime rows with enough paired reps to bound the spread
     (VERDICT r4 weak #5: the r4 single-path spread was ±25%, too wide for
@@ -362,7 +486,8 @@ def c2mf(reps=6):
 EXPS = {
     "nd_tile": nd_tile, "nd_chunk": nd_chunk, "rdma": rdma,
     "gauge_mf": gauge_mf, "w4d": w4d, "field_rt": field_rt, "c2mf": c2mf,
-    "gauge_lane": gauge_lane,
+    "gauge_lane": gauge_lane, "gauge_chunk": gauge_chunk,
+    "nd_fixcost": nd_fixcost,
 }
 
 # test-only experiments (underscore names skip JAX init in the worker):
