@@ -79,6 +79,15 @@ class FieldAction:
     def drift(self, phi, spacing: float, ndim: int):
         return periodic_laplacian(phi, spacing, ndim) - self.dV(phi)
 
+    def dV_int(self, phi):
+        """Non-Gaussian part of V′: dV(φ) − m²·φ — the remainder the
+        exponential integrator (Scheme.EXACT for interacting fields, r5)
+        treats explicitly while the Gaussian part (−∇² + m²) propagates
+        exactly per Fourier mode.  Requires the action to declare its
+        Gaussian curvature ``m2``; subclasses should override with the
+        closed form to avoid the cancellation."""
+        return self.dV(phi) - self.m2 * phi
+
 
 @register_field("phi4")
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +105,9 @@ class ScalarPhi4(FieldAction):
     def dV(self, phi):
         return self.m2 * phi + (self.lam / 6.0) * phi * phi * phi
 
+    def dV_int(self, phi):
+        return (self.lam / 6.0) * phi * phi * phi
+
 
 @register_field("free_field")
 @dataclasses.dataclass(frozen=True)
@@ -110,3 +122,6 @@ class FreeField(FieldAction):
 
     def dV(self, phi):
         return self.m2 * phi
+
+    def dV_int(self, phi):
+        return jnp.zeros_like(phi)

@@ -95,12 +95,11 @@ def init_field_state(cfg: FieldConfig) -> FieldState:
 
 
 def _exact_field_check(action: FieldAction, cfg: FieldConfig) -> None:
-    from stochquant_tpu.actions.phi4 import FreeField
-
-    if not isinstance(action, FreeField):
+    if not hasattr(action, "m2"):
         raise ValueError(
-            "Scheme.EXACT integrates the FREE (Gaussian) field exactly; "
-            f"action {cfg.action!r} is not free_field — use Scheme.EM"
+            "Scheme.EXACT needs the action's Gaussian curvature (an `m2` "
+            f"attribute) to split the propagator; action {cfg.action!r} "
+            "declares none — use Scheme.EM"
         )
     if cfg.sweep != Sweep.SYNC:
         raise ValueError("Scheme.EXACT uses the synchronous (SYNC) sweep")
@@ -145,7 +144,14 @@ def _exact_field_mode_ops(action: FieldAction, cfg: FieldConfig, dtau):
         c2m * (1.0 - decay * decay) / jnp.maximum(bhat[None], 1e-8),
         2.0 * dt * c2m,
     )
-    return decay, jnp.sqrt(svar)
+    # ETD1 drift weight Δτ·φ₁(−B̂Δτ) = (1 − e^{−B̂Δτ})/B̂ for the explicit
+    # non-Gaussian remainder (r5 interacting extension; → Δτ as B̂ → 0)
+    coef = jnp.where(
+        bhat[None] > 1e-8,
+        (1.0 - decay) / jnp.maximum(bhat[None], 1e-8),
+        dt * jnp.ones_like(decay),
+    )
+    return decay, jnp.sqrt(svar), coef
 
 
 def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
@@ -164,11 +170,20 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
     exact_scheme = getattr(cfg, "scheme", Scheme.EM) == Scheme.EXACT
     if exact_scheme:
         _exact_field_check(action, cfg)
+    # free actions keep the pure exact-OU step (zero bias at ANY Δτ);
+    # interacting ones get the r5 exponential integrator — exact Gaussian
+    # propagation + explicit ETD1 treatment of dV_int (unconditionally
+    # stable in the stiff linear part, O(Δτ) bias in the coupling only)
+    from stochquant_tpu.actions.phi4 import FreeField as _FreeField
+
+    exact_interacting = exact_scheme and not isinstance(action, _FreeField)
 
     def frame(state: FieldState):
         dtau_b = lambda: state.dtau.reshape((C,) + (1,) * ndim)
         if exact_scheme:
-            decay_k, svar_k = _exact_field_mode_ops(action, cfg, state.dtau)
+            decay_k, svar_k, coef_k = _exact_field_mode_ops(
+                action, cfg, state.dtau
+            )
 
         def em_apply(phi, mask, noise):
             """EM update applied on `mask` sites (None = all), reading the
@@ -192,22 +207,41 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
                 # exact OU transition per Fourier mode: φ ← F⁻¹[decay·Fφ]
                 # + F⁻¹[√var·Fη] — the unnormalized-transform sandwich IS
                 # the operator functional calculus, so the normalization
-                # cancels; unconditionally stable, only non-finite trips
+                # cancels; unconditionally stable, only non-finite trips.
+                # Interacting actions add the ETD1 correction
+                # F⁻¹[φ₁-weight · F[−dV_int(φ)]], with the EM path's
+                # clamp + |correction|-vs-lrg_vl detector (the nonlinear
+                # part CAN still run away; the Gaussian part cannot).
                 ph = jnp.fft.rfftn(phi, axes=lat_axes)
                 eh = jnp.fft.rfftn(eta, axes=lat_axes)
                 noise = jnp.fft.irfftn(
                     svar_k.astype(ph.dtype) * eh, s=shape, axes=lat_axes
                 ).astype(dtype)
-                newphi = (
-                    jnp.fft.irfftn(
-                        decay_k.astype(ph.dtype) * ph, s=shape, axes=lat_axes
+                lin = jnp.fft.irfftn(
+                    decay_k.astype(ph.dtype) * ph, s=shape, axes=lat_axes
+                ).astype(dtype)
+                if exact_interacting:
+                    g = -action.dV_int(phi).astype(dtype)
+                    gh = jnp.fft.rfftn(g, axes=lat_axes)
+                    corr = jnp.fft.irfftn(
+                        coef_k.astype(gh.dtype) * gh, s=shape, axes=lat_axes
                     ).astype(dtype)
-                    + noise
-                )
-                fin = jnp.isfinite(newphi)
-                max_det = jnp.zeros((C,), dtype)
-                bad = ~jnp.all(fin, axis=lat_axes)
-                tripped = bad
+                    new_raw = lin + corr + noise
+                    newphi = jnp.clip(new_raw, -clamp, clamp)
+                    newphi = jnp.where(jnp.isfinite(new_raw), newphi, clamp)
+                    absdet = jnp.abs(corr)
+                    absdet = jnp.where(
+                        jnp.isfinite(new_raw), absdet, jnp.inf
+                    )
+                    max_det = jnp.max(absdet, axis=lat_axes)
+                    bad = ~jnp.all(jnp.isfinite(new_raw), axis=lat_axes)
+                    tripped = (max_det > lrgvl) | bad
+                else:
+                    newphi = lin + noise
+                    fin = jnp.isfinite(newphi)
+                    max_det = jnp.zeros((C,), dtype)
+                    bad = ~jnp.all(fin, axis=lat_axes)
+                    tripped = bad
             else:
                 noise = c_amp * jnp.sqrt(2.0 * state.dtau / measure).reshape(
                     (C,) + (1,) * ndim
@@ -320,12 +354,14 @@ def make_field_frame_fn(action: FieldAction, cfg: FieldConfig):
         lrgvl = sel(lrgvl, state.lrg_vl)
         runs = accum.bump_runs(state.runs, cfg.loops, accept)
 
-        if exact_scheme:
+        if exact_scheme and not exact_interacting:
             # nothing to adapt: the propagator is exact at the configured
             # Δτ and unconditionally stable (mirrors the chain EXACT path)
             dtau = state.dtau
             stab_cnt = jnp.where(accept, state.stab_cnt + 1, 0)
         else:
+            # interacting EXACT keeps the controller: the nonlinear ETD1
+            # remainder can trip, and a rejected frame should shrink Δτ
             grow = accept & (state.stab_cnt >= cfg.grow_after)
             dtau = jnp.where(
                 grow,
