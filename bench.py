@@ -477,7 +477,9 @@ def worker() -> None:
                            loops=10, seed=29, grow_after=10**9)
         mact = gauge_mod.resolve_gauge_action(mcfg)
         mstate = gauge_mod.init_gauge_state(mcfg, mact)
-        m_frames = 8
+        # r5: 24 frames/rep (K=8 → 3 launches) so the ~22ms dispatch
+        # overhead stops eating ~50% of each rep at these small lattices
+        m_frames = 24 if on_tpu else 8
 
         def mk(k):
             def run():
