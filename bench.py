@@ -735,7 +735,10 @@ def main() -> None:
     res = run_watchdogged(
         [os.path.abspath(__file__), "--worker"],
         python=True,
-        timeout_s=1500,
+        # r5: the dress rehearsal ran ~17 min warm; first-compile of the
+        # new frame counts through the tunnel can add several minutes —
+        # keep headroom so attempt 1 doesn't die at the finish line
+        timeout_s=2400,
         attempts=3,
         backoff_s=90,
         on_attempt=report,
