@@ -23,6 +23,24 @@ __all__ = ["best_block_chains", "best_exchange_steps", "clear_cache"]
 
 _CACHE: dict = {}
 
+#: frames per timed call / timed calls per candidate: each timed rep pays
+#: ~22 ms of fixed dispatch+readback overhead through the tunnel
+#: (BASELINE.md r5 diagnosis) — a single 1-frame timing (~25 ms) made the
+#: tuner pick by NOISE, not by kernel speed.  Several frames per call put
+#: the overhead under ~20%, and min-of-3 is the right statistic for
+#: comparing candidates under one-sided overhead noise.
+_TUNE_FRAMES = 4
+_TUNE_REPS = 3
+
+
+def _timed(run) -> float:
+    ts = []
+    for _ in range(_TUNE_REPS):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    return min(ts)
+
 
 def clear_cache() -> None:
     _CACHE.clear()
@@ -65,15 +83,14 @@ def best_block_chains(
     for cb in cands:
         def run():
             s, _ = chain_kernel.run_frames_pallas(
-                state, action, cfg, 1, block_chains=cb, interpret=interpret
+                state, action, cfg, _TUNE_FRAMES, block_chains=cb,
+                interpret=interpret,
             )
             np.asarray(s.lrg_vl)  # host readback = completion barrier
 
         try:
             run()  # compile + warm
-            t0 = time.time()
-            run()
-            t = time.time() - t0
+            t = _timed(run)
         except Exception:
             continue  # candidate fails Mosaic compile (e.g. VMEM overflow
             # at large blocks) — skip it rather than abort the run (ADVICE r3)
@@ -126,15 +143,13 @@ def best_tile_rows(
         try:
             def run():
                 s, _ = fknd.run_field_frames_nd(
-                    state, action, cfg, 1, tile_rows=int(t0),
+                    state, action, cfg, _TUNE_FRAMES, tile_rows=int(t0),
                     interpret=interpret,
                 )
                 np.asarray(s.lrg_vl)
 
             run()  # compile + warm
-            t_start = time.time()
-            run()
-            t = time.time() - t_start
+            t = _timed(run)
         except Exception:
             continue  # VMEM overflow / invalid tile — skip
         if t < best_t:
@@ -194,13 +209,11 @@ def best_exchange_steps(
             )
 
             def run():
-                out, _ = runner(state, 1)
+                out, _ = runner(state, _TUNE_FRAMES)
                 np.asarray(out.lrg_vl)
 
             run()  # compile + warm
-            t0 = time.time()
-            run()
-            t = time.time() - t0
+            t = _timed(run)
         except Exception:
             continue  # geometry constraint (thin slab etc.) or a candidate
             # that fails Mosaic compile — skip
