@@ -82,13 +82,13 @@ def nd_tile():
         try:
             def run():
                 out, _ = fknd.run_field_frames_nd(
-                    s, act, cfg, 2, tile_rows=t0, interpret=not on_tpu
+                    s, act, cfg, 8, tile_rows=t0, interpret=not on_tpu
                 )
                 np.asarray(out.lrg_vl)
 
             med, lo, hi = timeit(run)
             emit(exp="nd_tile", tile_rows=t0,
-                 mlups=round(vol * cfg.loops * 2 / med / 1e6, 1),
+                 mlups=round(vol * cfg.loops * 8 / med / 1e6, 1),
                  med_s=round(med, 4), spread=[round(lo, 4), round(hi, 4)])
         except Exception as e:  # noqa: BLE001
             emit(exp="nd_tile", tile_rows=t0, error=str(e)[:200])
@@ -114,13 +114,13 @@ def nd_chunk():
         try:
             def run():
                 out, _ = fknd.run_field_frames_nd(
-                    s, act, cfg, 2, tile_rows=t0, interpret=not on_tpu
+                    s, act, cfg, 8, tile_rows=t0, interpret=not on_tpu
                 )
                 np.asarray(out.lrg_vl)
 
             med, lo, hi = timeit(run)
             emit(exp="nd_chunk", W=w, tile_rows=t0,
-                 mlups=round(vol * cfg.loops * 2 / med / 1e6, 1),
+                 mlups=round(vol * cfg.loops * 8 / med / 1e6, 1),
                  med_s=round(med, 4), spread=[round(lo, 4), round(hi, 4)])
         except Exception as e:  # noqa: BLE001
             emit(exp="nd_chunk", W=w, tile_rows=t0, error=str(e)[:200])
@@ -142,7 +142,7 @@ def rdma():
     act = phi4.get_field("phi4")
     mesh = make_mesh([("x", 1)])
     s = shard_field_state(field_mod.init_field_state(cfg), mesh, cfg)
-    frames = 5
+    frames = 20  # r5: amortize the ~22ms/rep dispatch overhead
     ups = cfg.n_chains * 256 * 256 * cfg.loops * frames
     for backend in ("pallas_rdma", "pallas_pair", "xla"):
         try:
@@ -169,7 +169,7 @@ def gauge_mf():
     from stochquant_tpu.kernels import gauge_kernel
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    frames = 8
+    frames = 24 if on_tpu else 8  # r5: amortize the ~22ms/rep overhead
     for group, beta, dtau, shape in (
         ("su2", 2.0, 2e-3, (16, 128)),
         ("su3", 5.0, 1e-3, (8, 128)),
@@ -218,7 +218,7 @@ def w4d():
     mesh = make_mesh([("x", 1)])
     s = shard_field_state(field_mod.init_field_state(base), mesh, base)
     vol = int(np.prod(base.shape))
-    frames = 2
+    frames = 8  # r5: amortize the ~22ms/rep dispatch overhead
     ups = vol * base.loops * frames
     for w in (2, 4, 10, 20):
         cfg = dataclasses.replace(base, exchange_steps=w)
