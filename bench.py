@@ -31,37 +31,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(run, reps=5):
-    """Median of ``reps`` timed calls (after one warm/compile call), plus
-    the (min, max) spread — VERDICT r3 weak #1: no more min-of-2 headline
-    numbers; the tunnel's readback variance is reported, not hidden."""
-    run()
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        run()
-        ts.append(time.time() - t0)
-    ts.sort()
-    return ts[len(ts) // 2], ts[0], ts[-1]
-
-
-def ab_timeit(runs, reps=5):
-    """Paired A/B timing in ONE process: warm every variant once, then
-    round-robin the timed reps so machine drift hits all variants equally
-    (VERDICT r3 item 4).  Returns {name: (median, min, max)}."""
-    for r in runs.values():
-        r()
-    ts = {k: [] for k in runs}
-    for _ in range(reps):
-        for k, r in runs.items():
-            t0 = time.time()
-            r()
-            ts[k].append(time.time() - t0)
-    out = {}
-    for k, v in ts.items():
-        v.sort()
-        out[k] = (v[len(v) // 2], v[0], v[-1])
-    return out
+# timing helpers shared with tools/perf_experiments.py (r5 review:
+# these were duplicated line-for-line; one copy now lives in
+# stochquant_tpu/timing.py)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from stochquant_tpu.timing import ab_timeit, timeit  # noqa: E402,F401
 
 
 #: headline keys compared against the previous round's BENCH json: a >15%

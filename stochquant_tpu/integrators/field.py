@@ -101,6 +101,18 @@ def _exact_field_check(action: FieldAction, cfg: FieldConfig) -> None:
             f"attribute) to split the propagator; action {cfg.action!r} "
             "declares none — use Scheme.EM"
         )
+    if not float(action.m2) > 0.0:
+        # m² <= 0 (the broken-symmetry phase): B̂(k) crosses zero, the OU
+        # 'decay' e^{−B̂Δτ} amplifies the soft modes and the exact-variance
+        # formula has no stationary limit — the Gaussian split is simply
+        # not a contraction there.  Refuse loudly instead of silently
+        # mis-propagating (r5 review finding).
+        raise ValueError(
+            "Scheme.EXACT requires a positive Gaussian curvature "
+            f"(action.m2 = {float(action.m2)!r}): with m2 <= 0 the free "
+            "propagator amplifies the soft modes and the exponential "
+            "split is invalid — use Scheme.EM/HEUN for the broken phase"
+        )
     if cfg.sweep != Sweep.SYNC:
         raise ValueError("Scheme.EXACT uses the synchronous (SYNC) sweep")
     if cfg.mesh_axes is not None:

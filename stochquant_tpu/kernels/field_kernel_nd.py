@@ -84,6 +84,16 @@ _STRIP_BUDGET_BYTES = 2 << 20
 import os as _os
 
 _PERF_PROBE_NOFIX = bool(_os.environ.get("SQ_ND_PERF_PROBE_NOFIX"))
+if _PERF_PROBE_NOFIX:  # make the footgun impossible to miss (r5 review)
+    import sys as _sys
+
+    print(
+        "WARNING: SQ_ND_PERF_PROBE_NOFIX is set — the D-dim field kernels "
+        "SKIP the dim-seam wrap-fix rolls in this process.  Results are "
+        "WRONG at inner-dim seams; this flag exists only for the "
+        "nd_fixcost perf probe.",
+        file=_sys.stderr, flush=True,
+    )
 
 
 def default_tile_rows(cfg: FieldConfig) -> int:

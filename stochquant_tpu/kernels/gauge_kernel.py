@@ -68,6 +68,25 @@ def supports(action, cfg: GaugeConfig) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _normal_pair_fn(seed, k1, site):
+    """Box–Muller pair from the global-counter Threefry draw — ONE copy
+    shared by the frame, multi-frame and chunk kernels (r5 review: the
+    bitwise-parity contract depends on this exact expression sequence;
+    three drifting copies would desynchronize the chunk kernel's halo
+    recompute from the unsharded kernels)."""
+    f32 = np.float32
+
+    def normal_pair(step):
+        b0, b1 = rng.threefry2x32(seed, k1, site, step)
+        u1 = rng.uniform_from_bits(b0)
+        u2 = rng.uniform_from_bits(b1)
+        r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
+        theta = f32(rng._TWO_PI) * u2
+        return r * jnp.cos(theta), r * jnp.sin(theta)
+
+    return normal_pair
+
+
 def _cmul(a, b):
     (ar, ai), (br, bi) = a, b
     return (ar * br - ai * bi, ar * bi + ai * br)
@@ -385,13 +404,7 @@ def _build_frame_kernel(action, cfg: GaugeConfig, ops_factory):
             dmaxo_ref[0, i] = jnp.where(unst, dmax, dmax2)
             unst_ref[0, i] = jnp.where(unst | bad, 1, 0)
 
-        def normal_pair(step):
-            b0, b1 = rng.threefry2x32(seed, k1, site, step)
-            u1 = rng.uniform_from_bits(b0)
-            u2 = rng.uniform_from_bits(b1)
-            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
-            theta = f32(rng._TWO_PI) * u2
-            return r * jnp.cos(theta), r * jnp.sin(theta)
+        normal_pair = _normal_pair_fn(seed, k1, site)
 
         def pair_body(k, _):
             step = step0 + jnp.uint32(2) * k.astype(jnp.uint32)
@@ -988,13 +1001,7 @@ def _build_multiframe_kernel(action, cfg: GaugeConfig, K: int, ops_factory):
             dmaxo_ref[0, i] = jnp.where(unst, dmax, dmax2)
             fs_ref[2] = jnp.where(unst | bad, f32(1.0), f32(0.0))
 
-        def normal_pair(step):
-            b0, b1 = rng.threefry2x32(seed, k1, site, step)
-            u1 = rng.uniform_from_bits(b0)
-            u2 = rng.uniform_from_bits(b1)
-            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
-            theta = f32(rng._TWO_PI) * u2
-            return r * jnp.cos(theta), r * jnp.sin(theta)
+        normal_pair = _normal_pair_fn(seed, k1, site)
 
         def u32_to_f32(v):
             hi = lax.shift_right_logical(v, jnp.uint32(16)).astype(jnp.int32)
@@ -1359,13 +1366,7 @@ def _build_gauge_chunk_kernel(action, cfg: GaugeConfig, ops_factory, W, H, loc0)
 
         dtau = dtau_ref[0, i]
 
-        def normal_pair(step):
-            b0, b1 = rng.threefry2x32(seed, k1, site, step)
-            u1 = rng.uniform_from_bits(b0)
-            u2 = rng.uniform_from_bits(b1)
-            r = jnp.sqrt(f32(-2.0) * jnp.log(u1))
-            theta = f32(rng._TWO_PI) * u2
-            return r * jnp.cos(theta), r * jnp.sin(theta)
+        normal_pair = _normal_pair_fn(seed, k1, site)
 
         def substep(eta):
             th = tho_ref[:]

@@ -377,7 +377,17 @@ def make_gauge_chunk_runner(
     ca = cfg.mesh_chain_axis
     c_local = cfg.n_chains // (sizes[ca] if ca else 1)
 
+    if cfg.exchange_steps and cfg.exchange_steps % 2:
+        # match the field runner's contract: explicit odd W is an error,
+        # not a silent floor (r5 review finding)
+        raise ValueError(
+            f"gauge chunk runner: exchange_steps={cfg.exchange_steps} "
+            "must be even (micro-step pairs share one Threefry draw)"
+        )
     W = cfg.exchange_steps or min(8, loc0, cfg.loops)
+    # an explicit W beyond the frame length would build (and possibly
+    # reject, via the H <= loc0 single-hop check) a kernel that never runs
+    W = min(W, cfg.loops)
     W -= W % 2
     if W < 2:
         raise ValueError("gauge chunk runner needs W >= 2 (local slab too "

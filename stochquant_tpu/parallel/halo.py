@@ -59,21 +59,20 @@ def halo_shifted(x, axis: int, mesh_axis: str | None):
     return up, down
 
 
-def chunk_backend_available(action, cfg: FieldConfig, mesh: Mesh, *,
-                            interpret: bool = False) -> bool:
-    """True when the multi-dim chunk kernel admits this (cfg, mesh) split
-    geometry — the single source of truth shared by ``make_halo_runner``'s
-    backend resolution and ``runtime.select_field_backend`` (keeping the
-    auto-router and the runner from disagreeing, ADVICE r3)."""
+def _chunk_guard_geometry(cfg: FieldConfig, mesh: Mesh):
+    """Shared derivation for the chunk/rdma eligibility guards (r5 review:
+    keeping ONE copy is what makes 'router and runner cannot disagree'
+    true).  Returns ``None`` when the common preconditions fail, else
+    ``(lat, local_shape, c_local, sharded_dims, W_probe)``."""
     from stochquant_tpu.kernels import field_kernel_nd as fknd
 
     if cfg.dtype != "float32" or cfg.loops % 2:
-        return False
+        return None
     if not rng.counter_based(cfg.rng_impl):
-        return False
+        return None
     W_try = cfg.exchange_steps or fknd.default_exchange_steps(cfg)
-    if W_try % 2:
-        return False
+    if not W_try or W_try % 2:
+        return None
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     lat = cfg.mesh_axes or (None,) * cfg.ndim
     local_shape = tuple(
@@ -85,10 +84,26 @@ def chunk_backend_available(action, cfg: FieldConfig, mesh: Mesh, *,
     sharded_dims = tuple(
         bool(ax) and axis_sizes.get(ax, 1) > 1 for ax in lat
     )
+    return lat, local_shape, c_local, sharded_dims, min(
+        W_try, max(cfg.loops, 2)
+    )
+
+
+def chunk_backend_available(action, cfg: FieldConfig, mesh: Mesh, *,
+                            interpret: bool = False) -> bool:
+    """True when the multi-dim chunk kernel admits this (cfg, mesh) split
+    geometry — the single source of truth shared by ``make_halo_runner``'s
+    backend resolution and ``runtime.select_field_backend`` (keeping the
+    auto-router and the runner from disagreeing, ADVICE r3)."""
+    from stochquant_tpu.kernels import field_kernel_nd as fknd
+
+    geo = _chunk_guard_geometry(cfg, mesh)
+    if geo is None:
+        return False
+    _lat, local_shape, c_local, sharded_dims, W_probe = geo
     try:
         fknd.make_sharded_chunk_step_md(
-            action, cfg, c_local, local_shape,
-            min(W_try, max(cfg.loops, 2)), sharded_dims,
+            action, cfg, c_local, local_shape, W_probe, sharded_dims,
             interpret=interpret,
         )
     except ValueError:
@@ -99,34 +114,24 @@ def chunk_backend_available(action, cfg: FieldConfig, mesh: Mesh, *,
 def rdma_backend_available(action, cfg: FieldConfig, mesh: Mesh, *,
                            interpret: bool = False) -> bool:
     """True when the in-kernel remote-DMA halo path admits this (cfg, mesh)
-    geometry: dim-0-ONLY split with the ring axis named, float32, even
-    loops, counter RNG, single-hop halos.  The guard behind
+    geometry: dim-0-ONLY split with the ring axis named, plus the chunk
+    guards' common preconditions and single-hop halos.  The guard behind
     ``FieldConfig.prefer_rdma`` auto-routing (r5, VERDICT r4 weak #8) —
     shared with ``runtime.select_field_backend`` so router and runner
     cannot disagree."""
     from stochquant_tpu.kernels import field_kernel_nd as fknd
 
-    if cfg.dtype != "float32" or cfg.loops % 2:
+    geo = _chunk_guard_geometry(cfg, mesh)
+    if geo is None:
         return False
-    if not rng.counter_based(cfg.rng_impl):
-        return False
-    lat = cfg.mesh_axes or (None,) * cfg.ndim
+    lat, local_shape, c_local, sharded_dims, W_probe = geo
     if not lat[0]:
         return False  # the dim-0 ring axis must be named
-    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    if any(ax and axis_sizes.get(ax, 1) > 1 for ax in lat[1:]):
+    if any(sharded_dims[1:]):
         return False  # dim-0-only splits
-    loc0 = cfg.shape[0] // axis_sizes.get(lat[0], 1)
-    ca = cfg.mesh_chain_axis
-    c_local = cfg.n_chains // (axis_sizes.get(ca, 1) if ca else 1)
-    local_shape = (loc0,) + tuple(cfg.shape[1:])
-    W_try = cfg.exchange_steps or fknd.default_exchange_steps(cfg)
-    if not W_try or W_try % 2:
-        return False
     try:
         fknd.make_rdma_chunk_step(
-            action, cfg, c_local, local_shape,
-            min(W_try, max(cfg.loops, 2)), interpret=interpret,
+            action, cfg, c_local, local_shape, W_probe, interpret=interpret,
         )
     except ValueError:
         return False

@@ -352,3 +352,18 @@ def test_exact_interacting_moments_match_fine_dtau_em():
     ref = run(Scheme.EM, 0.01, frames=40, burn=15)
     ex = run(Scheme.EXACT, 0.3, frames=4, burn=2)
     assert abs(ex - ref) / abs(ref) < 0.10, (ex, ref)
+
+
+def test_exact_interacting_rejects_negative_m2():
+    """m² <= 0 (the broken-symmetry phase): B̂(k) crosses zero, so the
+    'exact' Gaussian propagator would AMPLIFY the soft modes with the
+    wrong noise branch and no detector trip — must refuse loudly
+    (r5 review finding)."""
+    from stochquant_tpu.actions import phi4
+    from stochquant_tpu.config import FieldConfig
+    from stochquant_tpu.integrators import field
+
+    cfg = FieldConfig(action="phi4", shape=(8, 8), scheme=Scheme.EXACT)
+    for act in (phi4.ScalarPhi4(m2=-1.0, lam=1.0), phi4.FreeField(m2=0.0)):
+        with pytest.raises(ValueError, match="positive Gaussian curvature"):
+            field.make_field_frame_fn(act, cfg)

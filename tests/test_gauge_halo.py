@@ -270,3 +270,23 @@ def test_runtime_run_gauge_chunk_backend():
     np.testing.assert_array_equal(
         np.asarray(res.state.links), np.asarray(ref.state.links)
     )
+
+
+def test_chunk_runner_w_contracts():
+    """r5 review findings: an explicit odd exchange_steps raises (matching
+    the field runner's contract, not a silent floor), and an explicit W
+    beyond the frame length is clamped so a valid thin-slab config is not
+    rejected for a kernel that would never run."""
+    mesh = make_mesh([("x", 2)])
+    base = dict(group="u1", beta=1.0, shape=(16, 16), n_chains=2,
+                dtau=5e-3, loops=4, seed=11, hot_start=True,
+                grow_after=10**9, mesh_axes=("x", None))
+    act = gauge_mod.resolve_gauge_action(GaugeConfig(**base))
+    with pytest.raises(ValueError, match="even"):
+        make_gauge_chunk_runner(
+            act, GaugeConfig(**base, exchange_steps=7), mesh
+        )
+    # loops=4 with exchange_steps=8: W clamps to 4 (H=4 <= loc0=8) and the
+    # result still matches the unsharded kernel bitwise
+    cfg = GaugeConfig(**base, exchange_steps=8)
+    _compare_chunk(cfg, [("x", 2)])

@@ -32,33 +32,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(run, reps=5):
-    run()  # compile + warm
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        run()
-        ts.append(time.time() - t0)
-    ts.sort()
-    return ts[len(ts) // 2], ts[0], ts[-1]
-
-
-def ab_timeit(runs, reps=5):
-    """Paired A/B: warm all variants, then round-robin timed reps so machine
-    drift hits every variant equally.  Returns {name: (med, lo, hi)}."""
-    for r in runs.values():
-        r()
-    ts = {k: [] for k in runs}
-    for _ in range(reps):
-        for k, r in runs.items():
-            t0 = time.time()
-            r()
-            ts[k].append(time.time() - t0)
-    out = {}
-    for k, v in ts.items():
-        v.sort()
-        out[k] = (v[len(v) // 2], v[0], v[-1])
-    return out
+from stochquant_tpu.timing import ab_timeit, timeit  # noqa: E402,F401
 
 
 def emit(**kw):
